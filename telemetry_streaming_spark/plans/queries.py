@@ -1,0 +1,361 @@
+"""Oracle-checkable query registry.
+
+Every operator the engine claims (SURVEY.md §2 inventory + the
+100TB-pipeline extension ops) is demonstrated here as a named query
+over the driver's testdata tables, together with an ANSI-SQL oracle
+that DuckDB runs on the same parquet.  The driver compares row count,
+schema, and an order-insensitive value hash — so every computed column
+is aliased identically in both, and float aggregation is done in a
+way that is **bit-exact across engines**:
+
+- sums of integer-valued doubles stay plain ``SUM`` (exact in IEEE
+  double up to 2^53, order-independent);
+- sums of k-decimal doubles are computed as ``SUM(CAST(FLOOR(x*10^k
+  + 0.5) AS BIGINT))`` — the scale/floor is the same IEEE op on the
+  same input in both engines, and integer sums are exact;
+- averages/ratios are single IEEE divisions of exact aggregates;
+- window starts are emitted as epoch-second BIGINTs (UTC pinned).
+
+This avoids any dependence on the driver's float-hashing policy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from telemetry_streaming_spark.sources.registry import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.fn for n, s in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def cents(col, scale: int = 100):
+    """Exact integer representation of a k-decimal double (see module doc)."""
+    return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# A1 — windowed multi-sum (ErrorAggregatorBase.scala:238-256): 5-minute
+# tumbling window + dimension columns -> one SUM per stat column.
+# ---------------------------------------------------------------------------
+@query(
+    "windowed_sum",
+    oracle="""
+    SELECT 300 * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 300) AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: tumbling-window group-aggregate (the ErrorAggregator grain).
+
+    Spark plans this as partial HashAggregate -> exchange on
+    (window, event_type) -> final HashAggregate; at 100TB the map-side
+    combine collapses each (5-min, type) slice before the shuffle, so
+    shuffle volume is O(windows x types), not O(rows).
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship scan-heavy aggregate (TPC-H Q1 shape): the same multi-SUM
+# aggregate as A1/P12 but over the big fact table, exercising scan,
+# filter pushdown, and map-side partial aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_disc_price_e4,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_charge_e6,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e2,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: multi-aggregate scan query (A1 family, P12 metric
+    projection).  Filter is pushed to the parquet scan; aggregation is
+    partial+final hash-agg entirely inside whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(cents(disc_price, 10000)).alias("sum_disc_price_e4"),
+            F.sum(cents(charge, 1000000)).alias("sum_charge_e6"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.sum(cents(F.col("l_discount"))).alias("sum_disc_e2"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — conditional counts (ExperimentEnrollmentsAggregator.scala:138-143):
+# count(when(cond)) per group == COUNT(*) FILTER (WHERE cond).
+# ---------------------------------------------------------------------------
+@query(
+    "conditional_counts",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS enroll_count,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS unenroll_count,
+           COUNT(*) FILTER (WHERE event_type = 'purchase' AND value > 20) AS big_purchase_count,
+           COUNT(*) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-method conditional counters over the event stream
+    (enroll/unenroll in the reference; event_type here)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("enroll_count"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("unenroll_count"),
+        F.count(F.when((F.col("event_type") == "purchase") & (F.col("value") > 20), 1)).alias(
+            "big_purchase_count"
+        ),
+        F.count("*").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — avg + count(*) per group (FederatedLearningSearchOptimizer.scala:99-101)
+# avg emitted as one IEEE division of exact aggregates for parity.
+# ---------------------------------------------------------------------------
+@query(
+    "avg_count",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def avg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: mean + row count per group."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents(F.col("value"))).cast("double") / F.lit(100.0) / F.count("*")).alias(
+            "avg_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — distinct counts. Exact variant is oracle-checked; the HLL++
+# approx variant (approx_count_distinct rsd=0.02,
+# FederatedLearningSearchOptimizer.scala:103) is rows-only because
+# DuckDB's approx sketch differs.
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (exact twin): per-group distinct user count.  Planned as a
+    two-phase aggregate (partial distinct then final) by Catalyst."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users")
+    )
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: HyperLogLog++ approximate distinct (rsd=0.02 as in the
+    reference).  No oracle: sketches are implementation-specific."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_distinct_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — JSON payload extraction (from_json / get_json_object replaces
+# the reference's json4s navigation, Ping.scala:59-74).
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: navigate a JSON string payload column and aggregate on an
+    extracted field.  get_json_object runs JVM-side (no Python UDF)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "user_id",
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — allow-list filter (ErrorAggregatorBase.scala:26-29, :89-129):
+# docType/appName/channel allow-lists become pushed-down isin filters.
+# ---------------------------------------------------------------------------
+@query(
+    "allowlist_filter",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase') AND value > 1.0
+    GROUP BY event_type
+    """,
+)
+def allowlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: allow-list + range predicate, expressed declaratively so the
+    scan prunes (PushedFilters shows In + GreaterThan)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type").isin("click", "view", "purchase") & (F.col("value") > 1.0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P17 — client sampling (Ping.scala:382-393): keep iff sampleId < s*100.
+# ---------------------------------------------------------------------------
+@query(
+    "client_sampling",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+    FROM events
+    WHERE user_id % 100 < 10
+    GROUP BY event_type
+    """,
+)
+def client_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: deterministic 10% client sample via modulus on the stable
+    client key (the reference's sampleId semantics)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("user_id") % 100 < 10)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P14 — clamp (MainPing.scala:71-82): usage hours clamped to [0, 25].
+# ---------------------------------------------------------------------------
+@query(
+    "usage_clamp",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(LEAST(25.0, GREATEST(0.0, value / 3600.0)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS usage_hours_e6
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def usage_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: least/greatest clamp then sum (usage-hours semantics)."""
+    events = _t(spark, sf_dir, "events")
+    hours = F.least(F.lit(25.0), F.greatest(F.lit(0.0), F.col("value") / F.lit(3600.0)))
+    return events.groupBy("event_type").agg(F.sum(cents(hours, 1000000)).alias("usage_hours_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts + limit (§2.5): deterministic top-k with tie-break.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 sort/limit: top-k by value with a unique tie-break key.
+    Spark plans TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on the driver; no global sort at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(100).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )

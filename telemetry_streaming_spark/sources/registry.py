@@ -1,0 +1,70 @@
+"""Batch source registry over the driver's parquet testdata.
+
+Mirrors the reference's source layer (SURVEY §2.1): the heka-S3
+day-partitioned scan (S2) becomes a plain parquet read — Spark's
+DataSource v2 gives partition pruning, predicate pushdown and column
+pruning for free once plans are declarative.  Streaming variants live
+in ``telemetry_streaming_spark.streaming.sources``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects.  We read nanos as LongType
+# (legacy conf) and normalize back to TimestampType here — the same
+# ns->timestamp conversion the reference does for its ingest
+# timestamps (Ping.scala:169-171, SURVEY §2.3 P9).
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table. Column pruning / filter pushdown is left
+    to Catalyst — callers should select/filter on the returned frame,
+    not materialize it."""
+    # Set at read time, not session-build time, so the contract holds
+    # even under a caller-provided default SparkSession (the driver
+    # builds its own).  Both are runtime-settable confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and isinstance(field.dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so spark.sql() plans against
+    them (used by SQL-expressed queries and tests)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
