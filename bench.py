@@ -1,0 +1,80 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Timing excludes session startup (JVM boot is a fixed cost amortized
+away on a long-lived cluster) but includes full query execution to a
+collected result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: scan-agg, window-agg, joins, and the extension ops.
+# Names must exist in the registry; missing ones are skipped so bench
+# never breaks mid-round.
+HEADLINE = [
+    "pricing_summary",
+    "windowed_sum",
+    "conditional_counts",
+    "json_extract_agg",
+    "topk_orders",
+    "shipping_priority",
+    "local_supplier_volume",
+    "customer_order_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "text_quality",
+    "token_stats",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    from telemetry_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the session (codegen, parquet footer caches, Python workers)
+    # with a trivial job so the first timed query isn't paying JVM
+    # one-time costs no real deployment pays per query.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
