@@ -359,3 +359,309 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(100).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
+
+
+# ===========================================================================
+# Joins — absent from the reference (SURVEY §1.1: "no joins anywhere"),
+# but core to an analytics engine at 100TB.  Small dimensions are
+# broadcast explicitly; fact-fact joins shuffle on the join key and
+# rely on AQE for skew splitting.
+# ===========================================================================
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_e4 DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered fact join + grouped revenue + top-k.
+
+    customer is broadcast (it is the small side after the segment
+    filter); orders<->lineitem shuffle on orderkey.  TakeOrdered
+    replaces a global sort for the LIMIT.
+    """
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dimensions.
+
+    region/nation/supplier/customer are all broadcast; only the
+    orders<->lineitem join shuffles.  The same-nation constraint
+    (s_nationkey = c_nationkey) rides on the broadcast supplier join.
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    asian_customers = (
+        customer.join(F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+                      customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asian_customers), orders.o_custkey == asian_customers.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey) & (supplier.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue_e4"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "customer_order_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+               AS avg_order_value
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join + multi-aggregate.  customer broadcasts (it is
+    ~15MB/1M rows at sf1; at larger SFs AQE falls back to shuffle)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    price_cents = cents(F.col("o_totalprice"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.sum(price_cents).alias("sum_totalprice_cents"),
+            (F.sum(price_cents).cast("double") / F.lit(100.0) / F.count("*")).alias(
+                "avg_order_value"
+            ),
+        )
+    )
+
+
+@query(
+    "order_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS == left-semi join; Spark plans a
+    shuffle-hash semi join with the filter pushed into the probe scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "inactive_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS == left-anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — date-window guard (Ping.scala:38-51: buildId kept only within
+# 6 months of submission date) as interval arithmetic on a join.
+# ---------------------------------------------------------------------------
+@query(
+    "recent_shipments",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 6 MONTH
+    GROUP BY 1
+    """,
+)
+def recent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: the 6-month recency guard (months_between semantics) as
+    explicit interval bounds so it stays a pushable range predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.add_months(F.col("o_orderdate"), 6).cast("timestamp"))
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(F.count("*").alias("n_items"), F.count_distinct("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 + §2.7 string library — regexp extract / split / lower / substring
+# / concat_ws, all JVM-side.
+# ---------------------------------------------------------------------------
+@query(
+    "part_brand_stats",
+    oracle="""
+    SELECT regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           lower(string_split(p_type, ' ')[1]) AS type_head,
+           concat_ws('-', lower(string_split(p_type, ' ')[1]), regexp_extract(p_brand, '#([0-9]+)', 1)) AS slug,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           MAX(p_size) AS max_size
+    FROM part
+    GROUP BY 1, 2, 3
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/§2.7: regexp_extract + split + lower + concat_ws (the
+    reference's OS-version normalization and key-splitting idioms)."""
+    part = _t(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", "#([0-9]+)", 1)
+    type_head = F.lower(F.split(F.col("p_type"), " ").getItem(0))
+    return (
+        part.select(
+            brand_num.alias("brand_num"),
+            type_head.alias("type_head"),
+            F.concat_ws("-", type_head, brand_num).alias("slug"),
+            "p_retailprice",
+            "p_size",
+        )
+        .groupBy("brand_num", "type_head", "slug")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(cents(F.col("p_retailprice"))).alias("sum_price_cents"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — experiment fan-out: explode(array ++ [null]) multiplies each
+# input row across its experiment slices plus an all-up null slice
+# (Ping.scala:247-260).
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_fanout",
+    oracle="""
+    SELECT slice, event_type, COUNT(*) AS n
+    FROM (SELECT event_type, unnest([event_type, 'all', NULL]) AS slice FROM events)
+    GROUP BY slice, event_type
+    """,
+)
+def experiment_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: per-row fan-out across slices + the (null) all-up slice;
+    explode_outer keeps the null element as a real row."""
+    events = _t(spark, sf_dir, "events")
+    slices = F.array(F.col("event_type"), F.lit("all"), F.lit(None).cast("string"))
+    return (
+        events.select("event_type", F.explode(slices).alias("slice"))
+        .groupBy("slice", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13 — histogram threshold counts (MainPing.scala:44-62): count of
+# values at-or-above each threshold, per group.
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_threshold",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value >= 10) AS ge_10,
+           COUNT(*) FILTER (WHERE value >= 20) AS ge_20,
+           COUNT(*) FILTER (WHERE value >= 30) AS ge_30
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def histogram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: threshold-count accessor family."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") >= 10, 1)).alias("ge_10"),
+        F.count(F.when(F.col("value") >= 20, 1)).alias("ge_20"),
+        F.count(F.when(F.col("value") >= 30, 1)).alias("ge_30"),
+    )
