@@ -1,0 +1,112 @@
+"""Text-analysis column library for large-scale training-data pipelines.
+
+Everything here is a pure Column expression (JVM-side, whole-stage
+codegen) — no Python UDFs on the hot path.  Designed to run over a
+100TB ``documents`` corpus: per-row maps with no shuffle; aggregations
+are standard partial+final hash-aggs.
+
+Cross-engine determinism: hashes are md5-hex (identical in DuckDB /
+Spark / Python), never engine-native ``hash()``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic.  Real pipelines would plug fastText or CLD3
+# in via mapInPandas; the heuristic keeps the operator dependency-free
+# and oracle-checkable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length as one IEEE division (deterministic)."""
+    toks = tokenize(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [A-Za-z0-9 ]."""
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(text)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are markers for ``lang``."""
+    markers = LANG_MARKERS[lang]
+    toks = tokenize(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-token hits, 'und' when
+    no marker appears.  Ties break by language-code order (stable
+    across engines)."""
+    hits = {code: stopword_hits(text, code) for code in sorted(LANG_MARKERS)}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # build reverse so the first (lowest) code wins ties via the
+    # cascade order of when()
+    for code in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(hits[code] == best, F.lit(code)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Length/structure quality heuristic in [0,1]:
+    0.5 * min(1, tokens/100) + 0.3 * (1 - punct_ratio) +
+    0.2 * min(1, avg_token_len/8).  All one IEEE expression."""
+    toks = token_count(text).cast("double")
+    return (
+        F.lit(0.5) * F.least(F.lit(1.0), toks / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.2) * F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0))
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (exact-dup
+    key; engine-portable)."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (1-indexed element_at so the construction
+    is expressible identically in DuckDB list comprehensions)."""
+    toks = tokenize(text)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    # empty array — docs shorter than n tokens must map to [] to match
+    # DuckDB's generate_series semantics.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))

@@ -1,0 +1,243 @@
+"""Deduplication operators for 100TB-scale corpora.
+
+Four tiers, increasing recall for near-duplicates:
+
+1. **Exact** (`dedup_exact`): hash-groupBy on a canonical fingerprint.
+   One shuffle on the md5 key; map-side combine collapses duplicates
+   before the exchange.  At 100TB this is the cheapest possible dedup.
+
+2. **N-gram Jaccard** (`ngram_jaccard_pairs`): exact set-similarity
+   via a shingle inverted index + self-join.  Document-frequency cap
+   on shingles bounds the quadratic bucket blowup (a shingle shared by
+   >max_df docs carries no discriminating signal and is dropped —
+   standard trick to keep the candidate join linear-ish).
+
+3. **MinHash + LSH** (`minhash_lsh_pairs`): banded minhash signatures.
+   Signatures use the *lexicographic minimum of md5(perm:shingle)* as
+   the min-hash — a valid random-permutation proxy that is
+   deterministic and identical across engines (DuckDB-oracle-able,
+   unlike murmur-based hashes).  Candidates come from band-bucket
+   self-joins; pairs are verified with exact Jaccard.  Shuffle volume
+   is O(docs x bands), never O(docs^2).
+
+4. **SimHash** (`simhash48`, `simhash_pairs`): 48-bit simhash (12 md5
+   nibbles; 48 so per-term arithmetic stays exact in IEEE double for
+   the SQL oracle).  Near-dup candidates via band-equality buckets
+   (4 x 12-bit chunks — Hamming distance <=3 guarantees at least one
+   identical chunk by pigeonhole), verified with bit_count(xor).
+
+All four are pure DataFrame ops — no UDFs, no collect().
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from telemetry_streaming_spark.functions.text import fingerprint, word_shingles
+
+SIMHASH_NIBBLES = 12  # 48 bits
+SIMHASH_BANDS = 4  # 12 bits per band -> hamming<=3 always collides somewhere
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tier 1: exact duplicate groups by normalized-text fingerprint.
+
+    Returns (fingerprint, keeper_id, n_copies); keeper is the minimum
+    id.  Downstream `filter(n_copies > 1)` lists actual dup groups.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, max_df: int = 100
+) -> DataFrame:
+    """Distinct (shingle, doc) inverted index with a document-frequency
+    cap — the scale guard for the pairwise join."""
+    pairs = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    hot = pairs.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    return pairs.join(
+        F.broadcast(hot.where(F.col("df_count") > max_df).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Tier 2: exact n-gram Jaccard similarity pairs >= threshold.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed from the inverted
+    index: intersection sizes via the shingle self-join, set sizes
+    from the full (uncapped) shingle sets so the capped index only
+    affects candidate generation recall, not the reported score... —
+    NOTE: for oracle exactness, sizes here are ALSO computed from the
+    capped index; both engines apply the identical cap.
+    """
+    idx = shingle_index(df, text_col, id_col, n, max_df)
+    sizes = idx.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size1") + F.col("size2") - F.col("n_common")
+    )
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+) -> DataFrame:
+    """Minhash signature columns sig_0..sig_{p-1}: lexicographic min of
+    md5('<perm>:' || shingle).  Engine-portable; per-row map only."""
+    sh = word_shingles(F.col(text_col))
+
+    def min_sig(p: int):
+        # NB: the transform lambda must stay single-argument — PySpark
+        # passes (element, index) to two-parameter lambdas, which would
+        # silently rebind a captured loop variable.
+        prefix = f"{p}:"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    cols = [F.col(id_col)] + [min_sig(p).alias(f"sig_{p}") for p in range(num_perm)]
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Tier 3: MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    bands x rows = num_perm; a pair collides if all rows of any band
+    match.  Returns (id1, id2, jaccard >= threshold) — identical
+    output contract to `ngram_jaccard_pairs`, so the exact tier is the
+    drop-in verifier at any scale.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    band_frames = []
+    for b in range(bands):
+        key = F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        band_frames.append(
+            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    banded = band_frames[0]
+    for fr in band_frames[1:]:
+        banded = banded.unionByName(fr)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, 3, threshold, max_df)
+    return cand.join(exact, ["id1", "id2"]).select("id1", "id2", "jaccard")
+
+
+def simhash48(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash per document.
+
+    Token hash = first 12 hex nibbles of md5(token) as a 48-bit int
+    (via conv(hex,16,10)); per-bit vote = +1/-1 over the document's
+    distinct tokens; simhash bit b is 1 iff the vote is positive.
+    Everything is a column expression; one explode + one groupBy.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, SIMHASH_NIBBLES), 16, 10).cast("long")
+    toks = toks.select(F.col(id_col), h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(SIMHASH_NIBBLES * 4)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for bit in range(SIMHASH_NIBBLES * 4):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2**bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Tier 4: near-dup pairs by SimHash Hamming distance.
+
+    Candidates: band the 48 bits into 4 x 12-bit chunks; by pigeonhole
+    any pair within Hamming<=3 shares at least one chunk, so the
+    bucket self-join has full recall.  Verify with bit_count(xor).
+    """
+    bits_per_band = SIMHASH_NIBBLES * 4 // SIMHASH_BANDS
+    sh = simhash48(df, text_col, id_col)
+    banded = None
+    for band in range(SIMHASH_BANDS):
+        chunk = F.shiftright(F.col("simhash"), band * bits_per_band).bitwiseAND(
+            F.lit((1 << bits_per_band) - 1)
+        )
+        fr = sh.select(
+            F.col(id_col), F.col("simhash"), F.lit(band).alias("band"), chunk.alias("chunk")
+        )
+        banded = fr if banded is None else banded.unionByName(fr)
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **Brute force** (`cosine_topk`): broadcast the (small) query set,
+  score every (query, candidate) pair with a JVM-side fold, take
+  per-query top-k with a rank window.  Exact; at 100TB this is the
+  verifier / reranker, not the primary path.
+
+- **LSH-bucketed** (`signed_random_projection_buckets`,
+  `cosine_topk_lsh`): random-hyperplane signatures (deterministic,
+  seeded from md5 so runs are reproducible) bucket vectors so only
+  same-bucket pairs are scored.  Probing all buckets within one sign
+  flip trades recall for cost; shuffle volume is O(n x probes), never
+  O(n^2).
+
+Dot products are sequential IEEE-double folds over the array (via
+``aggregate``), so scores are bit-deterministic — important both for
+the DuckDB oracle and for reproducible top-k cuts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double fold of the elementwise product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must have (query_id, query_vec) columns; it is
+    broadcast, so the candidate scan is a single map stage + one
+    rank-window shuffle partitioned by query_id.
+    """
+    scored = (
+        df.crossJoin(F.broadcast(queries))
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("query_vec"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5: each
+    coordinate in [-1, 1) derived from the seeded digest (reproducible
+    across runs/engines/languages)."""
+    coords: list[float] = []
+    counter = 0
+    while len(coords) < dim:
+        digest = hashlib.md5(f"{seed}:{counter}".encode()).hexdigest()
+        for off in range(0, 32, 8):
+            if len(coords) >= dim:
+                break
+            coords.append(int(digest[off : off + 8], 16) / 2**31 - 1.0)
+        counter += 1
+    return coords
+
+
+def signed_random_projection_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Append an SRP-LSH bucket id: bit i = sign(v . plane_i).
+
+    Cosine-similar vectors agree on most signs, so same-bucket
+    collision probability rises with cosine similarity (Charikar
+    2002 SRP-LSH).  8 planes -> 256 buckets.
+    """
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(seed * 1000 + i, dim)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn("srp_bucket", bucket)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose SRP bucket is
+    within Hamming distance 1 of the query's bucket (multi-probe).
+
+    The probe expansion happens on the tiny query side — each query
+    fans out to n_planes+1 probe buckets before the broadcast — so the
+    big side still sees a plain equi-join on bucket.  That is the
+    scale-critical property: candidate work is O(n x probes/buckets),
+    never a cross join or a range join.
+    """
+    cand = signed_random_projection_buckets(df, n_planes, dim, vec_col)
+    q0 = signed_random_projection_buckets(
+        queries.withColumnRenamed("query_vec", vec_col), n_planes, dim, vec_col
+    ).select(
+        "query_id", F.col(vec_col).alias("query_vec"), F.col("srp_bucket").alias("q_bucket")
+    )
+    probes = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    q = q0.select("query_id", "query_vec", F.explode(probes).alias("q_bucket"))
+    scored = (
+        cand.join(F.broadcast(q), cand.srp_bucket == q.q_bucket)
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("query_vec"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

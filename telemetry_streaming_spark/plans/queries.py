@@ -665,3 +665,434 @@ def histogram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("value") >= 20, 1)).alias("ge_20"),
         F.count(F.when(F.col("value") >= 30, 1)).alias("ge_30"),
     )
+
+
+# ===========================================================================
+# Extension operators — the LLM-training-data pipeline surface
+# (BASELINE.json): dedup tiers, similarity search, text analysis.
+# Spark implementations live in operators/dedup.py, operators/
+# similarity.py, functions/text.py; here each is wired to the driver
+# testdata with a DuckDB oracle wherever exactly expressible.
+# ===========================================================================
+
+# Shared oracle CTE fragments (kept textually identical across the
+# dedup oracles so both engines apply the same shingle cap etc.)
+_SHINGLE_CTES = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([list_aggregate([toks[i], toks[i+1], toks[i+2]], 'string_agg', ' ')
+                              FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+        FROM toks
+    )
+"""
+
+_JACCARD_CTES = (
+    _SHINGLE_CTES
+    + r""",
+    idx AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        WHERE shingle NOT IN (
+            SELECT shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+            GROUP BY shingle HAVING COUNT(*) > 100
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM idx GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id1, id2,
+               CAST(n_common AS DOUBLE) / (s1.set_size + s2.set_size - n_common) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+    )
+"""
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 1: exact dedup by normalized-text md5
+    fingerprint (operators/dedup.py:dedup_exact)."""
+    from telemetry_streaming_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="WITH " + _JACCARD_CTES + """
+    SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.1
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 2: exact word-3-gram Jaccard pairs >= 0.1 via a
+    df-capped shingle inverted index (operators/dedup.py)."""
+    from telemetry_streaming_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return ngram_jaccard_pairs(docs, threshold=0.1, max_df=100)
+
+
+def _minhash_sig_sql(num_perm: int = 8) -> str:
+    sigs = ",\n               ".join(
+        f"list_min([md5('{p}:' || s) FOR s IN shingles]) AS sig_{p}" for p in range(num_perm)
+    )
+    return f"sigs AS (SELECT doc_id,\n               {sigs}\n        FROM sh)"
+
+
+def _minhash_band_sql(num_perm: int = 8, bands: int = 4) -> str:
+    rows = num_perm // bands
+    parts = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        parts.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    return "bands AS (" + " UNION ALL ".join(parts) + ")"
+
+
+@query(
+    "dedup_minhash_bands",
+    oracle="WITH "
+    + _SHINGLE_CTES
+    + ",\n    "
+    + _minhash_sig_sql()
+    + ",\n    "
+    + _minhash_band_sql()
+    + """
+    SELECT doc_id, band, band_key FROM bands
+    """,
+)
+def dedup_minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 3 (signature stage): banded MinHash signatures —
+    lexicographic-min of md5(perm:shingle), 8 perms x 4 bands.  Full
+    parity check of the signature pipeline, independent of whether the
+    corpus contains near-dups."""
+    from telemetry_streaming_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    sigs = minhash_signatures(docs, num_perm=8)
+    frames = []
+    rows = 2
+    for b in range(4):
+        key = F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+        frames.append(sigs.select("doc_id", F.lit(b).alias("band"), key.alias("band_key")))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="WITH "
+    + _JACCARD_CTES
+    + ",\n    "
+    + _minhash_sig_sql()
+    + ",\n    "
+    + _minhash_band_sql()
+    + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2, j.jaccard
+    FROM cand c JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2
+    WHERE j.jaccard >= 0.1
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 3: MinHash-LSH candidates verified by exact
+    Jaccard (operators/dedup.py:minhash_lsh_pairs)."""
+    from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return minhash_lsh_pairs(docs, threshold=0.1, max_df=100)
+
+
+def _simhash_ctes() -> str:
+    nibble_term = (
+        "(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1) * CAST(power(16, 12 - i) AS BIGINT)"
+    )
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN h >> {b} & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)
+    )
+    recon = " + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(48))
+    return rf"""
+    htoks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(list_sum([{nibble_term} FOR i IN generate_series(1, 12)]) AS BIGINT) AS h
+        FROM htoks
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle="WITH " + _simhash_ctes() + """
+    SELECT doc_id, simhash FROM sim
+    """,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 4 (signature stage): 48-bit SimHash per document
+    (operators/dedup.py:simhash48)."""
+    from telemetry_streaming_spark.operators.dedup import simhash48
+
+    return simhash48(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle="WITH " + _simhash_ctes() + """,
+    bands AS (
+        SELECT doc_id, simhash, b.band, simhash >> (b.band * 12) & 4095 AS chunk
+        FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 4: SimHash near-dup pairs (Hamming <= 3) via
+    pigeonhole chunk buckets (operators/dedup.py:simhash_pairs)."""
+    from telemetry_streaming_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM q, c WHERE vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact brute-force cosine top-5 for 10 query vectors
+    (operators/similarity.py:cosine_topk) — broadcast queries, one
+    map stage + rank window."""
+    from telemetry_streaming_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@query("similarity_topk_lsh", oracle=None)
+def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (scale path): SRP-LSH bucketed approximate top-k —
+    equi-join on bucket instead of a cross join.  Rows-only check;
+    recall vs the exact tier is asserted in tests."""
+    from telemetry_streaming_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_lsh(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS toks,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(list_sum([length(tk) FOR tk IN toks]) AS DOUBLE) / len(toks) AS avg_token_len,
+           0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+             + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
+             + 0.2 * least(1.0, (CAST(list_sum([length(tk) FOR tk IN toks]) AS DOUBLE) / len(toks)) / 8.0)
+               AS quality
+    FROM t
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-document quality features + composite score
+    (functions/text.py) — pure column expressions, no shuffle."""
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).cast("long").alias("n_tokens"),
+        T.char_count(c).cast("long").alias("n_chars"),
+        T.punct_ratio(c).alias("punct_ratio"),
+        T.avg_token_len(c).alias("avg_token_len"),
+        T.quality_score(c).alias("quality"),
+    )
+
+
+@query(
+    "token_stats",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: corpus token statistics per source."""
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _lang_hits_sql(code: str, markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> tk IN ({in_list})))"
+    )
+
+
+def _lang_id_sql() -> str:
+    from telemetry_streaming_spark.functions.text import LANG_MARKERS
+
+    hits = {c: _lang_hits_sql(c, m) for c, m in LANG_MARKERS.items()}
+    codes = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    cascade = " ".join(f"WHEN h_{c} = best THEN '{c}'" for c in codes)
+    hit_cols = ",\n               ".join(f"{hits[c]} AS h_{c}" for c in codes)
+    return f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {hit_cols}
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, lang, {best} AS best,
+               CASE WHEN {best} = 0 THEN 'und' ELSE (CASE {cascade} ELSE 'und' END) END AS pred_lang
+        FROM h
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang
+"""
+
+
+@query("lang_id", oracle=_lang_id_sql())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: marker-token language-ID heuristic; output is the
+    (actual, predicted) confusion matrix (functions/text.py:lang_id)."""
+    from telemetry_streaming_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+           substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 2) AS fp_bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: document fingerprinting (normalized-text md5) with a
+    256-way prefix bucket (functions/text.py:fingerprint)."""
+    from telemetry_streaming_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return docs.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 2).alias("fp_bucket"))
+
+
+@query(
+    "token_explode",
+    oracle=r"""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def token_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P29 analog on the corpus: explode tokens to a flat table and
+    aggregate (the reference's event-explode shape)."""
+    from telemetry_streaming_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs"))
+    )

@@ -1,0 +1,94 @@
+"""Behavioral tests for the extension operators: planted exact and
+near duplicates must be found; LSH tiers must agree with their exact
+verifiers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees"
+)
+NEAR = BASE.replace("lazy dog", "lazy wolf")  # one-token edit
+OTHER = (
+    "completely different content about spark query engines and "
+    "distributed aggregation pipelines running on large clusters today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1/2
+        (4, OTHER),
+        (5, "Short Doc! " + OTHER.upper()),  # case/punct variant of 4
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups(docs):
+    from telemetry_streaming_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(docs).collect()
+    groups = {r.keeper_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse
+    # normalization folds case/punct, but doc 5 has an extra prefix -> distinct
+    assert sum(groups.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from telemetry_streaming_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.id1, r.id2): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.id1, r.id2) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    # exact dup pair must always collide in every band
+    assert (1, 2) in pairs
+    # near-dup should collide in at least one of 4 bands (high prob on
+    # a 0.85-jaccard pair with 2-row bands) and survive verification
+    assert (1, 3) in pairs
+
+
+def test_simhash_near_dup_distance(docs):
+    from telemetry_streaming_spark.operators.dedup import simhash48
+
+    sims = {r.doc_id: r.simhash for r in simhash48(docs).collect()}
+    assert sims[1] == sims[2]
+    ham_13 = bin(sims[1] ^ sims[3]).count("1")
+    ham_14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham_13 < ham_14, f"near-dup hamming {ham_13} should beat unrelated {ham_14}"
+
+
+def test_simhash_pairs_bucket_recall(docs):
+    from telemetry_streaming_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r.id1, r.id2): r.hamming for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_lsh_similarity_recall(spark):
+    from telemetry_streaming_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = cosine_topk_lsh(emb, queries, k=5).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    # single-probe SRP with 6 planes: every query must at least get
+    # candidates, and bucketing must not hallucinate scores
+    assert approx_pairs, "LSH returned nothing"
+    for r in approx:
+        assert -1.0001 <= r.cos <= 1.0001
+    # recall sanity: some overlap with exact top-5
+    assert len(exact & approx_pairs) > 0
