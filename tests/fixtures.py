@@ -1,0 +1,240 @@
+"""Synthetic ping factory — the pytest analog of the reference's
+TestUtils.scala generators (same defaults, same fixed timestamp
+1460036116829920000 ns = 2016-04-07T13:35:16.829Z, TestUtils.scala:27;
+the enrollment tests' expected window 13:35-13:40 confirms the UTC time).
+
+Each builder returns a JSON string (the engine's raw `value` column);
+`to_df` wraps lists of them as a single-column DataFrame, matching
+the post-decode Kafka/heka shape (SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+TEST_TIMESTAMP_NS = 1460036116829920000  # 2016-04-07T13:35:16.829Z
+
+
+def _deep_merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def main_ping(
+    experiments: dict[str, str] | None = None,
+    old_style_experiment: tuple[str, str] | None = ("experiment1", "control"),
+    **overrides: Any,
+) -> str:
+    """TestUtils.scala:111-245 defaults."""
+    ping = {
+        "meta": {
+            "Timestamp": TEST_TIMESTAMP_NS,
+            "docType": "main",
+            "documentId": "main-1",
+            "appName": "Firefox",
+            "appVersion": "42.0",
+            "appBuildId": "20170101000000",
+            "normalizedChannel": "release",
+            "clientId": "client1",
+            "sampleId": 73.0,
+            "geoCountry": "IT",
+            "geoCity": "Milan",
+            "submissionDate": "20170101",
+        },
+        "environment": {
+            "build": {
+                "architecture": "x86",
+                "buildId": "20170101000000",
+                "version": "42.0",
+                "displayVersion": "42.0b1",
+            },
+            "system": {"os": {"name": "Linux", "version": "42"}, "isWow64": False, "memoryMB": 4136.0},
+            "settings": {"locale": "it_IT", "isDefaultBrowser": True},
+            "profile": {"creationDate": 16861},
+            "addons": (
+                {"activeExperiment": {"id": old_style_experiment[0], "branch": old_style_experiment[1]}}
+                if old_style_experiment
+                else {}
+            ),
+            "experiments": {k: {"branch": v} for k, v in (experiments or {}).items()},
+        },
+        "payload": {
+            "info": {
+                "subsessionLength": 3600,
+                "subsessionCounter": 1,
+                "sessionId": "sample-session-id",
+                "sessionStartDate": "2018-05-30T11:00:00.0-05:00",
+            },
+            "histograms": {
+                "BROWSER_SHIM_USAGE_BLOCKED": {"values": {"0": 1}},
+                "INPUT_EVENT_RESPONSE_COALESCED_MS": {
+                    "values": {"1": 1, "150": 2, "250": 3, "2500": 4, "10000": 5}
+                },
+            },
+            "keyedHistograms": {
+                "SUBPROCESS_CRASHES_WITH_DUMP": {
+                    "content": {"values": {"0": 1}},
+                    "gpu": {"values": {"0": 1}},
+                    "plugin": {"values": {"0": 1}},
+                    "gmplugin": {"values": {"0": 1}},
+                },
+                "SUBPROCESS_KILL_HARD": {"ShutDownKill": {"values": {"0": 1}}},
+                "SEARCH_COUNTS": {"ddg.urlbar": {"values": {"0": 4, "1": 0}, "sum": 4}},
+            },
+            "simpleMeasurements": {"activeTicks": 275, "firstPaint": 1200},
+            "processes": {},
+        },
+    }
+    return json.dumps(_deep_merge(ping, overrides))
+
+
+def crash_ping(
+    startup_crash: str | None = None,
+    process_type: str | None = None,
+    ipc_channel_error: str | None = None,
+    fennec: bool = False,
+    experiments: dict[str, str] | None = None,
+    old_style_experiment: tuple[str, str] | None = ("experiment1", "control"),
+    **overrides: Any,
+) -> str:
+    """TestUtils.scala:31-108 defaults (Firefox; fennec=True applies
+    the Fennec/Linux variant exercising the Android fix-up)."""
+    app_name = "Fennec" if fennec else "Firefox"
+    ping = {
+        "meta": {
+            "Timestamp": TEST_TIMESTAMP_NS,
+            "docType": "crash",
+            "documentId": "crash-1",
+            "appName": app_name,
+            "appVersion": "42.0",
+            "appBuildId": "20170101000000",
+            "normalizedChannel": "release",
+            "clientId": "client1",
+            "sampleId": 73.0,
+            "geoCountry": "IT",
+            "geoCity": "Milan",
+            "submissionDate": "20170101",
+        },
+        "environment": {
+            "build": {
+                "architecture": "x86",
+                "buildId": "20170101000000",
+                "version": "42.0",
+                "displayVersion": "42.0b1",
+            },
+            "system": {"os": {"name": "Linux", "version": "42"}},
+            "addons": (
+                {"activeExperiment": {"id": old_style_experiment[0], "branch": old_style_experiment[1]}}
+                if old_style_experiment
+                else {}
+            ),
+            "experiments": {k: {"branch": v} for k, v in (experiments or {}).items()},
+        },
+        "application": {
+            "architecture": "x86",
+            "buildId": "20170101000000",
+            "channel": "release",
+            "name": app_name,
+            "version": "42.0",
+            "displayVersion": "42.0b1",
+            "vendor": "Mozilla",
+            "platformVersion": "42.0",
+        },
+        "payload": {
+            "crashDate": "2017-01-01",
+            "processType": process_type,
+            "metadata": {
+                "StartupCrash": startup_crash,
+                "ipc_channel_error": ipc_channel_error,
+            },
+        },
+    }
+    return json.dumps(_deep_merge(ping, overrides))
+
+
+def core_ping(**overrides: Any) -> str:
+    """TestUtils.scala:329-393 defaults (Fennec/Android)."""
+    ping = {
+        "meta": {
+            "Timestamp": TEST_TIMESTAMP_NS,
+            "docType": "core",
+            "documentId": "core-1",
+            "appName": "Fennec",
+            "appVersion": "59.0",
+            "appBuildId": "20170101000000",
+            "normalizedChannel": "release",
+            "clientId": "ca7fb81d-5deb-4ea6-8b74-797b8e58cfae",
+            "sampleId": 22.0,
+            "geoCountry": "IT",
+            "submissionDate": "20170101",
+        },
+        "payload": {
+            "arch": "arm64-v8a",
+            "os": "Android",
+            "osversion": "42",
+            "durations": 3600,
+            "seq": 1,
+            "displayVersion": "59.0b1",
+        },
+    }
+    return json.dumps(_deep_merge(ping, overrides))
+
+
+def event_ping(
+    events: dict[str, list[list]] | None = None,
+    experiments: dict[str, str] | None = None,
+    **overrides: Any,
+) -> str:
+    """TestUtils.scala:395-512 defaults: 1 parent event + 3 dynamic
+    events (incl. a normandy enrollment)."""
+    default_events = {
+        "parent": [
+            [123456, "activity_stream", "end", "session", "909", {"addon_version": "2018.06.22"}]
+        ],
+        "dynamic": [
+            [224264, "uptake.remotecontent.result", "uptake", "remotesettings", "success", {"source": "blocklists/addons"}],
+            [424264, "uptake.remotecontent.result", "uptake", "remotesettings", "success", {"source": "blocklists/plugins"}],
+            [554879, "normandy", "enroll", "preference_study", "pref-flip-timer-speed-up-60-1443940", {"branch": "six"}],
+        ],
+    }
+    ping = {
+        "meta": {
+            "Timestamp": TEST_TIMESTAMP_NS,
+            "docType": "event",
+            "documentId": "an_id",
+            "appName": "Firefox",
+            "appVersion": "62.0",
+            "appBuildId": "20170101000000",
+            "normalizedChannel": "release",
+            "clientId": "client1",
+            "sampleId": 73.0,
+            "geoCountry": "IT",
+            "geoCity": "Milan",
+            "submissionDate": "20170101",
+        },
+        "environment": {
+            "build": {"architecture": "x86", "buildId": "20170101000000", "version": "62.0"},
+            "system": {"os": {"name": "Linux", "version": "42"}},
+            "settings": {"locale": "it_IT"},
+            "experiments": {k: {"branch": v} for k, v in (experiments or {}).items()},
+        },
+        "payload": {
+            "reason": "periodic",
+            "processStartTimestamp": 1530291900000,
+            "sessionId": "dd302e9d-569b-4058-b7e8-02b2ff83522c",
+            "subsessionId": "79a2728f-af12-4ed3-b56d-0531a03c2f26",
+            "lostEventsCount": 0,
+            "events": events if events is not None else default_events,
+        },
+    }
+    return json.dumps(_deep_merge(ping, overrides))
+
+
+def to_df(spark, pings: list[str]):
+    return spark.createDataFrame([(p,) for p in pings], "value string")
