@@ -174,19 +174,30 @@ DIMENSION_COLUMNS = [
 ]
 
 
-def aggregate(raw: DataFrame, streaming: bool = False) -> DataFrame:
+def aggregate(
+    raw: DataFrame,
+    streaming: bool = False,
+    dimensions: list[str] | None = None,
+    stats: list[str] | None = None,
+) -> DataFrame:
     """A1: 5-minute tumbling-window multi-sum over all dimensions
     (ErrorAggregatorBase.scala:238-256).  Streaming adds the 1-minute
-    watermark (W1) for state bounding; schema identical either way."""
+    watermark (W1) for state bounding; schema identical either way.
+
+    ``dimensions``/``stats`` default to the full ErrorAggregator
+    schema; ExperimentsErrorAggregator passes its subsets
+    (ExperimentsErrorAggregator.scala:16-39).
+    """
     from telemetry_streaming_spark.functions.pings import parse_pings
 
+    dims = dimensions or DIMENSION_COLUMNS
+    stat_cols = stats or STAT_COLUMNS
     rows = prepare(parse_pings(raw))
     if streaming:
         rows = rows.withWatermark("timestamp", "1 minute")
-    lowered = [c.lower() for c in STAT_COLUMNS]
     return (
-        rows.groupBy(F.window("timestamp", "5 minutes").alias("window"), *DIMENSION_COLUMNS)
-        .agg(*[F.sum(c).alias(lc) for c, lc in zip(STAT_COLUMNS, lowered)])
+        rows.groupBy(F.window("timestamp", "5 minutes").alias("window"), *dims)
+        .agg(*[F.sum(c).alias(c.lower()) for c in stat_cols])
         .withColumn("window_start", F.col("window")["start"])
         .withColumn("window_end", F.col("window")["end"])
         .drop("window")

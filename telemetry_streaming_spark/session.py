@@ -11,10 +11,31 @@ StreamingJobBase.scala:60), and Arrow for any pandas-UDF stage.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship telemetry_streaming_spark to executor Python workers.
+
+    Column-expression plans never need this (they run JVM-side), but
+    foreachPartition sinks and pandas UDFs import the package inside
+    executor processes, whose sys.path does not inherit the driver's.
+    addPyFile works identically in local and cluster mode."""
+    marker = "_tss_pyfile_added"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "telemetry_streaming_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    sc.addPyFile(zip_path)
+    setattr(sc, marker, True)
 
 
 def get_spark(
@@ -52,4 +73,6 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_package_on_executors(spark)
+    return spark
