@@ -36,6 +36,7 @@ META = f"""
         appVersion: string,
         appBuildId: string,
         normalizedChannel: string,
+        appUpdateChannel: string,
         clientId: string,
         sampleId: double,
         geoCountry: string,

@@ -236,5 +236,59 @@ def event_ping(
     return json.dumps(_deep_merge(ping, overrides))
 
 
+def focus_event_ping(events: list[list] | None = None, **overrides: Any) -> str:
+    """TestUtils.scala:247-330 defaults (generateFocusEventMessages).
+
+    The engine's JSON envelope stores the mobile top-level events array
+    as ``payload.mobileEvents`` (the name ``payload.events`` is the
+    event-ping per-process map in the unified schema)."""
+    default_events = [
+        [176078022, "action", "foreground", "app"],
+        [176127806, "action", "type_query", "search_bar"],
+        [176151285, "action", "click", "back_button", "erase_home", {"host": "side"}],
+        [176151591, "action", "background", "app", "", {"sessionLength": "1000"}],
+    ]
+    ping = {
+        "meta": {
+            "Timestamp": TEST_TIMESTAMP_NS,
+            "docType": "focus-event",
+            "documentId": "doc-id",
+            "appName": "Focus",
+            "appVersion": "1.1",
+            "appBuildId": "6",
+            "normalizedChannel": "release",
+            "clientId": "client1",
+            "sampleId": 73.0,
+            "geoCountry": "CA",
+            "geoCity": "Victoria",
+            "submissionDate": "20170101",
+        },
+        "payload": {
+            "v": 1,
+            "seq": 162,
+            "locale": "pt-CA",
+            "os": "Android",
+            "osversion": "23",
+            "created": 1506024685632,
+            "settings": {
+                "pref_privacy_block_ads": "true",
+                "pref_locale": "",
+                "pref_privacy_block_social": "true",
+                "pref_secure": "true",
+                "pref_privacy_block_analytics": "true",
+                "pref_search_engine": "custom",
+                "pref_privacy_block_other": "false",
+                "pref_default_browser": "true",
+                "pref_performance_block_webfonts": "false",
+                "pref_performance_block_images": "false",
+                "pref_autocomplete_installed": "true",
+                "pref_autocomplete_custom": "false",
+            },
+            "mobileEvents": events if events is not None else default_events,
+        },
+    }
+    return json.dumps(_deep_merge(ping, overrides))
+
+
 def to_df(spark, pings: list[str]):
     return spark.createDataFrame([(p,) for p in pings], "value string")

@@ -1,0 +1,241 @@
+"""EventsToAmplitude golden tests.
+
+Expected values mirror the reference's EventsToAmplitudeTest.scala
+(focusPingJson / eventsJson / pingSentJson golden fragments) run over
+the same generated pings and an equivalent config — JSON compared
+parsed, not as strings.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from telemetry_streaming_spark.jobs import events_to_amplitude as amp
+from tests import fixtures
+
+APP_OPEN_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "timestamp": {"type": "number", "minimum": 0},
+        "category": {"type": "string", "enum": ["action"]},
+        "method": {"type": "string", "enum": ["foreground"]},
+        "object": {"type": "string", "enum": ["app"]},
+    },
+    "required": ["timestamp", "category", "method", "object"],
+}
+
+ERASE_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "timestamp": {"type": "number", "minimum": 0},
+        "category": {"type": "string"},
+        "method": {"type": "string"},
+        "object": {"type": "string"},
+        "value": {"type": "string", "pattern": "^erase"},
+    },
+    "required": ["timestamp", "category", "method", "object", "value"],
+}
+
+APP_CLOSE_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "timestamp": {"type": "number", "minimum": 0},
+        "category": {"type": "string", "enum": ["action"]},
+        "method": {"type": "string", "enum": ["background"]},
+        "object": {"type": "string", "enum": ["app"]},
+    },
+    "required": ["timestamp", "category", "method", "object"],
+}
+
+FOCUS_CONFIG = {
+    "source": "telemetry",
+    "filters": {"docType": ["focus-event"], "appName": ["Focus"]},
+    "eventGroups": [
+        {
+            "eventGroupName": "m_foc",
+            "events": [
+                {"name": "AppOpen", "description": "", "schema": APP_OPEN_SCHEMA},
+                {
+                    "name": "Erase",
+                    "description": "",
+                    "amplitudeProperties": {
+                        "erase_object": "value",
+                        "literal_field": "literal.literal value",
+                    },
+                    "userProperties": {"host": "extra.host"},
+                    "schema": ERASE_SCHEMA,
+                },
+            ],
+        },
+        {
+            "eventGroupName": "second_event_group",
+            "events": [
+                {
+                    "name": "AppClose",
+                    "description": "",
+                    "amplitudeProperties": {"session_length": "extra.sessionLength"},
+                    "schema": APP_CLOSE_SCHEMA,
+                }
+            ],
+        },
+    ],
+}
+
+EXPECTED_FOCUS_USER_PROPS = {
+    "pref_privacy_block_ads": True,
+    "pref_locale": "",
+    "pref_privacy_block_social": True,
+    "pref_secure": True,
+    "pref_privacy_block_analytics": True,
+    "pref_search_engine": "custom",
+    "pref_privacy_block_other": False,
+    "pref_default_browser": True,
+    "pref_performance_block_webfonts": False,
+    "pref_performance_block_images": False,
+    "pref_autocomplete_installed": True,
+    "pref_autocomplete_custom": False,
+}
+
+CREATED = 1506024685632
+
+
+def _run_focus(spark, pings, sample=1.0, config=None):
+    cfg = amp.parse_config(config or FOCUS_CONFIG)
+    df = amp.amplitude_payloads(fixtures.to_df(spark, pings), cfg, sample=sample)
+    return df
+
+
+def test_focus_events_golden(spark):
+    rows = _run_focus(spark, [fixtures.focus_event_ping()]).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row.client_id == "client1"
+    events = [json.loads(e) for e in row.events]
+    # 4 input events, type_query matches no schema -> 3 out, config order
+    assert [e["event_type"] for e in events] == [
+        "m_foc - AppOpen",
+        "m_foc - Erase",
+        "second_event_group - AppClose",
+    ]
+    for e in events:
+        assert e["app_version"] == "1.1"
+        assert e["os_name"] == "Android"
+        assert e["os_version"] == "23"
+        assert e["country"] == "CA"
+        assert e["city"] == "Victoria"
+        assert e["device_id"] == "client1"
+        assert e["session_id"] == CREATED
+        for k, v in EXPECTED_FOCUS_USER_PROPS.items():
+            assert e["user_properties"][k] == v
+
+    app_open, erase, app_close = events
+    assert app_open["time"] == CREATED + 176078022
+    assert erase["event_properties"] == {
+        "erase_object": "erase_home",
+        "literal_field": "literal value",
+    }
+    assert erase["user_properties"]["host"] == "side"
+    assert (
+        erase["insert_id"]
+        == f"client1-{CREATED}-Erase-176151285-action-click-back_button"
+    )
+    assert app_close["event_properties"] == {"session_length": "1000"}
+
+
+def test_focus_filters_and_sampling(spark):
+    wrong_app = fixtures.focus_event_ping(meta={"appName": "Zerda"})
+    assert _run_focus(spark, [wrong_app]).count() == 0
+    # sampleId 73 >= 50 -> dropped at sample=0.5; sampleId 42 kept
+    assert _run_focus(spark, [fixtures.focus_event_ping()], sample=0.5).count() == 0
+    low_sample = fixtures.focus_event_ping(meta={"sampleId": 42.0})
+    assert _run_focus(spark, [low_sample], sample=0.5).count() == 1
+    # missing sampleId -> excluded (sample*100 < sample*100 is false,
+    # Ping.scala:385)
+    no_sample = fixtures.focus_event_ping(meta={"sampleId": None})
+    assert _run_focus(spark, [no_sample], sample=0.5).count() == 0
+
+
+def test_no_matching_events_drops_ping(spark):
+    only_typing = fixtures.focus_event_ping(
+        events=[[1, "action", "type_query", "search_bar"]]
+    )
+    assert _run_focus(spark, [only_typing]).count() == 0
+
+
+def test_config_validation():
+    with pytest.raises(amp.ConfigError):
+        amp.parse_config({"eventGroups": []})  # missing source
+    with pytest.raises(amp.ConfigError):
+        amp.parse_config({"source": "telemetry", "eventGroups": []})
+    bad_prop = json.loads(json.dumps(FOCUS_CONFIG))
+    bad_prop["eventGroups"][0]["events"][0]["amplitudeProperties"] = {"x": "nonsense"}
+    with pytest.raises(amp.ConfigError):
+        amp.parse_config(bad_prop)
+    bad_field = json.loads(json.dumps(FOCUS_CONFIG))
+    bad_field["eventGroups"][0]["events"][0]["schema"] = {
+        "properties": {"unknown_field": {"type": "string"}}
+    }
+    with pytest.raises(amp.ConfigError):
+        amp.parse_config(bad_field)
+
+
+MAIN_CONFIG = {
+    "source": "telemetry",
+    "filters": {"docType": ["main"], "appName": ["Firefox"]},
+    "eventGroups": [
+        {
+            "eventGroupName": "Meta",
+            "events": [
+                {
+                    "name": "session split",
+                    "description": "",
+                    "amplitudeProperties": {
+                        "subsession_length": "extra.subsession_length",
+                        "active_ticks": "extra.active_ticks",
+                        "uri_count": "extra.uri_count",
+                        "search_count": "extra.search_count",
+                    },
+                    "schema": {
+                        "type": "object",
+                        "properties": {"category": {"type": "string", "enum": ["meta"]}},
+                        "required": ["timestamp", "category", "method", "object"],
+                    },
+                }
+            ],
+        }
+    ],
+}
+
+
+def test_main_ping_session_split(spark):
+    cfg = amp.parse_config(MAIN_CONFIG)
+    df = amp.amplitude_payloads(
+        fixtures.to_df(spark, [fixtures.main_ping(experiments={"experiment2": "chaos"})]),
+        cfg,
+        doctype="main",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    events = [json.loads(e) for e in rows[0].events]
+    assert len(events) == 1
+    split = events[0]
+    assert split["event_type"] == "Meta - session split"
+    # sessionStartDate 2018-05-30T11:00:00.0-05:00 == 16:00 UTC
+    assert split["session_id"] == 1527696000000
+    assert split["user_id"] == "client1"
+    props = split["event_properties"]
+    assert props["subsession_length"] == "3600"
+    assert props["active_ticks"] == "275"
+    assert props["search_count"] == "4"
+    # no parent scalar in the fixture -> uri_count omitted
+    assert props["uri_count"] == ""
+    up = split["user_properties"]
+    assert up["channel"] == "release"
+    assert up["app_name"] == "Firefox"
+    assert up["locale"] == "it_IT"
+    assert up["is_default_browser"] is True
+    assert up["memory_mb"] == 4136.0
+    assert up["profile_creation_date"] == "2016-03-01"
+    assert up["experiments"] == ["experiment1_control", "experiment2_chaos"]
