@@ -290,5 +290,56 @@ def focus_event_ping(events: list[list] | None = None, **overrides: Any) -> str:
     return json.dumps(_deep_merge(ping, overrides))
 
 
+DEFAULT_FRECENCY_UPDATE = [
+    1.2, 3.2, -3.1, 4.4, 0.5, 0.234, -0.98, 0.33, 0.34, 0.28, 0.302,
+    0.4, -0.8, 0.25, 0.9, -0.8, 0.29, 0.42, 0.89, 0.39, 0.54, 0.78,
+]
+
+
+def frecency_update_ping(
+    study_variation: str = "model1",
+    model_version: int = 140,
+    loss: float = 291989.21,
+    update: list[float] | None = None,
+    **overrides: Any,
+) -> str:
+    """TestUtils.scala:514-593 defaults (generateFrecencyUpdateMessages)."""
+    ping = {
+        "meta": {
+            "Timestamp": TEST_TIMESTAMP_NS,
+            "docType": "frecency-update",
+            "documentId": "an_id",
+            "appName": "Firefox",
+            "appVersion": "42.0",
+            "appBuildId": "20170101000000",
+            "normalizedChannel": "release",
+            "clientId": "client1",
+            "sampleId": 73.0,
+            "geoCountry": "IT",
+            "submissionDate": "20170101",
+        },
+        "payload": {
+            "model_version": model_version,
+            "frecency_scores": [38223.0, 3933.4, 304933.3, 21.0],
+            "loss": loss,
+            "update": update if update is not None else DEFAULT_FRECENCY_UPDATE,
+            "num_suggestions_displayed": 1,
+            "rank_selected": 0,
+            "bookmark_and_history_num_suggestions_displayed": 1,
+            "bookmark_and_history_rank_selected": 0,
+            "num_key_down_events_at_selecteds_first_entry": 8,
+            "num_key_down_events": 14,
+            "time_start_interaction": 0,
+            "time_end_interaction": 2275,
+            "time_at_selecteds_first_entry": 1458,
+            "search_string_length": 13,
+            "selected_style": "autofill heuristic",
+            "study_variation": study_variation,
+            "study_addon_version": "1.0.2",
+        },
+    }
+    return json.dumps(_deep_merge(ping, overrides))
+
+
 def to_df(spark, pings: list[str]):
     return spark.createDataFrame([(p,) for p in pings], "value string")
