@@ -56,16 +56,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, max_df: int = 100
 ) -> DataFrame:
-    """Distinct (shingle, doc) inverted index with a document-frequency
-    cap — the scale guard for the pairwise join."""
-    pairs = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
-    hot = pairs.groupBy("shingle").agg(F.count("*").alias("df_count"))
-    return pairs.join(
-        F.broadcast(hot.where(F.col("df_count") > max_df).select("shingle")),
-        "shingle",
-        "left_anti",
+    """Grouped inverted index: one row per surviving shingle with the
+    (bounded, <= max_df) postings list.
+
+    Shingles are hashed to 64-bit longs (xxhash64) before the shuffle —
+    the 3-word shingle strings never leave the map side, which cuts
+    exchange volume ~5x at any scale.  A 64-bit hash collision across a
+    realistic shingle vocabulary (say 10^10 distinct shingles at 100TB)
+    has probability ~10^-9 per pair of distinct shingles sharing a hash
+    AND a document — far below the LSH tiers' own approximation error.
+
+    The document-frequency cap is applied as a HAVING on the same
+    aggregation (no separate hot-list join): a shingle shared by more
+    than ``max_df`` docs carries no discriminating signal and is
+    dropped — the standard guard that keeps candidate generation
+    linear-ish instead of quadratic.
+    """
+    pairs = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("shingle_h")
+        .agg(F.collect_list(id_col).alias("ids"), F.count("*").alias("df_count"))
+        .where(F.col("df_count") <= max_df)
     )
 
 
@@ -79,20 +94,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Tier 2: exact n-gram Jaccard similarity pairs >= threshold.
 
-    jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed from the inverted
-    index: intersection sizes via the shingle self-join, set sizes
-    from the full (uncapped) shingle sets so the capped index only
-    affects candidate generation recall, not the reported score... —
-    NOTE: for oracle exactness, sizes here are ALSO computed from the
-    capped index; both engines apply the identical cap.
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|), with both intersection counts
+    and set sizes computed from the df-capped index (both engines —
+    this impl and the SQL oracle — apply the identical cap).
+
+    Plan shape (one pass over the corpus):
+      explode+distinct -> groupBy(shingle) postings [persisted] ->
+        (a) sizes:   explode postings -> groupBy(doc) count
+        (b) pairs:   double-explode postings map-side (bounded by
+                     max_df^2/2 per shingle) -> groupBy(id1,id2) count
+      -> two size joins (AQE broadcasts them when small).
+
+    Versus a shingle-shuffle self-join this generates candidate pairs
+    map-side from each postings list, so the index is shuffled once,
+    not three times, and nothing O(docs^2) ever hits an exchange.  The
+    postings frame is persisted because both (a) and (b) consume it;
+    at cluster scale this is the natural checkpoint of the pipeline.
     """
-    idx = shingle_index(df, text_col, id_col, n, max_df)
-    sizes = idx.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = idx.alias("a")
-    b = idx.alias("b")
+    idx = shingle_index(df, text_col, id_col, n, max_df).persist()
+    sizes = idx.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
+        F.count("*").alias("set_size")
+    )
     inter = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        idx.select(F.explode("ids").alias("id1"), "ids")
+        .select("id1", F.explode("ids").alias("id2"))
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
         .agg(F.count("*").alias("n_common"))
     )
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
@@ -145,30 +172,51 @@ def minhash_lsh_pairs(
     output contract to `ngram_jaccard_pairs`, so the exact tier is the
     drop-in verifier at any scale.
     """
-    rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm)
-    band_frames = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        band_frames.append(
-            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
-        )
-    banded = band_frames[0]
-    for fr in band_frames[1:]:
-        banded = banded.unionByName(fr)
-    a, b_ = banded.alias("a"), banded.alias("b")
+    banded = banded_signatures(df, text_col, id_col, num_perm, bands)
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(F.explode("ids").alias("id1"), "ids")
+        .select("id1", F.explode("ids").alias("id2"))
+        .where(F.col("id1") < F.col("id2"))
         .distinct()
     )
     exact = ngram_jaccard_pairs(df, text_col, id_col, 3, threshold, max_df)
     return cand.join(exact, ["id1", "id2"]).select("id1", "id2", "jaccard")
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) rows: num_perm minhash sigs banded into
+    ``bands`` groups of rows, each band keyed by the concatenation of
+    its row signatures.
+
+    One row per (doc, band), produced by a single `explode` over an
+    array-of-band-structs column — the signature pipeline (the
+    expensive md5-per-shingle scan) runs exactly once, whereas a
+    union-of-selects shape would recompute it per band.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.band_key").alias("band_key")
+    )
 
 
 def simhash48(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -215,27 +263,37 @@ def simhash_pairs(
     """
     bits_per_band = SIMHASH_NIBBLES * 4 // SIMHASH_BANDS
     sh = simhash48(df, text_col, id_col)
-    banded = None
-    for band in range(SIMHASH_BANDS):
-        chunk = F.shiftright(F.col("simhash"), band * bits_per_band).bitwiseAND(
-            F.lit((1 << bits_per_band) - 1)
-        )
-        fr = sh.select(
-            F.col(id_col), F.col("simhash"), F.lit(band).alias("band"), chunk.alias("chunk")
-        )
-        banded = fr if banded is None else banded.unionByName(fr)
-    a, b = banded.alias("a"), banded.alias("b")
+    # All four band chunks from one pass over the (explode+groupBy)
+    # simhash stage — an array explode, not a union of selects that
+    # would recompute the 48-vote aggregation per band.
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), band * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("chunk"),
+            )
+            for band in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("bc")).select(
+        F.col(id_col), F.col("simhash"), F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+    )
+    # Grouped postings per bucket, pairs generated map-side (the
+    # same one-shuffle shape as ngram_jaccard_pairs).
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("simhash"))
+    grouped = banded.groupBy("band", "chunk").agg(F.collect_list(member).alias("members"))
+    pairs = (
+        grouped.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+    )
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
+        pairs.select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

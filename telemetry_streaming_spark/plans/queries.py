@@ -788,21 +788,12 @@ def dedup_minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic-min of md5(perm:shingle), 8 perms x 4 bands.  Full
     parity check of the signature pipeline, independent of whether the
     corpus contains near-dups."""
-    from telemetry_streaming_spark.operators.dedup import minhash_signatures
+    from telemetry_streaming_spark.operators.dedup import banded_signatures
 
     docs = _t(spark, sf_dir, "documents").where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
-    sigs = minhash_signatures(docs, num_perm=8)
-    frames = []
-    rows = 2
-    for b in range(4):
-        key = F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        frames.append(sigs.select("doc_id", F.lit(b).alias("band"), key.alias("band_key")))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+    return banded_signatures(docs, num_perm=8, bands=4)
 
 
 @query(

@@ -30,6 +30,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables whose scans deserve full-core parallelism.  The driver's
+# testdata writes each table as ONE parquet file with ONE row group, so
+# Spark's split planner hands the whole scan to a single task and every
+# downstream per-row expression runs on one core while the rest idle.
+# On a real cluster a 100TB table arrives as many files/row-groups and
+# this is a no-op concern; locally we round-robin the rows across the
+# session's shuffle parallelism once, right after the (cheap, columnar)
+# read.  Filters still reach the scan: Catalyst pushes predicates
+# through deterministic Repartition nodes.
+_PARALLELIZE_TABLES = frozenset(
+    {"customer", "orders", "lineitem", "events", "documents", "embeddings"}
+)
+
 # The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
 # which Spark's vectorized reader rejects.  We read nanos as LongType
 # (legacy conf) and normalize back to TimestampType here — the same
@@ -56,6 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[col] if col in df.columns else None
         if field is not None and isinstance(field.dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    if name in _PARALLELIZE_TABLES:
+        try:
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            df = df.repartition(target)
     return df
 
 
