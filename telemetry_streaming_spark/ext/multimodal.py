@@ -1,0 +1,247 @@
+"""Multimodal (image/audio/video) columns for a 100TB training-data
+pipeline.
+
+Design contract (BASELINE.json extension surface):
+
+- Media payloads are **opaque ``binary`` columns** + a typed metadata
+  struct.  Spark never interprets the bytes; all relational work
+  (dedup, filtering, routing, sampling schedules) runs on metadata and
+  content hashes, JVM-side.
+- Decode / feature-extract / resize run as **Arrow-batched pandas
+  functions over ``mapInPandas``** — one Python process per partition,
+  one ``pandas.DataFrame`` per Arrow batch, never per-row Python.
+- The actual codec calls (PIL/libjpeg/ffmpeg) are **STUBBED** in this
+  container (the libs aren't installed): ``decode_image_batch`` raises
+  ``NotImplementedError`` unless handed the deterministic fake codec,
+  which "decodes" our self-describing payload header instead.  The
+  Spark-side plumbing — schemas, batch iteration, partition budgeting,
+  UDF signatures — is real and tested.
+
+Scale posture:
+- payload columns dominate bytes; ``repartition_by_bytes`` sizes
+  partitions to an executor-memory budget *before* any mapInPandas
+  stage so one Arrow batch never materializes GBs.
+- content-hash dedup is a hash-groupBy on md5(payload) — exactly the
+  exact-dedup tier, one shuffle of (hash, id), payloads never shuffle.
+- frame sampling emits (media_id, frame_idx, t_s) rows via
+  ``sequence``+``explode`` (JVM-side); only sampled frames would ever
+  be decoded downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata carried next to every payload (SURVEY §1.2 discipline:
+# fixed schema, nullable fields; unknown media kinds leave fields null).
+MEDIA_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # e.g. jpeg / wav / mp4
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", FloatType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_METADATA_SCHEMA),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Media-table construction (documents -> opaque payloads + metadata)
+# ---------------------------------------------------------------------------
+def media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table over the documents corpus: payload =
+    utf8 bytes of the text (an opaque stand-in for real image/audio
+    bytes), metadata derived from (id, byte length) so every engine
+    can reproduce it.  Real ingestion would read payloads from object
+    storage and metadata from container headers."""
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    byte_len = F.octet_length(F.col(text_col)).cast("long")
+    meta = F.struct(
+        media_type.alias("media_type"),
+        F.when(media_type == "image", F.lit("jpeg"))
+        .when(media_type == "audio", F.lit("wav"))
+        .otherwise(F.lit("mp4"))
+        .alias("format"),
+        F.when(media_type == "image", (F.col(id_col) % 64 + 1).cast("int")).alias("width"),
+        F.when(media_type == "image", (F.col(id_col) % 48 + 1).cast("int")).alias("height"),
+        F.when(media_type == "image", F.lit(3)).cast("int").alias("channels"),
+        F.when(media_type == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(media_type == "video", (F.col(id_col) % 30 + 1).cast("float")).alias(
+            "duration_s"
+        ),
+        byte_len.alias("byte_len"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def content_hash(payload: Column) -> Column:
+    """md5 of the raw payload bytes — the binary-column exact-dedup
+    key.  Engine-portable (md5 over bytes is md5 over bytes)."""
+    return F.md5(payload)
+
+
+def content_hash_dedup(media: DataFrame) -> DataFrame:
+    """Exact dedup groups over opaque payloads: one shuffle of
+    (hash, id) pairs; the payload bytes themselves never shuffle
+    (hash computed map-side)."""
+    return (
+        media.select(content_hash(F.col("payload")).alias("content_md5"), F.col("media_id"))
+        .groupBy("content_md5")
+        .agg(F.min("media_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def repartition_by_bytes(media: DataFrame, target_partition_mb: int = 256) -> DataFrame:
+    """Size partitions so payload bytes per partition ≈ target.  Run
+    before any mapInPandas stage: an Arrow batch materializes a whole
+    partition's payloads in one Python process."""
+    row = media.select(
+        F.sum(F.coalesce(F.col("meta.byte_len"), F.octet_length("payload"))).alias("b")
+    ).first()
+    total_mb = (row["b"] or 0) / (1024 * 1024)
+    n = max(1, int(total_mb / target_partition_mb) + 1)
+    return media.repartition(n, "media_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video): schedule is JVM-side; decoding is downstream
+# ---------------------------------------------------------------------------
+def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
+    """One row per sampled frame: frame_idx 0..floor(duration*fps)-1
+    and its timestamp.  `sequence`+`explode`, no Python — only the
+    sampled frames ever reach a decoder."""
+    n_frames = F.floor(F.col("meta.duration_s") * F.lit(fps)).cast("int")
+    frames = F.when(
+        F.col("meta.media_type") == "video",
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+    )
+    return (
+        media.select("media_id", F.explode(frames).alias("frame_idx"))
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") / F.lit(fps)).cast("double").alias("t_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-batched decode / feature stages (STUBBED codecs)
+# ---------------------------------------------------------------------------
+def fake_image_codec(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for PIL/libjpeg: 'decodes' dimensions
+    from the byte content.  Clearly NOT a real decoder — it exists so
+    the mapInPandas plumbing is executable and testable in this
+    container."""
+    n = len(payload)
+    return {"width": (n % 64) + 1, "height": (n % 48) + 1}
+
+
+def decode_image_batch(
+    media: DataFrame, codec: Callable[[bytes], dict[str, Any]] | None = None
+) -> DataFrame:
+    """Arrow-batched image decode over mapInPandas.
+
+    ``codec`` is the per-payload decode call.  Passing None selects the
+    real-decoder path, which is **NOT IMPLEMENTED** in this container
+    (no PIL/libjpeg); production deployments inject
+    ``lambda b: PIL.Image.open(io.BytesIO(b))``-backed codecs.  Tests
+    inject :func:`fake_image_codec`.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if codec is None:
+                raise NotImplementedError(
+                    "real image decoding requires PIL/libjpeg, not available "
+                    "in this container; inject a codec (see fake_image_codec)"
+                )
+            decoded = [codec(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_pixels": [d["width"] * d["height"] for d in decoded],
+                }
+            )
+
+    imgs = media.where(F.col("meta.media_type") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic 'embedding' per payload via mapInPandas — the
+    batch shape (Arrow transfer, vectorized per-partition work) is
+    exactly what a CLIP/wav2vec stage would use; the feature fn is a
+    hash-derived placeholder."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                digest = hashlib.md5(bytes(p)).digest()
+                feats.append(
+                    np.frombuffer(digest[: dim * 2], dtype=np.uint16).astype(np.float32)
+                    / 65535.0
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)

@@ -219,6 +219,26 @@ def banded_signatures(
     )
 
 
+def streaming_dedup_exact(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("insert_id",),
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup on a stream with watermark-bounded state.
+
+    The reference never dedups in-engine — it delegates to Amplitude's
+    ``insert_id`` contract downstream (SURVEY §2.8, P20).  At-least-once
+    Kafka delivery means replays within a bounded horizon; this keeps
+    one state entry per key and expires it once the event-time
+    watermark passes, so state is O(keys per watermark window), not
+    O(keys ever seen).  Uses ``dropDuplicatesWithinWatermark`` (state
+    TTL from the watermark) — the correct primitive for "same key may
+    arrive twice within N minutes" dedup.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def simhash48(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """48-bit SimHash per document.
 

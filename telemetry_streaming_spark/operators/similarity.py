@@ -111,6 +111,60 @@ def signed_random_projection_buckets(
     return df.withColumn("srp_bucket", bucket)
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos >= threshold).
+
+    All-pairs — O(n^2) scoring with no shuffle beyond the join
+    broadcast; this is the *verifier* tier (ground truth for recall
+    measurement and final re-check of LSH candidates).  At corpus
+    scale use :func:`embedding_neardup_lsh`.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-path embedding near-dup: SRP same-bucket candidates
+    verified with exact cosine.
+
+    One equi-join on the 2^n_planes-way bucket key — shuffle volume is
+    O(n), candidate scoring is O(sum of bucket_size^2), bounded by the
+    bucket fan-out.  Recall rises with cosine similarity exactly as in
+    SRP-LSH theory (Charikar 2002); true near-dups (cos -> 1) collide
+    in every band with probability -> 1.
+    """
+    c = signed_random_projection_buckets(df, n_planes, dim, vec_col, seed)
+    a = c.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col("srp_bucket").alias("b1")
+    )
+    b = c.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col("srp_bucket").alias("b2")
+    )
+    return (
+        a.join(b, (F.col("b1") == F.col("b2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     queries: DataFrame,

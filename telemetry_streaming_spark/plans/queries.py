@@ -1087,3 +1087,181 @@ def token_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (ext/multimodal.py): opaque binary payloads +
+# typed metadata; decode stages are pandas-batched (stub codecs here).
+# ---------------------------------------------------------------------------
+_MEDIA_CTE = r"""
+    media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+               md5(text) AS content_md5,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CAST(doc_id % 30 + 1 AS DOUBLE) AS duration_s
+        FROM documents
+    )
+"""
+
+
+@query(
+    "multimodal_meta",
+    oracle="WITH " + _MEDIA_CTE + """
+    SELECT media_id, media_type, format, byte_len, content_md5 FROM media
+    """,
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: media table — opaque binary payload + typed metadata
+    struct + map-side content hash (ext/multimodal.py:media_table).
+    The payload itself never shuffles; only (id, hash, meta) columns
+    do."""
+    from telemetry_streaming_spark.ext.multimodal import content_hash, media_table
+
+    media = media_table(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.byte_len").alias("byte_len"),
+        content_hash(F.col("payload")).alias("content_md5"),
+    )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="WITH " + _MEDIA_CTE + """
+    SELECT content_md5, MIN(media_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM media GROUP BY 1
+    """,
+)
+def multimodal_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: binary-payload exact dedup — hash-groupBy on
+    md5(payload) (ext/multimodal.py:content_hash_dedup)."""
+    from telemetry_streaming_spark.ext.multimodal import content_hash_dedup, media_table
+
+    return content_hash_dedup(media_table(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "multimodal_frames",
+    oracle="WITH " + _MEDIA_CTE + """
+    SELECT media_id, CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST(f.frame_idx AS DOUBLE) AS t_s
+    FROM media, LATERAL (
+        SELECT unnest(generate_series(0, CAST(duration_s AS INT) - 1)) AS frame_idx
+    ) f
+    WHERE media_type = 'video'
+    """,
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: video frame-sampling schedule at 1 fps —
+    sequence+explode, JVM-side; only sampled frames would reach a
+    decoder (ext/multimodal.py:sample_frames)."""
+    from telemetry_streaming_spark.ext.multimodal import media_table, sample_frames
+
+    return sample_frames(media_table(_t(spark, sf_dir, "documents")), fps=1.0)
+
+
+def _hex_u16_sql() -> str:
+    """DuckDB expression pieces for little-endian uint16s of md5 bytes
+    (mirrors numpy frombuffer(dtype=uint16) in extract_features)."""
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"  # noqa: E731
+    return ", ".join(
+        f"({nib(4*i+1)} * 16 + {nib(4*i+2)}) + 256 * ({nib(4*i+3)} * 16 + {nib(4*i+4)})"
+        for i in range(8)
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="WITH " + _MEDIA_CTE + r""",
+    hashed AS (SELECT media_id, md5(text) AS h FROM documents JOIN media ON doc_id = media_id),
+    u AS (SELECT media_id, [""" + _hex_u16_sql() + r"""] AS us FROM hashed)
+    SELECT media_id, CAST(i - 1 AS INT) AS dim_idx, CAST(us[i] AS BIGINT) AS u16
+    FROM u, LATERAL (SELECT unnest(generate_series(1, 8)) AS i) g
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Arrow-batched feature extraction over mapInPandas
+    (ext/multimodal.py:extract_features).  Features are hash-derived
+    uint16/65535 floats; the oracle checks the exact integer
+    numerators (round(x*65535) inverts the float32 quantization
+    bit-exactly, so the check is lossless)."""
+    from telemetry_streaming_spark.ext.multimodal import extract_features, media_table
+
+    feats = extract_features(media_table(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim_idx", "x")
+    ).select(
+        "media_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(F.col("x") * 65535).cast("long").alias("u16"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (operators/similarity.py)
+# ---------------------------------------------------------------------------
+_COS_PAIR_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+"""
+
+
+@query(
+    "embedding_neardup",
+    oracle="SELECT id1, id2, cos FROM (" + _COS_PAIR_SQL + ") WHERE cos >= 0.45",
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact embedding-cosine near-dup pairs >= 0.45
+    (operators/similarity.py:embedding_neardup_pairs) — the verifier
+    tier for LSH recall."""
+    from telemetry_streaming_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _srp_bucket_sql(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB bucket expression with the engine's deterministic
+    hyperplane constants inlined (similarity.py:_hyperplane is seeded
+    md5, so both engines see bit-identical planes)."""
+    from telemetry_streaming_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for i in range(n_planes):
+        coords = ", ".join(repr(c) for c in _hyperplane(seed * 1000 + i, dim))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{coords}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, """ + _srp_bucket_sql(n_planes=4) + """ AS srp_bucket FROM e)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM bucketed a JOIN bucketed b
+      ON a.srp_bucket = b.srp_bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40
+    """,
+)
+def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (scale path): SRP same-bucket candidate pairs
+    verified by exact cosine
+    (operators/similarity.py:embedding_neardup_lsh).  The oracle
+    replicates the bucketing with the same md5-seeded hyperplane
+    constants, so the check covers the LSH stage itself, not just the
+    verifier."""
+    from telemetry_streaming_spark.operators.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.40, n_planes=4)

@@ -1,0 +1,103 @@
+"""Multimodal-column plumbing tests (ext/multimodal.py).
+
+The codec layer is stubbed (no PIL/ffmpeg in this container); what
+these tests pin down is the Spark-side contract: schemas, Arrow batch
+shapes through mapInPandas, metadata-driven routing, payload-local
+hashing, and the frame-sampling schedule.
+"""
+
+import pytest
+import pyspark.sql.functions as F
+
+from telemetry_streaming_spark.ext import multimodal as M
+from telemetry_streaming_spark.sources.registry import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    return M.media_table(docs).cache()
+
+
+def _shape(schema):
+    """(name, dataType) pairs recursively, ignoring nullability."""
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def test_media_schema(media):
+    assert _shape(media.schema) == _shape(M.MEDIA_SCHEMA)
+
+
+def test_metadata_routing(media):
+    by_type = {
+        r.media_type: r.n
+        for r in media.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(by_type) == {"image", "audio", "video"}
+    # image rows carry dims, audio carries sample_rate, video duration
+    img = media.where("meta.media_type = 'image'").select("meta.*").first()
+    assert img.width is not None and img.sample_rate is None
+    aud = media.where("meta.media_type = 'audio'").select("meta.*").first()
+    assert aud.sample_rate == 16000 and aud.width is None
+    vid = media.where("meta.media_type = 'video'").select("meta.*").first()
+    assert vid.duration_s >= 1.0
+
+
+def test_content_hash_dedup_counts(media):
+    groups = M.content_hash_dedup(media)
+    total = media.count()
+    assert groups.agg(F.sum("n_copies")).first()[0] == total
+    # keeper is the min id of each group
+    joined = (
+        media.select(M.content_hash(F.col("payload")).alias("content_md5"), "media_id")
+        .groupBy("content_md5")
+        .agg(F.min("media_id").alias("expect_keeper"))
+        .join(groups, "content_md5")
+    )
+    assert joined.where("expect_keeper != keeper_id").count() == 0
+
+
+def test_decode_without_codec_raises(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+        M.decode_image_batch(media).collect()
+
+
+def test_decode_with_fake_codec(media):
+    decoded = M.decode_image_batch(media, codec=M.fake_image_codec)
+    rows = decoded.collect()
+    n_images = media.where("meta.media_type = 'image'").count()
+    assert len(rows) == n_images
+    for r in rows[:20]:
+        assert r.n_pixels == r.width * r.height
+
+
+def test_extract_features_deterministic(media):
+    a = {r.media_id: r.feature for r in M.extract_features(media).collect()}
+    b = {r.media_id: r.feature for r in M.extract_features(media).collect()}
+    assert a == b
+    feat = next(iter(a.values()))
+    assert len(feat) == M.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in feat)
+
+
+def test_sample_frames_schedule(media):
+    frames = M.sample_frames(media, fps=1.0)
+    per_media = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    vids = {r.media_id: r.duration_s for r in media.where("meta.media_type = 'video'").select("media_id", "meta.duration_s").collect()}
+    assert set(per_media) == set(vids)
+    for mid, dur in vids.items():
+        assert per_media[mid] == int(dur)
+    # non-video media contribute no frames
+    assert frames.join(
+        media.where("meta.media_type != 'video'").select("media_id"), "media_id"
+    ).count() == 0
+
+
+def test_repartition_by_bytes(media):
+    small = M.repartition_by_bytes(media, target_partition_mb=1)
+    assert small.count() == media.count()
+    assert small.rdd.getNumPartitions() >= 1
