@@ -68,13 +68,21 @@ class HttpSink:
         headers: dict[str, str] | None = None,
         config: HttpSinkConfig | None = None,
         transport=None,
+        metrics=None,
     ):
         self.url = url
         self.headers = headers or {"Content-Type": "application/json"}
         self.config = config or HttpSinkConfig()
         self.transport = transport or _default_transport
+        # O1: optional accumulator-backed SinkMetrics
+        # (observability.py); marks mirror HttpSink.scala:66-71.
+        self.metrics = metrics
         self.dropped = 0
         self.retries = 0
+
+    def _mark(self, name: str) -> None:
+        if self.metrics is not None:
+            self.metrics.mark(name)
 
     def backoff_ms(self, tries: int) -> int:
         """(2^tries - 1) * 500ms capped at 30s (HttpSink.scala:154-157)."""
@@ -87,15 +95,23 @@ class HttpSink:
         for attempt in range(1, cfg.max_attempts + 1):
             code = self.transport(self.url, body, self.headers, timeout_s)
             if code in cfg.success_codes:
+                self._mark("success")
                 return True
+            if code == 413:
+                self._mark("payload_too_large")
+            elif code not in cfg.success_codes:
+                self._mark("error")
             if code in cfg.retry_codes and attempt < cfg.max_attempts:
                 self.retries += 1
+                self._mark("retry")
                 time.sleep(self.backoff_ms(attempt) / 1000)
                 continue
             log.warning("dropping payload after status %s (attempt %d)", code, attempt)
             self.dropped += 1
+            self._mark("dropped")
             return False
         self.dropped += 1
+        self._mark("dropped")
         return False
 
     # ForeachWriter protocol (one payload string per row)

