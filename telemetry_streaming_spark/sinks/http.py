@@ -234,3 +234,40 @@ class AmplitudeHttpSink(HttpSink):
             mid = len(batch) // 2
             self._send_batch(batch[:mid])
             self._send_batch(batch[mid:])
+
+
+def push_partitions(
+    df,
+    sink_factory,
+    max_parallel_requests: int = 100,
+    min_delay_ms: int = 0,
+    key_col: str | None = None,
+):
+    """K11: batch-mode analog of the foreach sink —
+    ``repartition(maxParallelRequests)`` then per-partition push with a
+    ``minDelay`` sleep for rate limiting (EventsToAmplitude.scala:
+    277-282, CrashPingStreamingBase.scala:141-146).  Effective rate =
+    10^3 x max_parallel / min_delay req/s (EventsToAmplitude.scala:
+    29-36).  ``key_col`` co-locates a key's rows in one partition so
+    one request carries them (R4, Bug 1484819); otherwise round-robin
+    (R6).
+
+    ``sink_factory() -> HttpSink`` runs on the executor, so transports
+    and metrics must be picklable (SinkMetrics is).
+    """
+    import pyspark.sql.functions as F  # local: keep module import-light
+
+    if key_col is not None:
+        df = df.repartition(max_parallel_requests, F.col(key_col))
+    else:
+        df = df.repartition(max_parallel_requests)
+
+    def run(rows) -> None:
+        sink = sink_factory()
+        for row in rows:
+            sink.process(row)
+        sink.close(None)
+        if min_delay_ms:
+            time.sleep(min_delay_ms / 1000)
+
+    df.foreachPartition(run)

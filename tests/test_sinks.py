@@ -165,3 +165,27 @@ def test_dogstatsd_udp_sink_sends():
     data = recv.recv(1024).decode()
     recv.close()
     assert data == "telemetry.x.y.z:1|c|#a:b"
+
+
+def test_push_partitions_rate_limited_batch(spark):
+    """K11: repartition(maxParallel) + per-partition sink push; every
+    row delivered exactly once through executor-side sinks."""
+    from telemetry_streaming_spark.observability import SinkMetrics
+    from telemetry_streaming_spark.sinks.http import HttpSink, push_partitions
+
+    metrics = SinkMetrics(spark)
+    df = spark.range(30).selectExpr("concat('row-', id) AS payload", "id % 3 AS k")
+
+    def factory():
+        return HttpSink("http://example.invalid", transport=lambda *a: 200, metrics=metrics)
+
+    push_partitions(df.select("payload"), factory, max_parallel_requests=4, min_delay_ms=1)
+    assert metrics.value("success") == 30
+
+    metrics2 = SinkMetrics(spark)
+
+    def factory2():
+        return HttpSink("http://example.invalid", transport=lambda *a: 200, metrics=metrics2)
+
+    push_partitions(df, factory2, max_parallel_requests=3, key_col="k")
+    assert metrics2.value("success") == 30
