@@ -50,6 +50,39 @@ def crash_signature_stub(payload_json: Column) -> Column:
     )
 
 
+def crash_signature_udf(signature_fn=None):
+    """P26 as an Arrow-batched pandas UDF factory.
+
+    The reference pipes each crash payload through the external
+    ``fx-crash-sig`` binary with retry/timeout plumbing
+    (CrashPingStreamingBase.scala:236-278); fx-crash-sig is a Python
+    library, so in PySpark the natural shape is an in-process pandas
+    UDF — one Arrow batch of stack-trace JSON strings in, one batch of
+    signature strings out, no subprocess, no per-row Python.
+
+    ``signature_fn(stack_traces_json: str) -> str`` is the per-payload
+    signature call.  The real implementation is
+    ``fx_crash_sig.CrashProcessor().get_signature`` — NOT available in
+    this container, so the default None raises at executor time with
+    the integration instructions; tests inject a deterministic fake.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sig(stack_traces):
+        if signature_fn is None:
+            raise NotImplementedError(
+                "fx-crash-sig is not installed; pass "
+                "crash_signature_udf(signature_fn=CrashProcessor().get_signature)"
+            )
+        return stack_traces.map(lambda s: "" if s is None else signature_fn(s))
+
+    # real annotations (not PEP-563 strings) so pandas_udf infers the
+    # scalar-series eval type under `from __future__ import annotations`
+    sig.__annotations__ = {"stack_traces": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "string")
+
+
 def _crash_tags(
     ping: Column, signature: Column | None
 ) -> list[tuple[str, Column]]:

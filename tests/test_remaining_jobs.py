@@ -121,3 +121,31 @@ def test_fennec_crash_os_fixup_in_tags(spark):
         to_df(spark, [crash_ping(fennec=True)]), app_names=("Firefox", "Fennec")
     ).collect()[0].value
     assert "osName=Android" in line
+
+
+def test_crash_signature_pandas_udf_plumbs_into_influx(spark):
+    """P26: the Arrow-batched signature UDF feeds the crashSignature
+    tag; deterministic fake stands in for fx-crash-sig."""
+    import pyspark.sql.functions as F
+
+    def fake_sig(stack_traces_json: str) -> str:
+        return f"sig-{len(stack_traces_json) % 97}"
+
+    udf = crashes.crash_signature_udf(signature_fn=fake_sig)
+    sig_col = crashes.influx_escape_signature(udf(F.to_json(F.col("ping")["payload"])))
+    line = crashes.to_influx(to_df(spark, [crash_ping()]), signature=sig_col).collect()[0].value
+    assert ",crashSignature=sig-" in line
+
+
+def test_crash_signature_udf_without_library_raises(spark):
+    import pyspark.sql.functions as F
+
+    udf = crashes.crash_signature_udf()
+    df = crashes.to_influx(
+        to_df(spark, [crash_ping()]),
+        signature=udf(F.to_json(F.col("ping")["payload"])),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="fx-crash-sig"):
+        df.collect()
