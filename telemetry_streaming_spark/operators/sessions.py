@@ -1,0 +1,148 @@
+"""Sessionization — gap-based session windows over an event stream.
+
+The reference has no session operator (SURVEY §2.8: session windows /
+mapGroupsWithState unused); a training-data pipeline needs one (user
+behavior slicing, conversation threading).  Two tiers:
+
+- **Batch** (:func:`sessionize`): the classic gap-and-islands plan —
+  a lag window flags session starts, a running sum numbers sessions,
+  one aggregation emits session rows.  Exactly two shuffles on
+  ``user_id`` (the window sort and the final groupBy share the hash
+  partitioning, so Catalyst reuses the exchange).  SQL-expressible ⇒
+  DuckDB-oracle-checked.
+
+- **Streaming** (:func:`sessionize_stream`): custom stateful operator
+  via ``applyInPandasWithState`` — per-user state carries the open
+  session; an event-time timeout (watermark-driven) closes and emits
+  sessions after ``gap`` of inactivity.  State is O(active users), not
+  O(events): the scale-critical property.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch gap-based sessions: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_seconds``."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    numbered = events.withColumn("session_no", F.sum(is_new).over(w))
+    return (
+        numbered.groupBy(F.col(user_col).alias("user_id"), "session_no")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+        .select("user_id", "session_no", "session_start", "session_end", "n_events")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessions via ``applyInPandasWithState``.
+
+    Per-user state holds the open session (start, last event, count);
+    incoming micro-batch rows extend or rotate it, closed sessions are
+    emitted immediately, and the event-time timeout flushes the final
+    open session once the watermark passes ``last + gap``.  Output
+    mode must be ``append``.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        out = []
+
+        def emit(start_us: int, end_us: int, n: int) -> None:
+            out.append(
+                (
+                    user_id,
+                    _dt.datetime.utcfromtimestamp(start_us / 1e6),
+                    _dt.datetime.utcfromtimestamp(end_us / 1e6),
+                    n,
+                )
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            emit(start_us, end_us, n)
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+            ts_us.sort()
+            if ts_us:
+                if state.exists:
+                    start_us, end_us, n = state.get
+                else:
+                    start_us, end_us, n = ts_us[0], ts_us[0], 0
+                for t in ts_us:
+                    if t - end_us > gap_us:
+                        emit(start_us, end_us, n)
+                        start_us, end_us, n = t, t, 1
+                    else:
+                        end_us = max(end_us, t)
+                        n += 1
+                state.update((start_us, end_us, n))
+                state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1265,3 +1265,39 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.similarity import embedding_neardup_lsh
 
     return embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.40, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (operators/sessions.py)
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: gap-based sessionization (30-min inactivity gap) via
+    the gap-and-islands window plan (operators/sessions.py:sessionize).
+    The streaming tier (applyInPandasWithState, state O(active users))
+    shares the same session contract — see tests/test_sessions.py."""
+    from telemetry_streaming_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)

@@ -68,7 +68,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
         if field is not None and isinstance(field.dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            # integer division: ns epoch values exceed 2^53, so a
+            # double-division roundtrip is off by ±1us — DIV keeps the
+            # conversion exact and floor-consistent with readers that
+            # truncate nanos natively (DuckDB).
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     if name in _PARALLELIZE_TABLES:
         try:
             target = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -1,0 +1,98 @@
+"""Sessionization tests: batch gap-and-islands vs streaming
+applyInPandasWithState — same session contract, two execution tiers."""
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+
+from telemetry_streaming_spark.operators.sessions import sessionize, sessionize_stream
+from telemetry_streaming_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_batch_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:30:00"),  # > 30 min gap -> new session
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r.user_id, r.session_no): r for r in sessionize(df, 1800).collect()}
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 2 and s1.session_end.minute == 10
+    assert out[(1, 2)].n_events == 1
+    assert out[(2, 1)].n_events == 1
+
+
+def test_batch_sessionize_covers_all_events(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    sessions = sessionize(events, 1800)
+    assert sessions.agg(F.sum("n_events")).first()[0] == events.count()
+    # sessions of one user never overlap
+    overlaps = (
+        sessions.alias("a")
+        .join(
+            sessions.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") < F.col("b.session_no"))
+            & (F.col("a.session_end") >= F.col("b.session_start")),
+        )
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_streaming_sessionize_emits_on_rotation_and_timeout(spark, tmp_path):
+    """Events in batch 1 open sessions; a later batch rotates the old
+    session out (gap exceeded) and the emitted rows match the batch
+    tier's session contract."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write(lines, name):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    write(["1,2024-01-01 10:00:00", "1,2024-01-01 10:05:00", "2,2024-01-01 10:00:00"], "a.csv")
+
+    raw = (
+        spark.readStream.format("text")
+        .load(in_dir)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.col("p")[1]).alias("ts"),
+        )
+    )
+    sessions = sessionize_stream(raw, gap_seconds=1800, watermark="0 seconds")
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # user 1 returns 3 hours later -> old session rotates out
+        write(["1,2024-01-01 13:00:00"], "b.csv")
+        q.processAllAvailable()
+        # one more batch so the watermark (13:00) closes via timeout the
+        # sessions whose end+gap < watermark (10:05 and 10:00 sessions)
+        write(["3,2024-01-01 14:00:00"], "c.csv")
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start.isoformat()): r
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        first = got[(1, "2024-01-01T10:00:00")]
+        assert first.n_events == 2
+        assert first.session_end.isoformat() == "2024-01-01T10:05:00"
+    finally:
+        q.stop()
