@@ -209,3 +209,108 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def _centroid_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def ivf_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``nlist`` lowest-id vectors, refined with ``iters`` Lloyd steps.
+
+    Each step is one broadcast-assign map + one groupBy(cluster) mean —
+    the centroid set (nlist x dim floats) is tiny, so it rides the
+    driver<->executor boundary as literals, never a shuffle of the
+    corpus.  Empty clusters keep their previous centroid."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(nlist)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assign = ivf_assign(df, centroids, vec_col).groupBy("ivf_cluster").agg(
+            *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(len(centroids[0]))]
+        )
+        by_cluster = {
+            r["ivf_cluster"]: [float(r[f"c{i}"]) for i in range(len(centroids[0]))]
+            for r in assign.collect()
+        }
+        centroids = [by_cluster.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Append ``ivf_cluster`` = argmax cosine(vec, centroid).  One
+    map-side expression (array_max over (score, idx) structs) — no
+    shuffle, no Python."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _centroid_lit(c)).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("ivf_cluster", F.array_max(scored)["i"])
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` closest centroid
+    lists per query instead of the whole corpus.
+
+    Scale shape: candidates per query = nprobe/nlist of the corpus; the
+    probe fan-out happens on the tiny query side before the broadcast,
+    so the big side sees one equi-join on ivf_cluster — the same
+    O(n x probes/lists) bound as the SRP path, with data-adaptive
+    partitioning (clusters follow density, buckets don't)."""
+    centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
+    cand = ivf_assign(df, centroids, vec_col)
+    scored_q = F.array(
+        *[
+            F.struct(
+                cosine(F.col("query_vec"), _centroid_lit(c)).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.sort_array(scored_q, asc=False), 1, nprobe)
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.explode(F.transform(probes, lambda p: p["i"])).alias("ivf_cluster"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "ivf_cluster")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("query_vec"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1301,3 +1301,19 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.sessions import sessionize
 
     return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query("similarity_topk_ivf", oracle=None)
+def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (scale path 2): IVF approximate top-k — deterministic
+    Lloyd-refined coarse quantizer, probe the 4 nearest of 8 centroid
+    lists per query (operators/similarity.py:cosine_topk_ivf).
+    Rows-only check (iterative centroids are not static-SQL
+    expressible); recall vs the exact tier asserted in tests."""
+    from telemetry_streaming_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)

@@ -92,3 +92,43 @@ def test_lsh_similarity_recall(spark):
         assert -1.0001 <= r.cos <= 1.0001
     # recall sanity: some overlap with exact top-5
     assert len(exact & approx_pairs) > 0
+
+
+def test_ivf_assignment_covers_corpus_and_is_deterministic(spark):
+    from telemetry_streaming_spark.operators.similarity import ivf_assign, ivf_centroids
+    from telemetry_streaming_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    c1 = ivf_centroids(emb, nlist=8, iters=2)
+    c2 = ivf_centroids(emb, nlist=8, iters=2)
+    assert c1 == c2  # deterministic seeds + deterministic refinement
+    assigned = ivf_assign(emb, c1)
+    assert assigned.count() == emb.count()
+    assert assigned.where("ivf_cluster IS NULL").count() == 0
+    assert assigned.select("ivf_cluster").distinct().count() <= 8
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    import pyspark.sql.functions as F
+    from telemetry_streaming_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from telemetry_streaming_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+    # probing every list must reproduce the exact result
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact
