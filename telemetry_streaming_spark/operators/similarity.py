@@ -56,14 +56,21 @@ def cosine_topk(
     ``queries`` must have (query_id, query_vec) columns; it is
     broadcast, so the candidate scan is a single map stage + one
     rank-window shuffle partitioned by query_id.
+
+    Norms are computed once per row before the pair expansion (one
+    fold per pair instead of three — the pairwise stage dominates at
+    any scale); the cosine value is bit-identical because the division
+    operands are unchanged.
     """
+    cand = df.withColumn("_nrm", norm(F.col(vec_col)))
+    q = queries.withColumn("_qnrm", norm(F.col("query_vec")))
     scored = (
-        df.crossJoin(F.broadcast(queries))
+        cand.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("query_vec"), F.col(vec_col)).alias("cos"),
+            (dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -124,11 +131,16 @@ def embedding_neardup_pairs(
     measurement and final re-check of LSH candidates).  At corpus
     scale use :func:`embedding_neardup_lsh`.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    n = df.withColumn("_nrm", norm(F.col(vec_col)))
+    a = n.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col("_nrm").alias("n1"))
+    b = n.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col("_nrm").alias("n2"))
     return (
         a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+        .select(
+            "id1",
+            "id2",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -151,16 +163,24 @@ def embedding_neardup_lsh(
     SRP-LSH theory (Charikar 2002); true near-dups (cos -> 1) collide
     in every band with probability -> 1.
     """
-    c = signed_random_projection_buckets(df, n_planes, dim, vec_col, seed)
+    c = signed_random_projection_buckets(df, n_planes, dim, vec_col, seed).withColumn(
+        "_nrm", norm(F.col(vec_col))
+    )
     a = c.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col("srp_bucket").alias("b1")
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        F.col("srp_bucket").alias("b1"), F.col("_nrm").alias("n1"),
     )
     b = c.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col("srp_bucket").alias("b2")
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        F.col("srp_bucket").alias("b2"), F.col("_nrm").alias("n2"),
     )
     return (
         a.join(b, (F.col("b1") == F.col("b2")) & (F.col("id1") < F.col("id2")))
-        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+        .select(
+            "id1",
+            "id2",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -193,14 +213,17 @@ def cosine_topk_lsh(
         F.col("q_bucket"),
         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
-    q = q0.select("query_id", "query_vec", F.explode(probes).alias("q_bucket"))
+    q = q0.select(
+        "query_id", "query_vec", F.explode(probes).alias("q_bucket")
+    ).withColumn("_qnrm", norm(F.col("query_vec")))
+    cand = cand.withColumn("_nrm", norm(F.col(vec_col)))
     scored = (
         cand.join(F.broadcast(q), cand.srp_bucket == q.q_bucket)
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("query_vec"), F.col(vec_col)).alias("cos"),
+            (dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -283,7 +306,7 @@ def cosine_topk_ivf(
     O(n x probes/lists) bound as the SRP path, with data-adaptive
     partitioning (clusters follow density, buckets don't)."""
     centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
-    cand = ivf_assign(df, centroids, vec_col)
+    cand = ivf_assign(df, centroids, vec_col).withColumn("_nrm", norm(F.col(vec_col)))
     scored_q = F.array(
         *[
             F.struct(
@@ -299,13 +322,14 @@ def cosine_topk_ivf(
         "query_vec",
         F.explode(F.transform(probes, lambda p: p["i"])).alias("ivf_cluster"),
     )
+    q = q.withColumn("_qnrm", norm(F.col("query_vec")))
     scored = (
         cand.join(F.broadcast(q), "ivf_cluster")
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("query_vec"), F.col(vec_col)).alias("cos"),
+            (dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
