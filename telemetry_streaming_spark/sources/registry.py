@@ -9,6 +9,8 @@ in ``telemetry_streaming_spark.streaming.sources``.
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
 import os
 
 import pyspark.sql.functions as F
@@ -55,10 +57,41 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _utc_micros(ts: str) -> int:
+    """Epoch microseconds of a UTC 'YYYY-MM-DD[ HH:MM:SS]' literal."""
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
+    d = _dt.datetime.strptime(ts, fmt)
+    return calendar.timegm(d.timetuple()) * 1_000_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    parallelize: bool = True,
+    ts_bounds: dict[str, tuple[str | None, str | None]] | None = None,
+) -> DataFrame:
     """Read one parquet table. Column pruning / filter pushdown is left
     to Catalyst — callers should select/filter on the returned frame,
-    not materialize it."""
+    not materialize it.
+
+    ``parallelize=False`` skips the local single-row-group fan-out
+    repartition: right for queries whose first projection is narrow
+    (the map work is cheap, so an exchange of raw rows costs more than
+    it buys; at cluster scale the scan is already split by file).
+
+    ``ts_bounds`` maps a nanos-encoded timestamp column to inclusive
+    ``(lo, hi)`` UTC literals.  The bounds are applied to the **raw
+    INT64 nanos column before conversion**, so they reach the parquet
+    scan as pushable long-range predicates (row-group stats pruning at
+    scale) — the ``timestamp_micros`` conversion below is opaque to
+    Catalyst, which otherwise loses pushdown for every ts predicate
+    (the caller still applies its exact post-conversion filter; these
+    bounds are an equivalent-or-superset guard).  ``lo`` maps to
+    ``nanos >= lo_us*1000``; ``hi`` to ``nanos < (hi_us+1)*1000`` —
+    both exact under the μs truncation the conversion performs.
+    """
     # Set at read time, not session-build time, so the contract holds
     # even under a caller-provided default SparkSession (the driver
     # builds its own).  Both are runtime-settable confs.
@@ -68,12 +101,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
         if field is not None and isinstance(field.dataType, LongType):
+            lo, hi = (ts_bounds or {}).get(col, (None, None))
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(_utc_micros(lo) * 1000))
+            if hi is not None:
+                df = df.where(F.col(col) < F.lit((_utc_micros(hi) + 1) * 1000))
             # integer division: ns epoch values exceed 2^53, so a
             # double-division roundtrip is off by ±1us — DIV keeps the
             # conversion exact and floor-consistent with readers that
             # truncate nanos natively (DuckDB).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
-    if name in _PARALLELIZE_TABLES:
+    if parallelize and name in _PARALLELIZE_TABLES:
         try:
             target = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
