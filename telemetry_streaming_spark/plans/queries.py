@@ -27,6 +27,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from telemetry_streaming_spark.operators.dedup import MAX_LSH_BUCKET as _MAX_LSH_BUCKET
 from telemetry_streaming_spark.sources.registry import load_table
 
 
@@ -772,17 +773,35 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(num_perm: int = 8) -> str:
-    sigs = ",\n               ".join(
-        f"list_min([md5('{p}:' || s) FOR s IN shingles]) AS sig_{p}" for p in range(num_perm)
+    """Mirror of operators/dedup.py minhash_signatures: one md5 per
+    shingle (first 12 nibbles as int, mod 2^30), then per-permutation
+    affine maps mod the shared prime — bit-identical across engines."""
+    from telemetry_streaming_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_HMOD,
+        MINHASH_MOD,
     )
-    return f"sigs AS (SELECT doc_id,\n               {sigs}\n        FROM sh)"
+
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(md5(s), {i}, 1)) - 1)"  # noqa: E731
+    h = " + ".join(f"{nib(i)} * {16 ** (12 - i)}" for i in range(1, 13))
+    hs = (
+        f"hs AS (SELECT doc_id,\n"
+        f"               [CAST(({h}) AS BIGINT) % {MINHASH_HMOD} FOR s IN shingles] AS hs\n"
+        f"        FROM sh)"
+    )
+    sigs = ",\n               ".join(
+        f"list_min([({MINHASH_A[p]} * x + {MINHASH_B[p]}) % {MINHASH_MOD} FOR x IN hs]) AS sig_{p}"
+        for p in range(num_perm)
+    )
+    return hs + f",\n    sigs AS (SELECT doc_id,\n               {sigs}\n        FROM hs)"
 
 
 def _minhash_band_sql(num_perm: int = 8, bands: int = 4) -> str:
     rows = num_perm // bands
     parts = []
     for b in range(bands):
-        key = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        key = " || '|' || ".join(f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows))
         parts.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
     return "bands AS (" + " UNION ALL ".join(parts) + ")"
 
@@ -815,31 +834,44 @@ def dedup_minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     oracle="WITH "
-    + _JACCARD_CTES
+    + _SHINGLE_CTES
     + ",\n    "
     + _minhash_sig_sql()
     + ",\n    "
     + _minhash_band_sql()
-    + """,
+    + f""",
+    bok AS (
+        SELECT band, band_key FROM bands
+        GROUP BY band, band_key HAVING COUNT(*) <= {_MAX_LSH_BUCKET}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN bok ON bok.band = a.band AND bok.band_key = a.band_key
+    ),
+    scored AS (
+        SELECT c.id1, c.id2,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+                   AS jaccard
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id1
+        JOIN sh b ON b.doc_id = c.id2
     )
-    SELECT c.id1, c.id2, j.jaccard
-    FROM cand c JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2
-    WHERE j.jaccard >= 0.1
+    SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.1
     """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension tier 3: MinHash-LSH candidates verified by exact
-    Jaccard (operators/dedup.py:minhash_lsh_pairs)."""
+    """Extension tier 3: MinHash-LSH candidates verified by true
+    Jaccard on the candidate pairs only
+    (operators/dedup.py:minhash_lsh_pairs)."""
     from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
-    return minhash_lsh_pairs(docs, threshold=0.1, max_df=100)
+    return minhash_lsh_pairs(docs, threshold=0.1)
 
 
 def _simhash_ctes() -> str:
@@ -885,15 +917,20 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_pairs",
-    oracle="WITH " + _simhash_ctes() + """,
+    oracle="WITH " + _simhash_ctes() + f""",
     bands AS (
         SELECT doc_id, simhash, b.band, simhash >> (b.band * 12) & 4095 AS chunk
         FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cok AS (
+        SELECT band, chunk FROM bands
+        GROUP BY band, chunk HAVING COUNT(*) <= {_MAX_LSH_BUCKET}
     )
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    JOIN cok ON cok.band = a.band AND cok.chunk = a.chunk
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
