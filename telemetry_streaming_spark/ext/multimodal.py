@@ -161,9 +161,13 @@ def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
     and its timestamp.  `sequence`+`explode`, no Python — only the
     sampled frames ever reach a decoder."""
     n_frames = F.floor(F.col("meta.duration_s") * F.lit(fps)).cast("int")
+    # n_frames >= 1 gate: sequence(0, -1) would be a DESCENDING [0,-1]
+    # and greatest(n_frames-1, 0) would emit a phantom frame 0 for
+    # zero-frame media (duration*fps < 1); such rows must yield no
+    # frames at all (ADVICE r1).
     frames = F.when(
-        F.col("meta.media_type") == "video",
-        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        (F.col("meta.media_type") == "video") & (n_frames >= 1),
+        F.sequence(F.lit(0), n_frames - 1),
     )
     return (
         media.select("media_id", F.explode(frames).alias("frame_idx"))

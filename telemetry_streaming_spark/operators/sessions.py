@@ -88,6 +88,21 @@ def sessionize_stream(
     emitted immediately, and the event-time timeout flushes the final
     open session once the watermark passes ``last + gap``.  Output
     mode must be ``append``.
+
+    Robustness contract (ADVICE r1):
+
+    - Timestamps flow through the state function as **epoch-micro
+      longs** (``unix_micros`` on the way in, tz-aware UTC datetimes
+      on the way out), so the logic is independent of
+      ``spark.sql.session.timeZone`` — an Arrow-naive-timestamp round
+      trip would offset the timeout by the session tz.
+    - Rows older than the current watermark are dropped here:
+      ``applyInPandasWithState`` does not auto-drop late data, and a
+      group consisting only of pre-watermark events would otherwise
+      request a timeout in the past.
+    - The requested timeout is clamped to ``watermark + 1ms`` — Spark
+      rejects earlier values with an IllegalArgumentException that
+      fails the whole query, not just the group.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -101,21 +116,22 @@ def sessionize_stream(
             out.append(
                 (
                     user_id,
-                    _dt.datetime.utcfromtimestamp(start_us / 1e6),
-                    _dt.datetime.utcfromtimestamp(end_us / 1e6),
+                    _dt.datetime.fromtimestamp(start_us / 1e6, tz=_dt.timezone.utc),
+                    _dt.datetime.fromtimestamp(end_us / 1e6, tz=_dt.timezone.utc),
                     n,
                 )
             )
 
+        wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
             start_us, end_us, n = state.get
             emit(start_us, end_us, n)
             state.remove()
         else:
-            ts_us = []
+            ts_us: list[int] = []
             for pdf in pdfs:
-                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
-            ts_us.sort()
+                ts_us.extend(int(v) for v in pdf["__ts_us"])
+            ts_us = sorted(t for t in ts_us if t >= wm_ms * 1000)
             if ts_us:
                 if state.exists:
                     start_us, end_us, n = state.get
@@ -129,7 +145,9 @@ def sessionize_stream(
                         end_us = max(end_us, t)
                         n += 1
                 state.update((start_us, end_us, n))
-                state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+                state.setTimeoutTimestamp(
+                    max(end_us // 1000 + gap_seconds * 1000, wm_ms + 1)
+                )
 
         yield pd.DataFrame(
             out, columns=["user_id", "session_start", "session_end", "n_events"]
@@ -137,6 +155,7 @@ def sessionize_stream(
 
     return (
         events.withWatermark(ts_col, watermark)
+        .withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
         .groupBy(user_col)
         .applyInPandasWithState(
             update,

@@ -101,3 +101,23 @@ def test_repartition_by_bytes(media):
     small = M.repartition_by_bytes(media, target_partition_mb=1)
     assert small.count() == media.count()
     assert small.rdd.getNumPartitions() >= 1
+
+
+def test_sample_frames_zero_frame_media_emits_no_rows(spark):
+    """duration_s * fps < 1 => no frames at all (not a phantom frame 0),
+    matching the oracle's generate_series(0, -1) = empty semantics."""
+    schema = (
+        "media_id long, payload binary, meta struct<media_type:string,format:string,"
+        "width:int,height:int,channels:int,sample_rate:int,duration_s:float,byte_len:bigint>"
+    )
+    rows = [
+        (1, bytearray(b"x"), ("video", "mp4", None, None, None, None, 0.4, 1)),
+        (2, bytearray(b"y"), ("video", "mp4", None, None, None, None, 2.0, 1)),
+    ]
+    media = spark.createDataFrame(rows, schema)
+    out = M.sample_frames(media, fps=1.0).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert 1 not in by_id
+    assert sorted(by_id[2]) == [0, 1]

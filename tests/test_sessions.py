@@ -96,3 +96,53 @@ def test_streaming_sessionize_emits_on_rotation_and_timeout(spark, tmp_path):
         assert first.session_end.isoformat() == "2024-01-01T10:05:00"
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_survives_late_data(spark, tmp_path):
+    """A group arriving entirely below the watermark must not crash the
+    query with a timeout-before-watermark error (ADVICE r1): late rows
+    are dropped and live groups clamp their timeout past the watermark."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write(lines, name):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    write(["1,2024-01-01 10:00:00"], "a.csv")
+
+    raw = (
+        spark.readStream.format("text")
+        .load(in_dir)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.col("p")[1]).alias("ts"),
+        )
+    )
+    sessions = sessionize_stream(raw, gap_seconds=1800, watermark="0 seconds")
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far ahead, then deliver a user whose
+        # events are entirely before it (even before watermark - gap)
+        write(["2,2024-01-01 15:00:00"], "b.csv")
+        q.processAllAvailable()
+        write(["3,2024-01-01 05:00:00", "3,2024-01-01 05:10:00"], "c.csv")
+        q.processAllAvailable()  # would raise without the clamp/guard
+        write(["4,2024-01-01 16:00:00"], "d.csv")
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        users = {r.user_id for r in rows}
+        # the all-late group must not appear; earlier sessions flush fine
+        assert 3 not in users
+        assert 1 in users
+    finally:
+        q.stop()
