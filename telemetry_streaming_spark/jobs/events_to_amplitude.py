@@ -286,8 +286,8 @@ def _focus_settings_props(payload: Column) -> dict[str, Column]:
 
 
 def focus_context(ping: Column) -> PingContext:
-    """focus-event / mobile-event pings (FocusEvent.scala:10-49):
-    sessionStart = payload.created (ms); os from payload."""
+    """focus-event/Focus pings (FocusEvent.scala:10-49): sessionStart =
+    payload.created (ms); os from payload."""
     payload = ping["payload"]
     client = ping["meta"]["clientId"]
     return PingContext(
@@ -299,6 +299,165 @@ def focus_context(ping: Column) -> PingContext:
         ping_properties={"device_id": client},
         user_properties=_focus_settings_props(payload),
     )
+
+
+def _settings_bool(s: Column, key: str) -> Column:
+    """The reference's asBool: Some(v) -> v == "true", None -> absent."""
+    return F.when(s[key].isNotNull(), s[key] == "true")
+
+
+def rocket_context(ping: Column) -> PingContext:
+    """focus-event/Zerda pings (RocketEvent.scala:32-46): Focus shape
+    with the Rocket user-property set."""
+    payload = ping["payload"]
+    s = payload["settings"]
+    client = ping["meta"]["clientId"]
+    user = {
+        "pref_search_engine": s["pref_search_engine"],
+        "pref_privacy_turbo_mode": _settings_bool(s, "pref_privacy_turbo_mode"),
+        "pref_performance_block_images": _settings_bool(s, "pref_performance_block_images"),
+        "pref_default_browser": _settings_bool(s, "pref_default_browser"),
+        "pref_save_downloads_to": s["pref_save_downloads_to"],
+        "pref_webview_version": s["pref_webview_version"],
+        "install_referrer": s["install_referrer"],
+        "experiment_name": s["experiment_name"],
+        "experiment_bucket": s["experiment_bucket"],
+        "pref_locale": s["pref_locale"],
+        "pref_key_s_tracker_token": s["pref_key_s_tracker_token"],
+    }
+    return PingContext(
+        client_id=client,
+        session_start=payload["created"],
+        os_name=payload["os"],
+        os_version=payload["osversion"],
+        created=payload["created"],
+        ping_properties={"device_id": client},
+        user_properties=user,
+    )
+
+
+def firetv_context(ping: Column) -> PingContext:
+    """mobile-event/FirefoxForFireTV pings (FireTvEventPing.scala:36-46):
+    adds top-level locale + os_version ping properties and the Fire TV
+    user-property set."""
+    payload = ping["payload"]
+    s = payload["settings"]
+    client = ping["meta"]["clientId"]
+    user = {
+        "tracking_protection_enabled": _settings_bool(s, "tracking_protection_enabled"),
+        "total_home_tile_count": s["total_home_tile_count"],
+        "custom_home_tile_count": s["custom_home_tile_count"],
+        "remote_control_name": s["remote_control_name"],
+        "app_id": s["app_id"],
+    }
+    return PingContext(
+        client_id=client,
+        session_start=payload["created"],
+        os_name=payload["os"],
+        os_version=payload["osversion"],
+        created=payload["created"],
+        ping_properties={
+            "device_id": client,
+            "locale": payload["locale"],
+            "os_version": payload["osversion"],
+        },
+        user_properties=user,
+    )
+
+
+def mobile_context(ping: Column) -> PingContext:
+    """mobile-event/Fennec pings (MobileEvent.scala:36-60): adds
+    device_model/arch/locale ping properties and the Fennec(-iOS)
+    pref_* user-property set (dotted settings keys are map lookups)."""
+    payload = ping["payload"]
+    s = payload["settings"]
+    client = ping["meta"]["clientId"]
+    user = {
+        "pref_default_search_engine": s["defaultSearchEngine"],
+        "pref_automatic_slider_value": s["prefKeyAutomaticSliderValue"],
+        "pref_automatic_switch_on_off": s["prefKeyAutomaticSwitchOnOff"],
+        "pref_theme_name": s["prefKeyThemeName"],
+        "pref_activity_stream_bookmark_highlights_visible": _settings_bool(
+            s, "profile.ASBookmarkHighlightsVisible"
+        ),
+        "pref_activity_stream_pocket_stories_visible": _settings_bool(
+            s, "profile.ASPocketStoriesVisible"
+        ),
+        "pref_activity_stream_recent_highlights_visible": _settings_bool(
+            s, "profile.ASRecentHighlightsVisible"
+        ),
+        "pref_block_popups": _settings_bool(s, "profile.blockPopups"),
+        "pref_tracking_protection_enabled": s["profile.prefkey.trackingprotection.enabled"],
+        "pref_tracking_protection_normal_browsing": s[
+            "profile.prefkey.trackingprotection.normalbrowsing"
+        ],
+        "pref_tracking_protection_private_browsing": s[
+            "profile.prefkey.trackingprotection.privatebrowsing"
+        ],
+        "pref_tracking_protection_strength": s["profile.prefkey.trackingprotection.strength"],
+        "pref_save_logins": _settings_bool(s, "profile.saveLogins"),
+        "pref_settings_close_private_tabs": _settings_bool(
+            s, "profile.settings.closePrivateTabs"
+        ),
+        "pref_show_translation": _settings_bool(s, "profile.show-translation"),
+        "pref_show_clipboard_bar": _settings_bool(s, "profile.showClipboardBar"),
+        "pref_window_height": s["windowHeight"],
+        "pref_window_width": s["windowWidth"],
+    }
+    return PingContext(
+        client_id=client,
+        session_start=payload["created"],
+        os_name=payload["os"],
+        os_version=payload["osversion"],
+        created=payload["created"],
+        ping_properties={
+            "device_id": client,
+            "device_model": payload["device"],
+            "arch": payload["arch"],
+            "locale": payload["locale"],
+        },
+        user_properties=user,
+    )
+
+
+# (docType, appName) -> ping context, mirroring the reference's
+# SendsToAmplitude.apply dispatch (Ping.scala:396-421).  The engine
+# parameterizes the *job* by app (each production config pins appName
+# via its filters) instead of dispatching per row — the columnar
+# analog of the reference's per-message match.
+APP_CONTEXTS = {
+    ("focus-event", "Focus"): focus_context,
+    ("focus-event", "Zerda"): rocket_context,
+    ("mobile-event", "FirefoxForFireTV"): firetv_context,
+    ("mobile-event", "Fennec"): mobile_context,
+}
+
+
+def context_for(doctype: str, app_name: str | None):
+    """Resolve the mobile ping context; unknown apps raise, mirroring
+    Ping.scala:403/412's IllegalArgumentException."""
+    if doctype == "focus-event" and app_name is None:
+        return focus_context  # back-compat default for the Focus job
+    fn = APP_CONTEXTS.get((doctype, app_name))
+    if fn is None:
+        raise ValueError(
+            f"unsupported appName {app_name!r} for {doctype} "
+            f"(expected {[a for d, a in APP_CONTEXTS if d == doctype]})"
+        )
+    return fn
+
+
+def dispatch_for_config(config: AmplitudeConfig) -> tuple[str, str | None]:
+    """(doctype, app_name) implied by a production config's filters —
+    how a deployment binds one config to one ping class."""
+    doctype = (config.filters.get("docType") or ["focus-event"])[0]
+    if doctype in ("focus-event", "mobile-event"):
+        known = {a for d, a in APP_CONTEXTS if d == doctype}
+        for a in config.filters.get("appName", []):
+            if a in known:
+                return doctype, a
+        return doctype, None
+    return doctype, None
 
 
 def _environment_user_props(ping: Column) -> dict[str, Column]:
@@ -507,7 +666,11 @@ def _session_split_event(ping: Column) -> Column:
 
 
 def amplitude_payloads(
-    raw: DataFrame, config: AmplitudeConfig, sample: float = 1.0, doctype: str = "focus-event"
+    raw: DataFrame,
+    config: AmplitudeConfig,
+    sample: float = 1.0,
+    doctype: str = "focus-event",
+    app_name: str | None = None,
 ) -> DataFrame:
     """Raw JSON pings -> KeyedAmplitudePayload(client_id, events[])
     (getEvents, EventsToAmplitude.scala:169-181).
@@ -521,7 +684,7 @@ def amplitude_payloads(
 
     if doctype in ("focus-event", "mobile-event"):
         events = reshape_events(ping["payload"]["mobileEvents"])
-        ctx = focus_context(ping)
+        ctx = context_for(doctype, app_name)(ping)
     elif doctype == "event":
         # payload.events[process] map, all processes (EventPing.scala:17-21)
         events = reshape_events(F.flatten(F.map_values(ping["payload"]["events"])))

@@ -86,6 +86,7 @@ PAYLOAD = f"""
                          ShutdownProgress: string>,
 
         arch: string,
+        device: string,
         os: string,
         osversion: string,
         durations: bigint,

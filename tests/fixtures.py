@@ -343,3 +343,74 @@ def frecency_update_ping(
 
 def to_df(spark, pings: list[str]):
     return spark.createDataFrame([(p,) for p in pings], "value string")
+
+
+def rocket_event_ping(events: list[list] | None = None, **overrides: Any) -> str:
+    """focus-event/Zerda (Rocket) ping — Focus envelope with the Rocket
+    settings set (RocketEvent.scala:50-61)."""
+    base = json.loads(focus_event_ping(events))
+    base["meta"]["appName"] = "Zerda"
+    base["payload"]["settings"] = {
+        "pref_search_engine": "google",
+        "pref_privacy_turbo_mode": "true",
+        "pref_performance_block_images": "false",
+        "pref_default_browser": "true",
+        "pref_save_downloads_to": "/sdcard",
+        "pref_webview_version": "68.0",
+        "install_referrer": "utm_source=gp",
+        "experiment_name": "exp-a",
+        "experiment_bucket": "2",
+        "pref_locale": "zh-TW",
+        "pref_key_s_tracker_token": "tok",
+    }
+    return json.dumps(_deep_merge(base, overrides))
+
+
+def fire_tv_event_ping(events: list[list] | None = None, **overrides: Any) -> str:
+    """mobile-event/FirefoxForFireTV ping (FireTvEventPing.scala:50-55)."""
+    base = json.loads(focus_event_ping(events))
+    base["meta"]["docType"] = "mobile-event"
+    base["meta"]["appName"] = "FirefoxForFireTV"
+    base["payload"]["locale"] = "en-US"
+    base["payload"]["settings"] = {
+        "tracking_protection_enabled": "true",
+        "total_home_tile_count": "7",
+        "custom_home_tile_count": "3",
+        "remote_control_name": "Fire TV Remote",
+        "app_id": "firetv-app",
+    }
+    return json.dumps(_deep_merge(base, overrides))
+
+
+def mobile_event_ping(events: list[list] | None = None, **overrides: Any) -> str:
+    """mobile-event/Fennec ping (MobileEvent.scala:64-83) — iOS-style
+    dotted settings keys."""
+    base = json.loads(focus_event_ping(events))
+    base["meta"]["docType"] = "mobile-event"
+    base["meta"]["appName"] = "Fennec"
+    base["payload"]["os"] = "iOS"
+    base["payload"]["osversion"] = "11.4"
+    base["payload"]["arch"] = "arm64"
+    base["payload"]["device"] = "iPhone10,4"
+    base["payload"]["locale"] = "en-US"
+    base["payload"]["settings"] = {
+        "defaultSearchEngine": "google",
+        "prefKeyAutomaticSliderValue": "0.44",
+        "prefKeyAutomaticSwitchOnOff": "true",
+        "prefKeyThemeName": "normal",
+        "profile.ASBookmarkHighlightsVisible": "true",
+        "profile.ASPocketStoriesVisible": "false",
+        "profile.ASRecentHighlightsVisible": "true",
+        "profile.blockPopups": "true",
+        "profile.prefkey.trackingprotection.enabled": "basic",
+        "profile.prefkey.trackingprotection.normalbrowsing": "on",
+        "profile.prefkey.trackingprotection.privatebrowsing": "on",
+        "profile.prefkey.trackingprotection.strength": "strict",
+        "profile.saveLogins": "true",
+        "profile.settings.closePrivateTabs": "false",
+        "profile.show-translation": "true",
+        "profile.showClipboardBar": "false",
+        "windowHeight": "0.0",
+        "windowWidth": "0.0",
+    }
+    return json.dumps(_deep_merge(base, overrides))

@@ -239,3 +239,164 @@ def test_main_ping_session_split(spark):
     assert up["memory_mb"] == 4136.0
     assert up["profile_creation_date"] == "2016-03-01"
     assert up["experiments"] == ["experiment1_control", "experiment2_chaos"]
+
+
+# --- per-app mobile variants (Ping.scala:396-421 dispatch) ---------------
+
+EXPECTED_ROCKET_USER_PROPS = {
+    "pref_search_engine": "google",
+    "pref_privacy_turbo_mode": True,
+    "pref_performance_block_images": False,
+    "pref_default_browser": True,
+    "pref_save_downloads_to": "/sdcard",
+    "pref_webview_version": "68.0",
+    "install_referrer": "utm_source=gp",
+    "experiment_name": "exp-a",
+    "experiment_bucket": "2",
+    "pref_locale": "zh-TW",
+    "pref_key_s_tracker_token": "tok",
+}
+
+EXPECTED_FIRETV_USER_PROPS = {
+    "tracking_protection_enabled": True,
+    "total_home_tile_count": "7",
+    "custom_home_tile_count": "3",
+    "remote_control_name": "Fire TV Remote",
+    "app_id": "firetv-app",
+}
+
+EXPECTED_MOBILE_USER_PROPS = {
+    "pref_default_search_engine": "google",
+    "pref_automatic_slider_value": "0.44",
+    "pref_automatic_switch_on_off": "true",
+    "pref_theme_name": "normal",
+    "pref_activity_stream_bookmark_highlights_visible": True,
+    "pref_activity_stream_pocket_stories_visible": False,
+    "pref_activity_stream_recent_highlights_visible": True,
+    "pref_block_popups": True,
+    "pref_tracking_protection_enabled": "basic",
+    "pref_tracking_protection_normal_browsing": "on",
+    "pref_tracking_protection_private_browsing": "on",
+    "pref_tracking_protection_strength": "strict",
+    "pref_save_logins": True,
+    "pref_settings_close_private_tabs": False,
+    "pref_show_translation": True,
+    "pref_show_clipboard_bar": False,
+    "pref_window_height": "0.0",
+    "pref_window_width": "0.0",
+}
+
+
+def _run_app(spark, ping_json, doctype, app_name, config_filters):
+    cfg = dict(FOCUS_CONFIG)
+    cfg["filters"] = config_filters
+    df = amp.amplitude_payloads(
+        fixtures.to_df(spark, [ping_json]),
+        amp.parse_config(cfg),
+        doctype=doctype,
+        app_name=app_name,
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    return [json.loads(e) for e in rows[0].events]
+
+
+def test_rocket_events_user_properties(spark):
+    events = _run_app(
+        spark,
+        fixtures.rocket_event_ping(),
+        "focus-event",
+        "Zerda",
+        {"docType": ["focus-event"], "appName": ["Zerda"]},
+    )
+    assert len(events) == 3
+    for e in events:
+        assert e["device_id"] == "client1"
+        for k, v in EXPECTED_ROCKET_USER_PROPS.items():
+            assert e["user_properties"][k] == v, k
+        assert "pref_privacy_block_ads" not in e["user_properties"]
+
+
+def test_firetv_events_user_and_ping_properties(spark):
+    events = _run_app(
+        spark,
+        fixtures.fire_tv_event_ping(),
+        "mobile-event",
+        "FirefoxForFireTV",
+        {"docType": ["mobile-event"], "appName": ["FirefoxForFireTV"]},
+    )
+    assert len(events) == 3
+    for e in events:
+        assert e["device_id"] == "client1"
+        assert e["locale"] == "en-US"  # FireTvEventPing.scala:38
+        assert e["os_version"] == "23"
+        for k, v in EXPECTED_FIRETV_USER_PROPS.items():
+            assert e["user_properties"][k] == v, k
+
+
+def test_mobile_events_user_and_ping_properties(spark):
+    events = _run_app(
+        spark,
+        fixtures.mobile_event_ping(),
+        "mobile-event",
+        "Fennec",
+        {"docType": ["mobile-event"], "appName": ["Fennec"]},
+    )
+    assert len(events) == 3
+    for e in events:
+        assert e["device_id"] == "client1"
+        assert e["device_model"] == "iPhone10,4"  # MobileEvent.scala:38
+        assert e["arch"] == "arm64"
+        assert e["locale"] == "en-US"
+        assert e["os_name"] == "iOS"
+        assert e["os_version"] == "11.4"
+        for k, v in EXPECTED_MOBILE_USER_PROPS.items():
+            assert e["user_properties"][k] == v, k
+
+
+def test_unknown_app_name_raises(spark):
+    with pytest.raises(ValueError, match="appName"):
+        amp.context_for("mobile-event", "NotAnApp")
+    with pytest.raises(ValueError, match="appName"):
+        amp.context_for("mobile-event", None)
+
+
+# --- production config corpus (EventsToAmplitudeTest.scala:397-405) ------
+
+CONFIG_DIR = "/root/reference/configs"
+
+PING_FOR_DOCTYPE = {
+    "focus-event": {
+        "Focus": fixtures.focus_event_ping,
+        "Zerda": fixtures.rocket_event_ping,
+        None: fixtures.focus_event_ping,
+    },
+    "mobile-event": {
+        "FirefoxForFireTV": fixtures.fire_tv_event_ping,
+        "Fennec": fixtures.mobile_event_ping,
+    },
+    "main": {None: fixtures.main_ping},
+    "event": {None: fixtures.event_ping},
+}
+
+
+def test_production_config_corpus_compiles_and_runs(spark):
+    """Every config shipped with the reference must parse, validate,
+    compile to Column predicates/projections, and execute end-to-end
+    on a representative ping (mirrors the reference's all-configs
+    validation test)."""
+    import os
+
+    files = sorted(f for f in os.listdir(CONFIG_DIR) if f.endswith(".json"))
+    assert len(files) == 7
+    for fname in files:
+        cfg = amp.load_config(os.path.join(CONFIG_DIR, fname))
+        doctype, app = amp.dispatch_for_config(cfg)
+        make_ping = PING_FOR_DOCTYPE[doctype][app]
+        df = amp.amplitude_payloads(
+            fixtures.to_df(spark, [make_ping()]),
+            cfg,
+            doctype=doctype,
+            app_name=app,
+        )
+        df.collect()  # forces full analysis + execution; may be empty
