@@ -1356,6 +1356,61 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+# ---------------------------------------------------------------------------
+# A4 — element-wise array mean (FederatedLearningSearchOptimizer.scala:
+# 99-102, avgUpdates: one avg per index).  Exact-oracle form of the
+# jobs/federated_optimizer.py:aggregate_updates avgUpdates aggregate:
+# per-index scaled-integer sums in ONE hash aggregate (map-side
+# partial combine, shuffle O(groups), no row explosion), means emitted
+# as a single IEEE division; the tiny post-agg posexplode flattens
+# groups x dims for the column-wise compare.
+# ---------------------------------------------------------------------------
+_EMB_DIM = 64
+
+
+@query(
+    "array_mean",
+    oracle=f"""
+    WITH sums AS (
+        SELECT vec_id % 5 AS grp,
+               i - 1 AS dim_idx,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_e6,
+               COUNT(*) AS n
+        FROM embeddings, LATERAL (
+            SELECT unnest(generate_series(1, {_EMB_DIM})) AS i
+        ) g
+        GROUP BY 1, 2
+    )
+    SELECT grp, CAST(dim_idx AS INT) AS dim_idx, sum_e6, n,
+           CAST(sum_e6 AS DOUBLE) / 1000000.0 / n AS mean_val
+    FROM sums
+    """,
+)
+def array_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: element-wise array mean, exact across engines via the
+    cents() scaled-integer discipline (VERDICT r1 missing item 3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sums = emb.groupBy((F.col("vec_id") % 5).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.array(
+            *[
+                F.sum(cents(F.col("embedding")[i].cast("double"), 1000000))
+                for i in range(_EMB_DIM)
+            ]
+        ).alias("sums"),
+    )
+    return sums.select(
+        "grp", "n", F.posexplode("sums").alias("dim_idx", "sum_e6")
+    ).select(
+        "grp",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        "sum_e6",
+        "n",
+        (F.col("sum_e6").cast("double") / F.lit(1000000.0) / F.col("n")).alias("mean_val"),
+    )
+
+
 @query("similarity_topk_ivf", oracle=None)
 def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (scale path 2): IVF approximate top-k — deterministic
