@@ -186,3 +186,134 @@ def test_streaming_dedup_exact_within_watermark(spark, stream_dirs):
         assert ids == sorted({f"id-{i}" for i in list(range(5)) + [7, 8]})
     finally:
         stop_quietly(query)
+
+
+@pytest.fixture()
+def live_http_server():
+    """In-driver HTTP server; executor Python workers POST to it over
+    loopback, so delivered bodies are collected server-side (the only
+    side visible across process boundaries)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    state = {"requests": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            state["requests"].append(body.decode())
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    state["url"] = f"http://127.0.0.1:{server.server_port}/"
+    yield state
+    server.shutdown()
+
+
+def test_events_to_amplitude_streaming_e2e(spark, stream_dirs, live_http_server):
+    """Streaming EventsToAmplitude: file-source pings -> config-compiled
+    match/projection -> real Amplitude HTTP sink; asserts the delivered
+    JSON payloads (EventsToAmplitudeTest.scala:226-381's mock-server
+    assertions, Kafka replaced by the file source)."""
+    from telemetry_streaming_spark.jobs import events_to_amplitude as amp_mod
+    from telemetry_streaming_spark.sinks.http import AmplitudeHttpSink, HttpSinkConfig
+    from tests.fixtures import focus_event_ping
+    from tests.test_events_to_amplitude import FOCUS_CONFIG
+
+    cfg = amp_mod.parse_config(FOCUS_CONFIG)
+    _write_lines(stream_dirs["in"], [focus_event_ping()])
+    raw = text_file_source(spark, stream_dirs["in"])
+    payloads = amp_mod.amplitude_payloads(raw, cfg)
+    url = live_http_server["url"]
+
+    def handle(batch_df, _epoch):
+        events = amp_mod.exploded_events(batch_df)
+
+        def run(rows):
+            evs = [r.event_json for r in rows]
+            if evs:
+                AmplitudeHttpSink(
+                    url, "test-api-key",
+                    config=HttpSinkConfig(base_delay_ms=1, max_delay_ms=2),
+                ).send_events(evs)
+
+        events.foreachPartition(run)
+
+    q = (
+        payloads.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(q)
+    finally:
+        stop_quietly(q)
+
+    bodies = [json.loads(b) for b in live_http_server["requests"]]
+    assert bodies, "no HTTP deliveries"
+    assert all(b["api_key"] == "test-api-key" for b in bodies)
+    delivered = [e for b in bodies for e in b["events"]]
+    assert sorted(e["event_type"] for e in delivered) == [
+        "m_foc - AppOpen",
+        "m_foc - Erase",
+        "second_event_group - AppClose",
+    ]
+    for e in delivered:
+        assert e["device_id"] == "client1"
+        assert e["user_properties"]["pref_privacy_block_ads"] is True
+
+
+def test_crashes_streaming_to_influx_e2e(spark, stream_dirs, live_http_server):
+    """Streaming crash pipeline: file-source crash pings -> influx line
+    protocol -> batch HTTP sink; asserts the delivered line-protocol
+    bodies (CrashPingStreamingBaseTest.scala:121-168's mock-server
+    assertions)."""
+    from telemetry_streaming_spark.jobs import crashes
+    from telemetry_streaming_spark.sinks.http import BatchHttpSink, HttpSinkConfig
+    from tests.fixtures import crash_ping
+
+    _write_lines(stream_dirs["in"], [crash_ping(), crash_ping(fennec=True)])
+    raw = text_file_source(spark, stream_dirs["in"])
+    lines = crashes.to_influx(
+        raw, measurement_name="crashes", app_names=("Firefox", "Fennec")
+    )
+    url = live_http_server["url"]
+
+    def handle(batch_df, _epoch):
+        def run(rows):
+            sink = BatchHttpSink(
+                url, max_batch_size=100,
+                config=HttpSinkConfig(base_delay_ms=1, max_delay_ms=2),
+            )
+            for r in rows:
+                sink.process(r)
+            sink.close(None)
+
+        batch_df.foreachPartition(run)
+
+    q = (
+        lines.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(q)
+    finally:
+        stop_quietly(q)
+
+    delivered = [
+        ln for body in live_http_server["requests"] for ln in body.splitlines() if ln
+    ]
+    assert len(delivered) == 2
+    for ln in delivered:
+        assert ln.startswith("crashes,")
+        assert f" {TEST_TIMESTAMP_NS}" in ln  # ns timestamp field
+        assert "submissionDate=20170101" in ln
+        assert " buildId=20170101000000" in ln
+    # the Fennec row exercises the OS fix-up (Fennec/Linux -> Android)
+    assert any("appName=Fennec" in ln and "osName=Android" in ln for ln in delivered)
