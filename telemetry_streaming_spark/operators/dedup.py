@@ -34,7 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from telemetry_streaming_spark.functions.text import fingerprint, word_shingles
+from telemetry_streaming_spark.functions.text import fingerprint, tokenize
 
 SIMHASH_NIBBLES = 12  # 48 bits
 SIMHASH_BANDS = 4  # 12 bits per band -> hamming<=3 always collides somewhere
@@ -99,13 +99,13 @@ def shingle_index(
     has probability ~10^-9 per pair of distinct shingles sharing a hash
     AND a document — far below the LSH tiers' own approximation error.
 
-    The document-frequency cap is applied with a count window *before*
-    the postings ``collect_list`` (``_cap_by_count``): a shingle shared
-    by more than ``max_df`` docs carries no discriminating signal and
-    is dropped — the standard guard that keeps candidate generation
+    The document-frequency cap is applied *before* the postings
+    ``collect_list`` (``_drop_hot_keys``): a shingle shared by more
+    than ``max_df`` docs carries no discriminating signal and is
+    dropped — the standard guard that keeps candidate generation
     linear-ish instead of quadratic — and because the filter runs
     before the list aggregation, a stopword shingle never materializes
-    a million-id aggregation buffer (it spills in the window instead).
+    a million-id aggregation buffer.
     """
     capped = capped_doc_shingles(df, text_col, id_col, n, max_df)
     return capped.groupBy("shingle_h").agg(
@@ -124,14 +124,41 @@ def capped_doc_shingles(
     *verification*.  Shingles are xxhash64'd before the shuffle so the
     3-word strings never leave the map side.
     """
-    # No global distinct needed: word_shingles is per-doc distinct, so
-    # exploded (doc, shingle) pairs are already unique — exactly the
-    # oracle's unnest(list_distinct(...)) semantics.  (r1 paid a whole
-    # extra shuffle re-distinct-ing them.)
-    pairs = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
+    pairs = doc_shingle_pairs(df, text_col, id_col, n)
     return _drop_hot_keys(pairs, ["shingle_h"], max_df)
+
+
+def _exploded_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) rows via explode-position-then-scalar-concat.
+
+    Deliberately NOT transform()-based: Spark's higher-order array
+    functions run interpreted (no whole-stage codegen), and the
+    per-element lambda eval measured 2x slower than this shape —
+    explode the gram positions, then build each gram with plain
+    codegen'd scalar expressions over the carried token array.
+    """
+    toks = tokenize(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    e = df.select(F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("__i"))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("__toks"), F.col("__i") + F.lit(j)) for j in range(n)]
+    )
+    return e.select(F.col(id_col), gram.alias("gram"))
+
+
+def doc_shingle_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle_h) pairs — the oracle's
+    unnest(list_distinct(shingles)) as a codegen'd explode + xxhash64 +
+    distinct.  The distinct is a narrow (8B+8B)-row shuffle with
+    map-side combine; far cheaper than per-doc array_distinct in an
+    interpreted higher-order function.
+    """
+    grams = _exploded_grams(df, text_col, id_col, n)
+    return grams.select(F.col(id_col), F.xxhash64("gram").alias("shingle_h")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -215,35 +242,34 @@ def _shingle_hash30(s):
     return (F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")) % F.lit(MINHASH_HMOD)
 
 
-def _perm(a: int, b: int):
-    # NB: single-argument lambda only — PySpark passes (element, index)
-    # to two-parameter transform lambdas; constants are bound via this
-    # factory, not default args (inspect-visible extra params would
-    # flip transform into its two-argument mode).
-    return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_MOD)
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 8,
 ) -> DataFrame:
-    """Minhash signature columns sig_0..sig_{p-1} (long-valued), via
-    the shared shingle hash + per-permutation affine map.  Per-row map
-    only — no shuffle, one md5 per shingle regardless of num_perm."""
+    """Minhash signature columns sig_0..sig_{p-1} (long-valued): one
+    md5 per gram, ``num_perm`` affine permutations folded as min
+    aggregates in a single groupBy(id) — fully codegen'd scalar
+    expressions + hash-agg with map-side combine (one row per doc per
+    mapper crosses the shuffle).  A transform()/array_min variant runs
+    interpreted and measured 2-4x slower.  Raw (non-distinct) grams:
+    min-hash is duplicate-insensitive.  Docs with no grams (< n
+    tokens) emit no signature row — identical to the SQL oracle's
+    shingle CTE, which excludes them.
+    """
     if num_perm > len(MINHASH_A):
         raise ValueError(f"num_perm <= {len(MINHASH_A)} supported")
-    hs = F.transform(word_shingles(F.col(text_col)), _shingle_hash30)
-    cols = [F.col(id_col), hs.alias("__hs")]
-    staged = df.select(*cols)
-    sig_cols = [F.col(id_col)] + [
-        F.array_min(F.transform(F.col("__hs"), _perm(MINHASH_A[p], MINHASH_B[p]))).alias(
-            f"sig_{p}"
-        )
-        for p in range(num_perm)
-    ]
-    return staged.select(*sig_cols)
+    grams = _exploded_grams(df, text_col, id_col, 3)
+    h = _shingle_hash30(F.col("gram"))
+    return grams.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[p]) * h + F.lit(MINHASH_B[p])) % F.lit(MINHASH_MOD)).alias(
+                f"sig_{p}"
+            )
+            for p in range(num_perm)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -290,18 +316,8 @@ def minhash_lsh_pairs(
     # exchange.  (An array-valued doc_sets join variant did exactly
     # that: the inferred isnotnull(size(transform(...))) scan filter
     # re-ran the shingle transform single-threaded, 8-10s at sf0.1.)
-    hs_pairs = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
-    # Set sizes map-side: word_shingles is already distinct, so its
-    # size IS the set size — no explode/shuffle.  coalesce makes the
-    # column non-nullable so the downstream join/filter cannot infer
-    # an isnotnull(<shingle pipeline>) predicate and push it into the
-    # scan (the single-task pathology described above).
-    sizes = df.select(
-        F.col(id_col),
-        F.coalesce(F.size(word_shingles(F.col(text_col), n)), F.lit(0)).alias("set_size"),
-    )
+    hs_pairs = doc_shingle_pairs(df, text_col, id_col, n)
+    sizes = hs_pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # Explode each candidate by id1's shingles (candidates broadcast —
     # id pairs only), then count matches against id2's shingles with
     # one narrow equi-join; cost O(candidates x doc-size).

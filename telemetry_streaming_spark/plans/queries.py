@@ -752,7 +752,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (operators/dedup.py:dedup_exact)."""
     from telemetry_streaming_spark.operators.dedup import dedup_exact
 
-    return dedup_exact(_t(spark, sf_dir, "documents"))
+    return dedup_exact(_t(spark, sf_dir, "documents", parallelize=False))
 
 
 @query(
@@ -1020,7 +1020,7 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.py) — pure column expressions, no shuffle."""
     from telemetry_streaming_spark.functions import text as T
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -1048,7 +1048,7 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: corpus token statistics per source."""
     from telemetry_streaming_spark.functions import text as T
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
     n_tok = T.token_count(F.col("text"))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1116,7 +1116,7 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-way prefix bucket (functions/text.py:fingerprint)."""
     from telemetry_streaming_spark.functions.text import fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
     fp = fingerprint(F.col("text"))
     return docs.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 2).alias("fp_bucket"))
 
@@ -1134,7 +1134,7 @@ def token_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the reference's event-explode shape)."""
     from telemetry_streaming_spark.functions.text import tokenize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
     return (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("token")

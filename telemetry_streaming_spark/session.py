@@ -60,6 +60,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Constraint propagation off: its quadratic-ish optimizer cost
+        # dominates planning latency on multi-join/AQE plans (~-20%
+        # measured across the headline queries), and its inferred
+        # IsNotNull filters can drag arbitrarily expensive derived
+        # expressions into scans (see operators/dedup.py
+        # minhash_lsh_pairs).  What it buys — null-key pre-filtering
+        # before shuffles, transitive range predicates — is marginal
+        # here: join execs already skip null keys, and queries that
+        # want a null prefilter or a pushable transitive bound state
+        # it explicitly (see ts_bounds in sources/registry.py).
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # mirror of the reference's partition-overwrite contract
         # (ErrorAggregatorBase.scala:205) for batch date re-runs
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -32,18 +32,23 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Tables whose scans deserve full-core parallelism.  The driver's
-# testdata writes each table as ONE parquet file with ONE row group, so
-# Spark's split planner hands the whole scan to a single task and every
-# downstream per-row expression runs on one core while the rest idle.
-# On a real cluster a 100TB table arrives as many files/row-groups and
-# this is a no-op concern; locally we round-robin the rows across the
-# session's shuffle parallelism once, right after the (cheap, columnar)
-# read.  Filters still reach the scan: Catalyst pushes predicates
-# through deterministic Repartition nodes.
-_PARALLELIZE_TABLES = frozenset(
-    {"customer", "orders", "lineitem", "events", "documents", "embeddings"}
-)
+# Tables whose scans deserve a local fan-out repartition.  The
+# driver's testdata writes each table as ONE parquet file with ONE row
+# group, so Spark's split planner hands the whole scan to a single
+# task.  On a real cluster a 100TB table arrives as many
+# files/row-groups and this is a no-op concern.
+#
+# Round 2 measurement: the fan-out pays ONLY where downstream per-row
+# map work is heavy (shingle explosion, md5 signatures, vector math) —
+# dedup_ngram at sf0.1 is 3.8s fanned-out vs 17.6s single-scan.  For
+# cheap column arithmetic (TPC-H aggregates/joins, event windows) the
+# extra exchange + stage costs ~2x more than the single-threaded map
+# work it parallelizes (pricing_summary 0.83s -> 0.35s without it):
+# those queries' own groupBy/join shuffles already redistribute the
+# rows after a trivially cheap map side.  So only the corpora with
+# heavy per-row pipelines fan out by default; any query can override
+# via load_table(..., parallelize=...).
+_PARALLELIZE_TABLES = frozenset({"documents", "embeddings"})
 
 # The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
 # which Spark's vectorized reader rejects.  We read nanos as LongType
