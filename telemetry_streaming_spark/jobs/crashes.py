@@ -40,42 +40,32 @@ TAG_ORDER = (
 )
 
 
-def crash_signature_stub(payload_json: Column) -> Column:
-    """P26 stub — fx-crash-sig is unavailable in this container.
-    Returns '' (the reference's disabled-signature value).  Swap in a
-    pandas UDF over the stack-trace JSON to enable real signatures."""
-    raise NotImplementedError(
-        "fx-crash-sig integration point: provide a pandas UDF "
-        "Column -> Column computing the signature from payload.stackTraces"
-    )
-
-
 def crash_signature_udf(signature_fn=None):
     """P26 as an Arrow-batched pandas UDF factory.
 
     The reference pipes each crash payload through the external
     ``fx-crash-sig`` binary with retry/timeout plumbing
-    (CrashPingStreamingBase.scala:236-278); fx-crash-sig is a Python
-    library, so in PySpark the natural shape is an in-process pandas
-    UDF — one Arrow batch of stack-trace JSON strings in, one batch of
-    signature strings out, no subprocess, no per-row Python.
+    (CrashPingStreamingBase.scala:236-278); that tool's siggen
+    algorithm is implemented natively in
+    :mod:`telemetry_streaming_spark.functions.siggen`, so in PySpark
+    the whole step is an in-process pandas UDF — one Arrow batch of
+    stack-trace JSON strings in, one batch of signature strings out,
+    no subprocess, no per-row Python round trip.
 
-    ``signature_fn(stack_traces_json: str) -> str`` is the per-payload
-    signature call.  The real implementation is
-    ``fx_crash_sig.CrashProcessor().get_signature`` — NOT available in
-    this container, so the default None raises at executor time with
-    the integration instructions; tests inject a deterministic fake.
+    ``signature_fn(stack_traces_json: str) -> str`` overrides the
+    default (e.g. ``siggen.make_signature_fn(<full Mozilla rule
+    lists>)``, or ``fx_crash_sig.CrashProcessor().get_signature`` where
+    that package is installed).
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from telemetry_streaming_spark.functions.siggen import signature_from_json
+
+    fn = signature_fn or signature_from_json
+
     def sig(stack_traces):
-        if signature_fn is None:
-            raise NotImplementedError(
-                "fx-crash-sig is not installed; pass "
-                "crash_signature_udf(signature_fn=CrashProcessor().get_signature)"
-            )
-        return stack_traces.map(lambda s: "" if s is None else signature_fn(s))
+        return stack_traces.map(lambda s: "" if s is None else fn(s))
 
     # real annotations (not PEP-563 strings) so pandas_udf infers the
     # scalar-series eval type under `from __future__ import annotations`

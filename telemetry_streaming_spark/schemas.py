@@ -80,6 +80,13 @@ PAYLOAD = f"""
                                       events: array<{RAW_EVENT}>>>,
 
         crashDate: string,
+        stackTraces: struct<
+            crash_info: struct<crashing_thread: bigint, type: string,
+                               address: string>,
+            crash_type: string,
+            threads: array<struct<frames: array<struct<
+                function: string, module: string, module_offset: string,
+                offset: string, ip: string>>>>>,
         processType: string,
         metadata: struct<StartupCrash: string, ipc_channel_error: string,
                          MozCrashReason: string, OOMAllocationSize: string,

@@ -153,6 +153,22 @@ def crash_ping(
                 "StartupCrash": startup_crash,
                 "ipc_channel_error": ipc_channel_error,
             },
+            "stackTraces": {
+                "crash_info": {"crashing_thread": 0, "type": "SIGSEGV", "address": "0x0"},
+                "threads": [
+                    {
+                        "frames": [
+                            {"function": "abort", "module": "libc.so"},
+                            {"function": "memcpy", "module": "libc.so"},
+                            {
+                                "function": "mozilla::dom::Element::SetAttr(nsAtom*, nsAString const&)",
+                                "module": "libxul.so",
+                            },
+                            {"function": "nsDocShell::LoadURI", "module": "libxul.so"},
+                        ]
+                    }
+                ],
+            },
         },
     }
     return json.dumps(_deep_merge(ping, overrides))

@@ -137,15 +137,16 @@ def test_crash_signature_pandas_udf_plumbs_into_influx(spark):
     assert ",crashSignature=sig-" in line
 
 
-def test_crash_signature_udf_without_library_raises(spark):
+def test_crash_signature_default_siggen_end_to_end(spark):
+    """P26: the default signature fn is the native siggen
+    implementation — skip the abort trampoline, keep the memcpy
+    prefix, stop at the first descriptive frame — escaped into the
+    influx line exactly like the reference's crashSignature tag."""
     import pyspark.sql.functions as F
 
     udf = crashes.crash_signature_udf()
-    df = crashes.to_influx(
-        to_df(spark, [crash_ping()]),
-        signature=udf(F.to_json(F.col("ping")["payload"])),
+    sig_col = crashes.influx_escape_signature(
+        udf(F.to_json(F.col("ping")["payload"]["stackTraces"]))
     )
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="fx-crash-sig"):
-        df.collect()
+    line = crashes.to_influx(to_df(spark, [crash_ping()]), signature=sig_col).collect()[0].value
+    assert ",crashSignature=memcpy\\ |\\ mozilla::dom::Element::SetAttr" in line
