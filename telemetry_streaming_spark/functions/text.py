@@ -41,10 +41,13 @@ def char_count(text: Column) -> Column:
 
 
 def avg_token_len(text: Column) -> Column:
-    """Mean token length as one IEEE division (deterministic)."""
-    toks = tokenize(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks)
+    """Mean token length as one IEEE division (deterministic).
+
+    Total token chars == non-whitespace chars of the trimmed text —
+    a codegen'd scalar expression; the F.aggregate(tokens, +length)
+    equivalent runs as an interpreted higher-order function."""
+    total = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return total.cast("double") / F.size(tokenize(text))
 
 
 def punct_ratio(text: Column) -> Column:
