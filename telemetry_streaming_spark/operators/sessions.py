@@ -74,6 +74,44 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    streaming_watermark: str | None = None,
+) -> DataFrame:
+    """Gap sessions via Spark's built-in ``session_window`` — the
+    fully JVM-side tier (no window functions, no Python state): one
+    groupBy((user, session_window)) aggregation with map-side partial
+    merge of overlapping windows.  Works identically for batch frames
+    and streams (pass ``streaming_watermark`` for append-mode
+    emission).
+
+    Contract matches :func:`sessionize` except ``session_no`` (a
+    global per-user ordinal needs a second windowed pass; the native
+    tier identifies sessions by their start instead):
+    ``session_window.end`` is ``last_event + gap``, so ``session_end``
+    is emitted as ``end - gap`` to equal the batch tier's
+    max-event-time semantics.
+    """
+    if streaming_watermark is not None:
+        events = events.withWatermark(ts_col, streaming_watermark)
+    win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"), win)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end") - F.expr(f"INTERVAL {gap_seconds} SECONDS")
+            ).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,

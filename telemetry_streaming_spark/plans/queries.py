@@ -1411,6 +1411,40 @@ def array_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def sessionize_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: gap sessions via Spark's built-in session_window —
+    one JVM-side aggregation, no window functions, no Python state
+    (operators/sessions.py:sessionize_native).  Oracle is the same
+    gap-and-islands SQL as `sessionize` minus the ordinal, proving the
+    two tiers agree."""
+    from telemetry_streaming_spark.operators.sessions import sessionize_native
+
+    return sessionize_native(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
 @query("similarity_topk_ivf", oracle=None)
 def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (scale path 2): IVF approximate top-k — deterministic

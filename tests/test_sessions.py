@@ -146,3 +146,66 @@ def test_streaming_sessionize_survives_late_data(spark, tmp_path):
         assert 1 in users
     finally:
         q.stop()
+
+
+def test_native_session_window_tier_matches_batch_tier(spark):
+    """sessionize_native (built-in session_window) must produce the
+    same sessions as the gap-and-islands tier on the smoke data."""
+    from telemetry_streaming_spark.operators.sessions import sessionize_native
+
+    events = load_table(spark, SF_SMOKE, "events")
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_native(events, 1800).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(events, 1800).collect()
+    }
+    assert native == batch
+
+
+def test_native_session_window_streaming(spark, tmp_path):
+    """The same native tier runs as a streaming aggregation with
+    watermark-driven append emission."""
+    import uuid as _uuid
+
+    from telemetry_streaming_spark.operators.sessions import sessionize_native
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "a.csv"), "w") as f:
+        f.write("1,2024-01-01 10:00:00\n1,2024-01-01 10:05:00\n")
+
+    raw = (
+        spark.readStream.format("text")
+        .load(in_dir)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.col("p")[1]).alias("ts"),
+        )
+    )
+    sessions = sessionize_native(raw, 1800, streaming_watermark="0 seconds")
+    name = f"native_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark past session end + gap -> flush
+        with open(os.path.join(in_dir, "b.csv"), "w") as f:
+            f.write("2,2024-01-01 13:00:00\n")
+        q.processAllAvailable()
+        with open(os.path.join(in_dir, "c.csv"), "w") as f:
+            f.write("3,2024-01-01 14:00:00\n")
+        q.processAllAvailable()
+        rows = {r.user_id: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert rows[1].n_events == 2
+        assert rows[1].session_end.isoformat() == "2024-01-01T10:05:00"
+    finally:
+        q.stop()
