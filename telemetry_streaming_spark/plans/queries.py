@@ -1445,6 +1445,38 @@ def sessionize_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_native(_t(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+@query(
+    "salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MAX(FLOOR(value * 100 + 0.5)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale utility: skew-immune two-phase aggregation
+    (operators/skew.py:salted_agg).  The salt only controls placement —
+    the oracle is the plain GROUP BY, proving exactness of the
+    partial/merge decomposition under random salting."""
+    from telemetry_streaming_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    staged = events.select("event_type", cents(F.col("value")).alias("vc"))
+    return salted_agg(
+        staged,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum(F.col("n"))),
+            "sum_cents": (F.sum("vc"), F.sum(F.col("sum_cents"))),
+            "max_cents": (F.max("vc"), F.max(F.col("max_cents"))),
+        },
+        n_salts=16,
+    )
+
+
 @query("similarity_topk_ivf", oracle=None)
 def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (scale path 2): IVF approximate top-k — deterministic
