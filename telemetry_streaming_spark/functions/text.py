@@ -107,34 +107,3 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def raw_word_grams(text: Column, n: int = 3) -> Column:
-    """Word n-grams WITHOUT the distinct pass (1-indexed element_at so
-    the construction is expressible identically in DuckDB list
-    comprehensions).  For consumers whose downstream op is
-    duplicate-insensitive (minhash: min over a multiset == min over
-    its set) or who dedupe on the hashed form, skipping the
-    string-array distinct saves the most expensive part of the
-    shingle pipeline."""
-    toks = tokenize(text)
-    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
-    # empty array — docs shorter than n tokens must map to [] to match
-    # DuckDB's generate_series semantics.
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    return F.transform(idx, gram)
-
-
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams."""
-    return F.array_distinct(raw_word_grams(text, n))
-
-
-def word_shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct xxhash64'd word n-grams: hash each gram first, distinct
-    on the resulting longs — primitive-array dedup instead of a
-    string-array dedup, measurably cheaper on long documents.  Equal
-    to hashing ``word_shingles`` modulo within-doc 64-bit collisions
-    (the same tolerance every hashed tier already accepts)."""
-    return F.array_distinct(F.transform(raw_word_grams(text, n), lambda g: F.xxhash64(g)))

@@ -13,12 +13,13 @@ Four tiers, increasing recall for near-duplicates:
    standard trick to keep the candidate join linear-ish).
 
 3. **MinHash + LSH** (`minhash_lsh_pairs`): banded minhash signatures.
-   Signatures use the *lexicographic minimum of md5(perm:shingle)* as
-   the min-hash — a valid random-permutation proxy that is
+   The min-hash is the minimum of affine permutations of a truncated
+   md5 gram hash (one md5 per gram regardless of permutation count) —
    deterministic and identical across engines (DuckDB-oracle-able,
    unlike murmur-based hashes).  Candidates come from band-bucket
-   self-joins; pairs are verified with exact Jaccard.  Shuffle volume
-   is O(docs x bands), never O(docs^2).
+   groupings; pairs are verified with true Jaccard computed on the
+   candidates only.  Shuffle volume is O(docs x bands), never
+   O(docs^2).
 
 4. **SimHash** (`simhash48`, `simhash_pairs`): 48-bit simhash (12 md5
    nibbles; 48 so per-term arithmetic stays exact in IEEE double for
@@ -177,7 +178,8 @@ def ngram_jaccard_pairs(
     this impl and the SQL oracle — apply the identical cap).
 
     Plan shape (one pass over the corpus):
-      explode+distinct -> groupBy(shingle) postings [persisted] ->
+      exploded gram hashes (distinct) -> df-cap guard ->
+      groupBy(shingle) postings [persisted] ->
         (a) sizes:   explode postings -> groupBy(doc) count
         (b) pairs:   double-explode postings map-side (bounded by
                      max_df^2/2 per shingle) -> groupBy(id1,id2) count
