@@ -78,10 +78,31 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    effective_master = master
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{cpus}]")
+        effective_master = f"local[{cpus}]"
+        builder = builder.master(effective_master)
+    else:
+        effective_master = os.environ["SPARK_MASTER"]
+    if effective_master and effective_master.startswith("local"):
+        # Local-mode-only shuffle tuning.  In a single JVM there is no
+        # network hop, so compressing shuffle blocks just burns CPU
+        # (lz4 on both ends of a memory copy), and locality wait is
+        # meaningless (every task is PROCESS_LOCAL).  Spilling shuffle
+        # files to tmpfs removes disk I/O from the only data movement
+        # local mode has.  A real cluster keeps compression ON (network
+        # is the bottleneck there), spills to local disks sized for the
+        # job, and tunes locality per topology — so none of this is
+        # applied when a cluster master is configured.
+        if os.path.isdir("/dev/shm"):
+            builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            .config("spark.locality.wait", "0")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
