@@ -95,6 +95,55 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# BPE-ish tokenizer: a GPT-2-style pretokenization regex (contraction
+# suffixes, letter runs, digit runs, punctuation runs, each with an
+# optional leading space).  Token *counts* from this pattern track BPE
+# vocabulary tokenizers closely enough for corpus cost estimation,
+# and the pattern stays inside the common Java-regex/RE2 subset so the
+# DuckDB oracle runs the identical expression.  (A real tokenizer —
+# tiktoken et al. — would plug in via mapInPandas; this keeps the
+# operator dependency-free and engine-portable.)
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-ish pretokens (see BPE_TOKEN_PATTERN) — a single
+    codegen'd regexp scan, no array materialization."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+# PII patterns, restricted to the Java-regex ∩ RE2 common subset
+# (character classes, bounded repetition, non-capturing groups, \b)
+# so Spark and the DuckDB oracle compile the identical pattern.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def count_emails(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_PATTERN))
+
+
+def count_phones(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_PATTERN))
+
+
+def count_ipv4(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(IPV4_PATTERN))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 literals with typed
+    placeholder tags.  Order matters: emails first (their local parts
+    can contain digit runs a later pattern would mangle), then IPs
+    (dotted digits would otherwise half-match the phone pattern), then
+    phones.  Three chained codegen'd regexp_replace scans — the same
+    per-row cost profile as any other column map, no UDFs."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_PATTERN, "[IP]")
+    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""

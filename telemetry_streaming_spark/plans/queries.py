@@ -1491,3 +1491,160 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return cosine_topk_ivf(emb, queries, k=5, nlist=8, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality: Gopher-style n-gram repetition filtering
+# (operators/repetition.py).  Integer stats only — engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_repetition",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM toks
+        WHERE len(t) >= 2
+    ),
+    per_gram AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM per_gram GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct, top_count,
+           CAST(CASE WHEN (n_grams - n_distinct) * 100 >= 75 * n_grams
+                       OR top_count * 100 >= 10 * n_grams
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM stats
+    """,
+)
+def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-document 2-gram repetition stats + Gopher-style
+    boilerplate flag (dup fraction >= 0.75 or top 2-gram >= 0.10),
+    evaluated as exact integer cross products
+    (operators/repetition.py)."""
+    from telemetry_streaming_spark.operators.repetition import repetition_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_flags(docs, "text", "doc_id", n=2)
+
+
+# ---------------------------------------------------------------------------
+# Training-data compliance: PII detection + redaction
+# (functions/text.py).  The synthetic corpus is PII-free by
+# construction, so the query PLANTS deterministic doc_id-derived PII
+# (planted identically in the oracle SQL) — the scan/redaction logic
+# is exercised on real non-trivial matches while the base text
+# verifies the patterns produce no false positives on clean prose.
+# ---------------------------------------------------------------------------
+@query(
+    "pii_scan",
+    oracle=r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                         || CAST(doc_id % 13 AS VARCHAR) || '.example.org'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                    ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+                 '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g')) AS redacted_fp
+    FROM planted
+    """,
+)
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: PII scan + redaction over the documents corpus with
+    deterministic planted PII (see oracle comment).  Counts are exact
+    BIGINTs; the redacted text is emitted as its md5 so the full
+    redaction output is hash-verified without hauling document bodies
+    through the compare."""
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@mail"),
+                (did % 13).cast("string"), F.lit(".example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        T.count_emails(planted).cast("long").alias("n_emails"),
+        T.count_phones(planted).cast("long").alias("n_phones"),
+        T.count_ipv4(planted).cast("long").alias("n_ipv4"),
+        F.md5(T.redact_pii(planted)).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-cost estimation: BPE-ish token counting
+# (functions/text.py:BPE_TOKEN_PATTERN).
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_token_stats",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|'''''))) AS BIGINT)
+               AS total_bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-source BPE-ish pretoken counts (GPT-2-style
+    pretokenization regex, single codegen'd regexp scan) next to the
+    whitespace token count — the two numbers a pipeline quotes when
+    estimating training cost per source."""
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.bpe_token_count(F.col("text"))).cast("long").alias("total_bpe_tokens"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("total_ws_tokens"),
+    )
