@@ -1,0 +1,91 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+A curation run needs *reproducible* subsets: the same document must
+land in the same train/eval split on every run, on every engine, at
+any parallelism — so membership must be a pure function of a stable
+key, never of partition layout or an RNG stream.  (Spark's
+``df.sample`` / ``randomSplit`` are seeded per-partition: repartition
+the input and the membership changes — unusable for split contracts.)
+
+Everything here keys membership off ``md5(key)``: engine-portable
+(identical in Spark, DuckDB, Python), uniform in the low bits, and
+independent of physical layout.  All operators are stateless column
+expressions — no shuffle beyond what the caller's plan already has,
+trivially parallel at 100TB.
+
+The bucket is the integer value of md5 hex digits 25-32 (the last
+eight → 32 bits, taken mod ``buckets``).  Using the *trailing* digits
+keeps this hash family independent of the fingerprint-prefix bucketing
+in functions/text.py (leading digits), so sampling never correlates
+with fingerprint-bucket partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from a stable key.
+
+    conv(hex, 16, 10) of 8 hex chars fits in 32 bits — exact in the
+    signed-64 arithmetic both engines use."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 25, 8), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, buckets: int = HASH_BUCKETS
+) -> DataFrame:
+    """Keep ~``rate`` of rows, membership a pure function of the key.
+
+    Exact contract: keep iff hash_bucket(key) < rate * buckets.  The
+    same key is kept or dropped identically on every run/engine —
+    unlike ``df.sample``, whose membership depends on partition
+    layout."""
+    return df.where(hash_bucket(F.col(key_col), buckets) < F.lit(int(rate * buckets)))
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    eval_rate: float = 0.05,
+    buckets: int = HASH_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag each row 'eval' (lowest ``eval_rate`` hash buckets) or
+    'train'.  Holdout membership is stable under corpus growth: a
+    document's split never changes when other documents are added or
+    removed — the property that keeps eval sets uncontaminated across
+    pipeline re-runs."""
+    is_eval = hash_bucket(F.col(key_col), buckets) < F.lit(int(eval_rate * buckets))
+    return df.withColumn(split_col, F.when(is_eval, F.lit("eval")).otherwise(F.lit("train")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the "mixture weights" pass
+    that up/down-samples sources into a target training mix.
+
+    ``rates`` maps stratum value -> keep fraction; strata not listed
+    use ``default_rate``.  Same hash-threshold contract as
+    ``deterministic_sample``, so per-source membership is reproducible
+    and composable with the split above (a document sampled into the
+    mix keeps its train/eval assignment)."""
+    threshold = F.lit(int(default_rate * buckets))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * buckets))
+        ).otherwise(threshold)
+    return df.where(hash_bucket(F.col(key_col), buckets) < threshold)

@@ -1648,3 +1648,67 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.bpe_token_count(F.col("text"))).cast("long").alias("total_bpe_tokens"),
         F.sum(T.token_count(F.col("text"))).cast("long").alias("total_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible corpus splits + mixture sampling (operators/sampling.py).
+# Membership is a pure function of md5(key) in BOTH engines, so the
+# oracle checks the actual split contract, not a seeded RNG's output.
+# ---------------------------------------------------------------------------
+_HB_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) % 10000"
+
+
+@query(
+    "train_eval_split",
+    oracle=f"""
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM (
+        SELECT source,
+               CASE WHEN {_HB_SQL} < 500 THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    )
+    GROUP BY source, split
+    """,
+)
+def train_eval_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: deterministic 5% eval holdout, stable under corpus
+    growth and physical layout (operators/sampling.py) — per-source
+    split counts."""
+    from telemetry_streaming_spark.operators.sampling import train_eval_split
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return (
+        train_eval_split(docs, "doc_id", eval_rate=0.05)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs
+    FROM (
+        SELECT source, {_HB_SQL} AS hb
+        FROM documents
+    )
+    WHERE hb < (CASE source WHEN 'src0' THEN 10000
+                            WHEN 'src1' THEN 5000
+                            WHEN 'src2' THEN 1000
+                            ELSE 2500 END)
+    GROUP BY source
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-source mixture sampling (keep all of src0, half
+    of src1, 10% of src2, 25% elsewhere) with hash-deterministic
+    membership (operators/sampling.py:stratified_sample)."""
+    from telemetry_streaming_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    sampled = stratified_sample(
+        docs, "doc_id", "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_rate=0.25,
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
