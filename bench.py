@@ -22,9 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: scan-agg, window-agg, joins, and the extension ops.
-# Names must exist in the registry; missing ones are skipped so bench
-# never breaks mid-round.
+# Headline set: scan-agg, window-agg, joins, and the extension ops —
+# including the full dedup family (exact, n-gram Jaccard, minhash
+# banding, minhash-LSH), the flagship tiers of the training-data
+# pipeline.  Names must exist in the registry; missing ones are
+# skipped so bench never breaks mid-round.
 HEADLINE = [
     "pricing_summary",
     "windowed_sum",
@@ -36,6 +38,8 @@ HEADLINE = [
     "customer_order_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh",
     "similarity_topk",
     "text_quality",
     "token_stats",
