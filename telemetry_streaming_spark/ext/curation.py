@@ -1,0 +1,139 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the engine's quality / dedup / compliance / split operators
+into the standard corpus-curation funnel, in the order a 100TB run
+wants them:
+
+1. **length + quality gate** — cheapest per-row predicates first, so
+   everything downstream sees fewer rows;
+2. **language filter** — keep target languages (column-expression
+   heuristic; a model-based ID would slot in via mapInPandas);
+3. **repetition filter** — drop Gopher-flagged boilerplate (two narrow
+   count shuffles);
+4. **exact dedup** — keep the minimum doc_id per fingerprint (one
+   shuffle on the md5 key; near-dup tiers are run separately and fed
+   back in as an id-list when wanted);
+5. **PII redaction** — rewrite the surviving text (pure column map);
+6. **train/eval split** — hash-deterministic tag, stable across runs.
+
+Every stage is a DataFrame -> DataFrame function of its own module;
+this file only sequences them and keeps per-stage row counts
+observable.  Filters are staged most-selective-per-dollar first, and
+nothing here adds a shuffle beyond what the member operators already
+do: the whole funnel is 3 narrow shuffles (repetition x2, dedup x1)
+plus pure column maps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from telemetry_streaming_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    redact_pii,
+    token_count,
+)
+from telemetry_streaming_spark.operators.repetition import repetition_flags
+from telemetry_streaming_spark.operators.sampling import train_eval_split
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    min_quality: float = 0.5
+    keep_langs: tuple[str, ...] = ("en",)
+    repetition_n: int = 2
+    max_dup_frac: float = 0.75
+    max_top_frac: float = 0.10
+    eval_rate: float = 0.05
+
+
+def curate(
+    df: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the full funnel; returns the curated corpus with
+    ``split`` and ``redacted`` columns added.
+
+    The repetition join is a broadcast of *flagged ids only* (the
+    flagged set is small by construction — boilerplate is the
+    exception, not the rule), so the corpus-side frame never
+    shuffles for stage 3."""
+    c = F.col(text_col)
+    gated = df.where(
+        (token_count(c) >= config.min_tokens)
+        & (token_count(c) <= config.max_tokens)
+        & (quality_score(c) >= config.min_quality)
+        & (lang_id(c).isin(*config.keep_langs))
+    )
+    flagged = (
+        repetition_flags(
+            gated, text_col, id_col, config.repetition_n,
+            config.max_dup_frac, config.max_top_frac,
+        )
+        .where(F.col("flagged") == 1)
+        .select(id_col)
+    )
+    clean = gated.join(F.broadcast(flagged), id_col, "left_anti")
+    keeper = (
+        clean.select(fingerprint(c).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    deduped = clean.join(F.broadcast(keeper), id_col, "left_semi")
+    redacted = deduped.withColumn("redacted", redact_pii(c))
+    return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
+
+
+def funnel_counts(
+    df: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage-by-stage survivor counts — the number a curation run
+    reports while it executes.  One row per stage, exact BIGINTs."""
+    c = F.col(text_col)
+    gated = df.where(
+        (token_count(c) >= config.min_tokens)
+        & (token_count(c) <= config.max_tokens)
+        & (quality_score(c) >= config.min_quality)
+    )
+    lang_kept = gated.where(lang_id(c).isin(*config.keep_langs))
+    flagged = (
+        repetition_flags(
+            lang_kept, text_col, id_col, config.repetition_n,
+            config.max_dup_frac, config.max_top_frac,
+        )
+        .where(F.col("flagged") == 1)
+        .select(id_col)
+    )
+    unflagged = lang_kept.join(F.broadcast(flagged), id_col, "left_anti")
+    deduped = (
+        unflagged.select(fingerprint(c).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    split = train_eval_split(deduped, id_col, eval_rate=config.eval_rate)
+    stages = [
+        ("0_input", df.select(F.count(F.lit(1)))),
+        ("1_quality_gate", gated.select(F.count(F.lit(1)))),
+        ("2_lang_filter", lang_kept.select(F.count(F.lit(1)))),
+        ("3_repetition_filter", unflagged.select(F.count(F.lit(1)))),
+        ("4_exact_dedup", deduped.select(F.count(F.lit(1)))),
+        ("5_eval_holdout", split.where(F.col("split") == "eval").select(F.count(F.lit(1)))),
+    ]
+    out = None
+    for name, cnt in stages:
+        row = cnt.select(F.lit(name).alias("stage"), F.col("count(1)").cast("long").alias("n_docs"))
+        out = row if out is None else out.unionByName(row)
+    return out

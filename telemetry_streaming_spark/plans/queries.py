@@ -1720,3 +1720,92 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.25,
     )
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel (ext/curation.py): stage-by-stage
+# survivor counts for the quality -> language -> repetition -> dedup
+# -> split pipeline.  The oracle recomposes the SAME stage predicates
+# (each already individually oracle-checked above) as CTEs.
+# ---------------------------------------------------------------------------
+def _curation_funnel_sql() -> str:
+    from telemetry_streaming_spark.functions.text import LANG_MARKERS
+
+    hits = {c: _lang_hits_sql(c, m) for c, m in LANG_MARKERS.items()}
+    codes = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    cascade = " ".join(f"WHEN h_{c} = best THEN '{c}'" for c in codes)
+    hit_cols = ",\n               ".join(f"{hits[c]} AS h_{c}" for c in codes)
+    return rf"""
+    WITH q AS (
+        SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               0.5 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+                 + 0.2 * least(1.0, (CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                                     / len(string_split_regex(trim(text), '\s+'))) / 8.0)
+                   AS quality
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, text FROM q
+        WHERE n_tokens >= 10 AND n_tokens <= 100000 AND quality >= 0.5
+    ),
+    lang_pred AS (
+        SELECT doc_id, text,
+               {hit_cols}
+        FROM gated
+    ),
+    kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text, {best} AS best,
+                   CASE WHEN {best} = 0 THEN 'und' ELSE (CASE {cascade} ELSE 'und' END) END AS pred_lang
+            FROM lang_pred
+        ) WHERE pred_lang = 'en'
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM kept)
+        WHERE len(t) >= 2
+    ),
+    rep AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        FROM (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+        GROUP BY doc_id
+    ),
+    flagged AS (
+        SELECT doc_id FROM rep
+        WHERE (n_grams - n_distinct) * 100 >= 75 * n_grams OR top_count * 100 >= 10 * n_grams
+    ),
+    unflagged AS (
+        SELECT doc_id, text FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    dedup AS (
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS doc_id
+        FROM unflagged GROUP BY 1
+    ),
+    eval_docs AS (
+        SELECT doc_id FROM dedup
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) % 10000 < 500
+    )
+    SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT '1_quality_gate', COUNT(*) FROM gated
+    UNION ALL SELECT '2_lang_filter', COUNT(*) FROM kept
+    UNION ALL SELECT '3_repetition_filter', COUNT(*) FROM unflagged
+    UNION ALL SELECT '4_exact_dedup', COUNT(*) FROM dedup
+    UNION ALL SELECT '5_eval_holdout', COUNT(*) FROM eval_docs
+    """
+
+
+@query("curation_funnel", oracle=_curation_funnel_sql())
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the end-to-end curation pipeline's stage-survivor
+    funnel (ext/curation.py:funnel_counts) — quality gate, language
+    filter, Gopher repetition filter, exact dedup, eval holdout."""
+    from telemetry_streaming_spark.ext.curation import funnel_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return funnel_counts(docs)
