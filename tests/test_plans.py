@@ -164,3 +164,51 @@ def test_minhash_signatures_are_single_aggregate(spark):
     plan = explain_str(minhash_signatures(docs))
     assert "partial_min" in plan  # map-side combine of the min-aggs
     assert "lambdafunction" not in plan.lower()  # no interpreted HOFs
+
+
+def test_pii_scan_is_pure_map(spark):
+    """PII scan/redaction is a per-row column map: the plan must
+    contain no exchange at all — at 100TB this operator costs exactly
+    one pass over the corpus, embarrassingly parallel."""
+    plan = explain_str(q(spark, "pii_scan"))
+    assert "Exchange" not in plan
+    assert "regexp_replace" in plan  # redaction stays JVM-side
+
+
+def test_deterministic_sample_is_scan_plus_filter(spark):
+    """Hash-threshold sampling must plan as scan + filter: no
+    exchange, no RNG node whose output depends on partition layout."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.operators.sampling import deterministic_sample
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
+    plan = explain_str(deterministic_sample(docs, "doc_id", 0.25))
+    assert "Exchange" not in plan
+    assert "Sample" not in plan  # not the partition-seeded sampler
+    assert "md5" in plan
+
+
+def test_repetition_two_narrow_exchanges(spark):
+    """Repetition stats must shuffle exactly twice — (id, gram) counts
+    then per-doc fold — and the gram strings must be built after the
+    explode (codegen'd scalar concat), never via interpreted
+    higher-order lambdas."""
+    plan = explain_str(q(spark, "ngram_repetition"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the only other exchange is the scan fan-out (local single-row-
+    # group artifact), never a third keyed shuffle
+    assert plan.count("Exchange") <= 3
+    assert "lambdafunction" not in plan.lower()
+
+
+def test_curation_corpus_never_sort_merge_joins(spark):
+    """The curation funnel joins flagged-id / keeper-id sets back into
+    the corpus as broadcasts (they are small by construction); a
+    SortMergeJoin here would mean the full corpus shuffles once per
+    stage."""
+    df = q(spark, "curation_funnel")
+    df.collect()  # let AQE finalize
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
