@@ -94,6 +94,103 @@ def curate(
     return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
 
 
+def repetition_stats_expr(text_col: str = "text", n: int = 2):
+    """Per-row repetition stats as a single column expression —
+    struct(n_grams, n_distinct, top_count).
+
+    The batch tier (operators/repetition.py) computes these with two
+    narrow shuffles, the right shape for a corpus-wide pass.  A
+    *streaming* pipeline wants them stateless — per row, no shuffle,
+    no state store — so this version builds the gram array in-row and
+    finds the longest run of the sorted array with an ``aggregate``
+    fold.  Higher-order functions run interpreted, but the fold is
+    O(grams) per row on a map stage — acceptable for a per-document
+    expression, unlike the O(pairs) folds the dedup tiers avoid.
+    Verified against the batch operator in tests (identical stats on
+    the same rows).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    srt = F.array_sort(grams)
+    run_state = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda s, g: F.struct(
+            g.alias("prev"),
+            F.when(g.eqNullSafe(s.prev), s.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                s.best,
+                F.when(g.eqNullSafe(s.prev), s.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    return F.struct(
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        run_state.best.alias("top_count"),
+    )
+
+
+def curate_stream(
+    df: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming variant of :func:`curate` — the same funnel on an
+    unbounded stream.
+
+    Stage mapping vs batch:
+    - quality / language / repetition gates become stateless per-row
+      predicates (``repetition_stats_expr``) — no shuffle, no state;
+    - exact dedup becomes ``dropDuplicatesWithinWatermark`` on the
+      fingerprint: state is O(fingerprints per watermark window), and
+      the survivor is the FIRST arrival rather than the batch tier's
+      min-id (the id is not known until the horizon closes — callers
+      that need min-id semantics run the batch dedup over the sink);
+    - redaction and split are the identical stateless expressions.
+    """
+    c = F.col(text_col)
+    stats = repetition_stats_expr(text_col, config.repetition_n)
+    gated = (
+        df.where(
+            (token_count(c) >= config.min_tokens)
+            & (token_count(c) <= config.max_tokens)
+            & (quality_score(c) >= config.min_quality)
+            & (lang_id(c).isin(*config.keep_langs))
+        )
+        .withColumn("_rep", stats)
+        .where(
+            ~(
+                ((F.col("_rep.n_grams") - F.col("_rep.n_distinct")) * 100
+                 >= F.lit(int(config.max_dup_frac * 100)) * F.col("_rep.n_grams"))
+                | (F.col("_rep.top_count") * 100
+                   >= F.lit(int(config.max_top_frac * 100)) * F.col("_rep.n_grams"))
+            )
+        )
+        .drop("_rep")
+    )
+    deduped = (
+        gated.withColumn("fp", fingerprint(c))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    redacted = deduped.withColumn("redacted", redact_pii(c))
+    return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
+
+
 def funnel_counts(
     df: DataFrame,
     config: CurationConfig = CurationConfig(),

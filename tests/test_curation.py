@@ -51,3 +51,90 @@ def test_curate_is_deterministic(spark, corpus):
     a = sorted((r.doc_id, r.split) for r in curate(corpus).collect())
     b = sorted((r.doc_id, r.split) for r in curate(corpus.repartition(5)).collect())
     assert a == b
+
+
+def test_repetition_expr_matches_batch_operator(spark, corpus):
+    """The stateless per-row repetition expression must produce the
+    identical stats the shuffle-based batch operator computes."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.ext.curation import repetition_stats_expr
+    from telemetry_streaming_spark.operators.repetition import ngram_repetition
+
+    expr = {
+        r.doc_id: (r.s.n_grams, r.s.n_distinct, r.s.top_count)
+        for r in corpus.select(
+            "doc_id", repetition_stats_expr().alias("s")
+        ).collect()
+        if r.s.n_grams > 0
+    }
+    batch = {
+        r.doc_id: (r.n_grams, r.n_distinct, r.top_count)
+        for r in ngram_repetition(corpus).collect()
+    }
+    assert expr == batch
+
+
+def test_curate_stream_e2e(spark, tmp_path):
+    """File-source streaming curation: gates drop the same docs as
+    batch, the watermarked dedup collapses replayed fingerprints, and
+    survivors arrive redacted + split-tagged."""
+    import json
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.ext.curation import curate_stream
+    from telemetry_streaming_spark.streaming.core import text_file_source
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def write(name, rows):
+        p = indir / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    base = 1_700_000_000
+    write("b1.jsonl", [
+        {"doc_id": 1, "text": EN, "ts_s": base},
+        {"doc_id": 2, "text": "too short", "ts_s": base + 1},
+        {"doc_id": 3, "text": "el la de que y en un los " * 8, "ts_s": base + 2},
+        {"doc_id": 4, "text": ("the spam beacon " * 25).strip(), "ts_s": base + 3},
+        {"doc_id": 6, "text": EN + " email me at a@b.io today ok", "ts_s": base + 5},
+    ])
+
+    raw = text_file_source(spark, str(indir))
+    parsed = raw.select(F.from_json("value", "doc_id long, text string, ts_s long").alias("j")).select(
+        F.col("j.doc_id").alias("doc_id"),
+        F.col("j.text").alias("text"),
+        F.timestamp_seconds(F.col("j.ts_s")).alias("timestamp"),
+    )
+    curated = curate_stream(parsed)
+    name = f"curate_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        curated.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        while query.status["isDataAvailable"] or query.status["isTriggerActive"]:
+            query.processAllAvailable()
+            break
+        query.processAllAvailable()
+        # replay doc 1's text under a new id (same fingerprint) plus a
+        # fresh survivor
+        write("b2.jsonl", [
+            {"doc_id": 7, "text": EN + ".", "ts_s": base + 10},   # dup fp of 1
+            {"doc_id": 8, "text": EN + " more words here now", "ts_s": base + 11},
+        ])
+        query.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        got = {r.doc_id: r for r in rows}
+        assert set(got) == {1, 6, 8}
+        assert "[EMAIL]" in got[6].redacted
+        assert all(r.split in ("train", "eval") for r in rows)
+    finally:
+        query.stop()
