@@ -1,0 +1,382 @@
+"""spark-submit CLI for the nine reference jobs.
+
+The reference exposes each job as a main class with Scallop options
+(StreamingJobBase.scala:60-90, ErrorAggregatorBase.scala:280-300); a
+user switching engines runs the same shapes here:
+
+    spark-submit --py-files tss.zip -m telemetry_streaming_spark.cli \
+        error_aggregator --kafka-broker $B --output-path s3://... \
+        --checkpoint-path s3://.../ckpt
+    python -m telemetry_streaming_spark.cli error_aggregator \
+        --input-path day/ --from 20240101 --to 20240102 --output-path out/
+
+Option names mirror the reference (kafkaBroker -> --kafka-broker,
+startingOffsets -> --starting-offsets, outputPath/numParquetFiles/
+failOnDataLoss likewise; --from/--to select date-named subdirectories
+of --input-path exactly like the reference's S3 date partitions).
+
+Source selection: --kafka-broker (streaming), --stream-input (file
+stream standing in for the topic — the S4 test source), or
+--input-path (batch; --format heka reads the reference's actual wire
+format via sources/heka.py).  HTTP/UDP-sink jobs accept --url /
+--statsd-host, or --output-path as the offline fallback that writes
+the exact request bodies to files — the same payloads, inspectable.
+
+``--explain`` prints the physical plan and exits without executing —
+the plan-review step a 100TB operator runs before launching.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _add_common(p: argparse.ArgumentParser, streaming_sink: bool = True) -> None:
+    src = p.add_argument_group("source")
+    src.add_argument("--kafka-broker")
+    src.add_argument("--topic", default="telemetry")
+    src.add_argument("--starting-offsets", default="latest")
+    src.add_argument("--fail-on-data-loss", action="store_true")
+    src.add_argument("--stream-input", help="file-stream dir (S4 test source)")
+    src.add_argument("--input-path", help="batch input dir")
+    src.add_argument("--format", choices=("json", "heka"), default="json")
+    src.add_argument("--from", dest="date_from", help="yyyymmdd (batch)")
+    src.add_argument("--to", dest="date_to", help="yyyymmdd (batch)")
+    snk = p.add_argument_group("sink")
+    snk.add_argument("--output-path")
+    snk.add_argument("--checkpoint-path")
+    snk.add_argument("--num-parquet-files", type=int, default=60)
+    p.add_argument("--explain", action="store_true", help="print plan, do not run")
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+
+
+def _source(spark: SparkSession, args) -> tuple[DataFrame, bool]:
+    """Build the one-column ``value string`` frame every job consumes.
+    Returns (df, is_streaming)."""
+    if args.kafka_broker:
+        from telemetry_streaming_spark.streaming.core import kafka_source
+
+        raw = kafka_source(
+            spark, args.kafka_broker, args.topic,
+            starting_offsets=args.starting_offsets,
+            fail_on_data_loss=args.fail_on_data_loss,
+        )
+        return raw.selectExpr("CAST(value AS STRING) AS value"), True
+    if args.stream_input:
+        from telemetry_streaming_spark.streaming.core import text_file_source
+
+        return text_file_source(spark, args.stream_input), True
+    if not args.input_path:
+        raise SystemExit("one of --kafka-broker / --stream-input / --input-path required")
+    paths = [args.input_path]
+    if args.date_from and args.date_to:
+        days = sorted(
+            d for d in os.listdir(args.input_path)
+            if d.isdigit() and args.date_from <= d <= args.date_to
+        )
+        if days:
+            paths = [os.path.join(args.input_path, d) for d in days]
+    if args.format == "heka":
+        from telemetry_streaming_spark.sources.heka import read_heka
+
+        frames = [read_heka(spark, p) for p in paths]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out, False
+    return spark.read.text(paths).withColumnRenamed("value", "value"), False
+
+
+def _write_text(df: DataFrame, col: str, path: str) -> None:
+    df.select(col).write.mode("overwrite").text(path)
+
+
+def _finish(args, df: DataFrame, streaming_writer, batch_writer):
+    """Route a prepared frame: --explain prints, streaming starts the
+    query and blocks, batch executes the writer."""
+    if args.explain:
+        df.explain("formatted")
+        return None
+    if streaming_writer is not None:
+        query = streaming_writer()
+        query.awaitTermination()
+        return query
+    return batch_writer()
+
+
+def _require(args, *names) -> None:
+    missing = [n for n in names if not getattr(args, n.replace("-", "_"))]
+    if missing:
+        raise SystemExit(f"missing required option(s): {', '.join('--' + n for n in missing)}")
+
+
+def run_error_aggregator(spark, args, experiments: bool = False):
+    raw, streaming = _source(spark, args)
+    if experiments:
+        from telemetry_streaming_spark.jobs import experiments_error_aggregator as job
+
+        agg = job.aggregate(raw, streaming=streaming)
+        if args.explain:
+            agg.explain("formatted")
+            return
+        _require(args, "output-path")
+        if streaming:
+            _require(args, "checkpoint-path")
+            q = (
+                agg.repartition(1).writeStream.queryName("main_query")
+                .format("parquet").option("path", args.output_path)
+                .option("checkpointLocation", args.checkpoint_path)
+                .outputMode("append").start()
+            )
+            q.awaitTermination()
+        else:
+            agg.repartition(args.num_parquet_files).write.mode("overwrite").parquet(args.output_path)
+        return
+    from telemetry_streaming_spark.jobs import error_aggregator as job
+
+    if args.explain:
+        job.aggregate(raw, streaming=streaming).explain("formatted")
+        return
+    _require(args, "output-path")
+    if streaming:
+        _require(args, "checkpoint-path")
+        job.write_streaming(raw, args.output_path, args.checkpoint_path).awaitTermination()
+    else:
+        job.write_batch(raw, args.output_path, args.num_parquet_files)
+
+
+def run_event_ping_events(spark, args):
+    from telemetry_streaming_spark.jobs import event_ping_events as job
+
+    raw, streaming = _source(spark, args)
+    if args.explain:
+        job.explode_events(raw).explain("formatted")
+        return
+    _require(args, "output-path")
+    if streaming:
+        _require(args, "checkpoint-path")
+        job.write_streaming(raw, args.output_path, args.checkpoint_path).awaitTermination()
+    else:
+        job.explode_events(raw).write.mode("overwrite").parquet(args.output_path)
+
+
+def run_experiment_enrollments(spark, args):
+    from telemetry_streaming_spark.jobs import experiment_enrollments as job
+
+    raw, streaming = _source(spark, args)
+    agg = job.aggregate(raw, streaming=streaming)
+    if args.explain:
+        agg.explain("formatted")
+        return
+    _require(args, "output-path")
+    if streaming:
+        _require(args, "checkpoint-path")
+        (
+            agg.writeStream.queryName("main_query").format("parquet")
+            .option("path", args.output_path)
+            .option("checkpointLocation", args.checkpoint_path)
+            .outputMode("append").start().awaitTermination()
+        )
+    else:
+        agg.write.mode("overwrite").parquet(args.output_path)
+
+
+def run_enrollments_to_testtube(spark, args):
+    from telemetry_streaming_spark.jobs import enrollments_to_testtube as job
+
+    raw, streaming = _source(spark, args)
+    rows = job.to_json_rows(job.aggregate(raw, streaming=streaming))
+    if args.explain:
+        rows.explain("formatted")
+        return
+    if args.url:
+        from telemetry_streaming_spark.sinks.http import TestTubeHttpSink, push_partitions
+
+        push_partitions(rows, lambda: TestTubeHttpSink(args.url))
+    else:
+        _require(args, "output-path")
+        _write_text(rows, rows.columns[0], args.output_path)
+
+
+def run_uptake_to_datadog(spark, args):
+    from telemetry_streaming_spark.jobs import uptake_to_datadog as job
+
+    raw, _ = _source(spark, args)
+    m = job.metrics(raw)
+    if args.explain:
+        m.explain("formatted")
+        return
+    if args.statsd_host:
+        from telemetry_streaming_spark.sinks.dogstatsd import DogStatsDMetricSink
+
+        host, port = args.statsd_host, args.statsd_port
+
+        def push(rows):
+            w = DogStatsDMetricSink(host, port)
+            w.open(0, 0)
+            try:
+                for r in rows:
+                    w.process(r)
+            finally:
+                w.close(None)
+
+        m.foreachPartition(push)
+    else:
+        _require(args, "output-path")
+        m.write.mode("overwrite").parquet(args.output_path)
+
+
+def run_crashes(spark, args, protocol: str):
+    from telemetry_streaming_spark.jobs import crashes as job
+
+    raw, _ = _source(spark, args)
+    if protocol == "influx":
+        lines = job.to_influx(raw, measurement_name=args.measurement)
+        prefix, sep, suffix = "", "\n", ""
+    else:
+        lines = job.to_opentsdb(raw)
+        prefix, sep, suffix = "[", ",", "]"
+    if args.explain:
+        lines.explain("formatted")
+        return
+    if args.url:
+        from telemetry_streaming_spark.sinks.http import BatchHttpSink, push_partitions
+
+        push_partitions(
+            lines,
+            lambda: BatchHttpSink(
+                args.url, prefix=prefix, sep=sep, suffix=suffix,
+                max_batch_size=args.max_batch_size,
+            ),
+            max_parallel_requests=args.max_parallel_requests,
+        )
+    else:
+        _require(args, "output-path")
+        _write_text(lines, lines.columns[0], args.output_path)
+
+
+def run_events_to_amplitude(spark, args):
+    from telemetry_streaming_spark.jobs import events_to_amplitude as job
+
+    _require(args, "config")
+    config = job.load_config(args.config)
+    doctype, app_name = job.dispatch_for_config(config)
+    raw, streaming = _source(spark, args)
+    payloads = job.amplitude_payloads(
+        raw, config, sample=args.sample, doctype=doctype, app_name=app_name
+    )
+    events = job.exploded_events(payloads)
+    if args.explain:
+        events.explain("formatted")
+        return
+    if args.url:
+        from telemetry_streaming_spark.sinks.http import AmplitudeHttpSink
+
+        url = args.url
+        api_key = args.api_key or os.environ.get("AMPLITUDE_API_KEY", "")
+
+        def push(df):
+            df.select("event_json").foreachPartition(
+                lambda rows: AmplitudeHttpSink(url, api_key).send_events(
+                    [r.event_json for r in rows]
+                )
+            )
+
+        if streaming:
+            _require(args, "checkpoint-path")
+            (
+                events.writeStream.queryName("main_query")
+                .option("checkpointLocation", args.checkpoint_path)
+                .foreachBatch(lambda df, bid: push(df)).start().awaitTermination()
+            )
+        else:
+            push(events)
+    else:
+        _require(args, "output-path")
+        _write_text(events, events.columns[-1], args.output_path)
+
+
+def run_federated_optimizer(spark, args):
+    from telemetry_streaming_spark.jobs import federated_optimizer as job
+
+    _require(args, "state-path", "model-output-path", "checkpoint-path")
+    raw, streaming = _source(spark, args)
+    if not streaming:
+        raise SystemExit("federated_optimizer is a streaming-only job")
+    updates = job.frecency_updates(raw)
+    agg = job.aggregate_updates(updates)
+    if args.explain:
+        agg.explain("formatted")
+        return
+    sink = job.FederatedOptimizerSink(args.state_path, args.model_output_path)
+    job.write_updates_streaming(agg, sink, args.checkpoint_path).awaitTermination()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    top = argparse.ArgumentParser(prog="telemetry_streaming_spark")
+    sub = top.add_subparsers(dest="job", required=True)
+
+    for name in ("error_aggregator", "experiments_error_aggregator", "event_ping_events",
+                 "experiment_enrollments"):
+        _add_common(sub.add_parser(name))
+
+    p = sub.add_parser("enrollments_to_testtube")
+    _add_common(p)
+    p.add_argument("--url")
+
+    p = sub.add_parser("uptake_to_datadog")
+    _add_common(p)
+    p.add_argument("--statsd-host")
+    p.add_argument("--statsd-port", type=int, default=8125)
+
+    for proto in ("influx", "opentsdb"):
+        p = sub.add_parser(f"crashes_to_{proto}")
+        _add_common(p)
+        p.add_argument("--url")
+        p.add_argument("--measurement", default="crashes")
+        p.add_argument("--max-batch-size", type=int, default=500)
+        p.add_argument("--max-parallel-requests", type=int, default=100)
+
+    p = sub.add_parser("events_to_amplitude")
+    _add_common(p)
+    p.add_argument("--config", help="amplitude event-spec JSON")
+    p.add_argument("--url")
+    p.add_argument("--api-key")
+    p.add_argument("--sample", type=float, default=1.0)
+
+    p = sub.add_parser("federated_optimizer")
+    _add_common(p)
+    p.add_argument("--state-path")
+    p.add_argument("--model-output-path")
+    return top
+
+
+RUNNERS = {
+    "error_aggregator": lambda s, a: run_error_aggregator(s, a),
+    "experiments_error_aggregator": lambda s, a: run_error_aggregator(s, a, experiments=True),
+    "event_ping_events": run_event_ping_events,
+    "experiment_enrollments": run_experiment_enrollments,
+    "enrollments_to_testtube": run_enrollments_to_testtube,
+    "uptake_to_datadog": run_uptake_to_datadog,
+    "crashes_to_influx": lambda s, a: run_crashes(s, a, "influx"),
+    "crashes_to_opentsdb": lambda s, a: run_crashes(s, a, "opentsdb"),
+    "events_to_amplitude": run_events_to_amplitude,
+    "federated_optimizer": run_federated_optimizer,
+}
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from telemetry_streaming_spark.session import get_spark
+
+        spark = get_spark(app_name=f"tss-{args.job}")
+    RUNNERS[args.job](spark, args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

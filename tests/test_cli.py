@@ -1,0 +1,121 @@
+"""CLI surface (cli.py): option parity with the reference's Scallop
+opts, batch e2e through real job transforms, offline sink fallbacks,
+and --explain plan review."""
+
+import json
+import os
+
+import pytest
+
+from telemetry_streaming_spark.cli import build_parser, main
+from tests.fixtures import crash_ping, main_ping
+
+
+def test_parser_covers_all_jobs():
+    parser = build_parser()
+    sub = next(a for a in parser._actions if a.dest == "job")
+    assert set(sub.choices) == {
+        "error_aggregator", "experiments_error_aggregator", "event_ping_events",
+        "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
+        "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
+        "federated_optimizer",
+    }
+
+
+def test_reference_option_names_parse():
+    args = build_parser().parse_args([
+        "error_aggregator", "--kafka-broker", "b:9092",
+        "--starting-offsets", "earliest", "--fail-on-data-loss",
+        "--output-path", "/o", "--checkpoint-path", "/c",
+        "--num-parquet-files", "7",
+    ])
+    assert args.kafka_broker == "b:9092"
+    assert args.starting_offsets == "earliest"
+    assert args.fail_on_data_loss and args.num_parquet_files == 7
+
+
+def test_batch_error_aggregator_e2e(spark, tmp_path):
+    """--input-path with --from/--to date dirs -> date-partitioned
+    parquet, matching the reference's batch mode."""
+    for day, n in (("20240101", 3), ("20240102", 2), ("20240103", 1)):
+        d = tmp_path / "in" / day
+        d.mkdir(parents=True)
+        (d / "pings.jsonl").write_text(
+            "\n".join(main_ping() for _ in range(n)) + "\n"
+        )
+    out = tmp_path / "out"
+    main([
+        "error_aggregator",
+        "--input-path", str(tmp_path / "in"),
+        "--from", "20240101", "--to", "20240102",
+        "--output-path", str(out), "--num-parquet-files", "2",
+    ], spark=spark)
+    got = spark.read.parquet(str(out))
+    assert got.count() > 0
+    # the --to bound excluded 20240103's ping; each ping contributes
+    # 2 rows via the experiment fan-out (its experiment + (null,null))
+    assert got.agg({"count": "sum"}).first()[0] == 10
+
+
+def test_crashes_to_influx_offline_sink(spark, tmp_path):
+    """--output-path fallback writes the exact line-protocol bodies."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "crashes.jsonl").write_text(crash_ping() + "\n")
+    out = tmp_path / "lines"
+    main([
+        "crashes_to_influx",
+        "--input-path", str(src),
+        "--output-path", str(out),
+        "--measurement", "crashes",
+    ], spark=spark)
+    lines = spark.read.text(str(out)).collect()
+    assert lines and all(r.value.startswith("crashes,") for r in lines)
+
+
+def test_explain_mode_runs_nothing(spark, tmp_path, capsys):
+    """--explain prints a physical plan and must not create output."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\n")
+    out = tmp_path / "out"
+    main([
+        "error_aggregator", "--input-path", str(src),
+        "--output-path", str(out), "--explain",
+    ], spark=spark)
+    assert "Physical Plan" in capsys.readouterr().out
+    assert not out.exists()
+
+
+def test_missing_required_option_errors(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\n")
+    with pytest.raises(SystemExit):
+        main(["error_aggregator", "--input-path", str(src)], spark=spark)
+
+
+def test_heka_format_source(spark, tmp_path):
+    """--format heka reads the reference's wire format end-to-end."""
+    from telemetry_streaming_spark.sources import heka
+
+    def telemetry_message(ping_json):
+        ping = json.loads(ping_json)
+        meta = ping.pop("meta")
+        ts = meta.pop("Timestamp")
+        fields = dict(meta)
+        fields["submission"] = json.dumps(ping)
+        return heka.encode_message(fields, timestamp=ts, msg_uuid=b"\x01" * 16)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    payload = heka.frame_stream([telemetry_message(main_ping()) for _ in range(2)])
+    (src / "day.heka").write_bytes(payload)
+    out = tmp_path / "out"
+    main([
+        "error_aggregator", "--format", "heka",
+        "--input-path", str(src), "--output-path", str(out),
+    ], spark=spark)
+    got = spark.read.parquet(str(out))
+    # 2 pings x experiment fan-out
+    assert got.agg({"count": "sum"}).first()[0] == 4
