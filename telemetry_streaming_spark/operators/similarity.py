@@ -109,6 +109,16 @@ def signed_random_projection_buckets(
     Cosine-similar vectors agree on most signs, so same-bucket
     collision probability rises with cosine similarity (Charikar
     2002 SRP-LSH).  8 planes -> 256 buckets.
+
+    Deliberately stays a JVM-side fold even though higher-order
+    functions run interpreted: an Arrow-batched numpy variant (the
+    rewrite that won 3x for the exact verifier's 2M-pair scoring)
+    measured dead even here — n_planes x dim flops per row is too
+    little compute to amortize serializing every row out to Python
+    and back, and ``mapInPandas`` would also drag the row's OTHER
+    columns through Arrow, which only worsens with row width at
+    scale.  Rule of thumb this codifies: vectorize per-PAIR scoring,
+    keep per-ROW projections in the JVM.
     """
     bucket = F.lit(0)
     for i in range(n_planes):
