@@ -1809,3 +1809,55 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return funnel_counts(docs)
+
+
+# ---------------------------------------------------------------------------
+# OLAP staples: exact quantiles and grouping-sets rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "value_quantiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) per group.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation formula on the same sorted values, so the doubles
+    are bit-identical — verified by the hash gate.  At scale the exact
+    form shuffles each group's values once; the sketch form
+    (``approx_percentile``) is the 100TB default when error tolerance
+    permits (same plan shape as A5's HLL distinct)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
+    "priority_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (priority -> priority+status -> grand
+    total) — Catalyst plans one Expand + single hash-agg pass, so the
+    three aggregation levels cost one shuffle, not three scans."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("sum_cents"),
+    )
