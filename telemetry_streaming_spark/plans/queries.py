@@ -1861,3 +1861,69 @@ def priority_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents(F.col("o_totalprice"))).alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: transitive closure of the minhash-LSH pair graph
+# (operators/components.py).  The oracle reuses the exact pair CTEs
+# and resolves components with a recursive label-propagation CTE —
+# feasible at oracle scale (clusters are small); the Spark side is the
+# O(log n) large-star/small-star algorithm that scales to 100TB.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_components",
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTES
+    + ",\n    "
+    + _minhash_sig_sql()
+    + ",\n    "
+    + _minhash_band_sql()
+    + f""",
+    bok AS (
+        SELECT band, band_key FROM bands
+        GROUP BY band, band_key HAVING COUNT(*) <= {_MAX_LSH_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN bok ON bok.band = a.band AND bok.band_key = a.band_key
+    ),
+    scored AS (
+        SELECT c.id1, c.id2,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+                   AS jaccard
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id1
+        JOIN sh b ON b.doc_id = c.id2
+    ),
+    pairs AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.1),
+    edges AS (
+        SELECT id1 AS u, id2 AS v FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(id, lab) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+    )
+    SELECT id, component FROM (
+        SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+    ) WHERE id != component
+    """,
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: near-dup pair edges resolved to duplicate clusters —
+    (id, component-min-id) for every non-representative member
+    (operators/components.py:connected_components over the LSH tier's
+    pairs)."""
+    from telemetry_streaming_spark.operators.components import connected_components
+    from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return connected_components(minhash_lsh_pairs(docs, threshold=0.1))
