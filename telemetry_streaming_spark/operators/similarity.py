@@ -392,3 +392,43 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-vector scalar quantization to ``levels+1`` integer codes —
+    the storage tier of a vector index (int8 codes are 4x smaller than
+    float32; IVF/SRP candidate generation runs on codes, the exact
+    verifier re-reads the float column for the final cut).
+
+    Affine per-vector map: q_i = floor((x_i - min) / (max - min) *
+    levels + 0.5), with constant vectors mapped to code 0.  Every step
+    is the same IEEE op on the same operand in any engine (array
+    min/max are exact, the scale divide is one IEEE division), so
+    codes — unlike the reconstructed floats — are engine-exact and
+    oracle-checkable.  Per-row map, no shuffle; the transform lambda
+    runs interpreted, which is acceptable for a one-time O(dim)
+    projection per row (see signed_random_projection_buckets for the
+    rule of thumb).
+
+    Returns (id, q: array<int>, q_min, q_scale) — enough to
+    dequantize: x_i ~ q_min + q_i * q_scale.
+    """
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = (hi - lo) / F.lit(float(levels))
+    q = F.when(
+        hi > lo,
+        F.transform(v, lambda x: F.floor((x.cast("double") - lo) / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        lo.alias("q_min"),
+        scale.alias("q_scale"),
+    )

@@ -1927,3 +1927,50 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
     return connected_components(minhash_lsh_pairs(docs, threshold=0.1))
+
+
+# ---------------------------------------------------------------------------
+# Vector storage tier: per-vector scalar quantization
+# (operators/similarity.py:quantize_embeddings).  Codes are integer-
+# exact across engines; the whole code array is hash-verified via an
+# md5 of its comma-joined form.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS q_min,
+               (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+                   AS q_scale,
+               CASE WHEN list_max(embedding) > list_min(embedding)
+                    THEN [CAST(floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+                               / ((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0)
+                               + 0.5) AS INT) FOR x IN embedding]
+                    ELSE [0 FOR x IN embedding] END AS codes
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS INT) AS n_dims,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           md5(array_to_string(codes, ',')) AS q_md5,
+           q_min, q_scale
+    FROM q
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: int8-range scalar quantization of the embedding
+    column — the code array is verified exactly via md5 of its joined
+    form; q_min/q_scale are single IEEE expressions."""
+    from telemetry_streaming_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    codes = F.col("q")
+    return q.select(
+        "vec_id",
+        F.size(codes).alias("n_dims"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda x: x.cast("string")))).alias("q_md5"),
+        "q_min",
+        "q_scale",
+    )

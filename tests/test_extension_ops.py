@@ -187,3 +187,23 @@ def test_lsh_work_scales_below_exact_tier(spark):
     for k in range(10):
         assert (k, 10_000 + k) in found
     spark.catalog.clearCache()
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    """Dequantized values must sit within half a quantization step of
+    the originals, and constant vectors map to code 0."""
+    from telemetry_streaming_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 0.5, 1.0, 0.25]),
+        (2, [3.0, 3.0, 3.0, 3.0]),   # constant
+        (3, [-2.0, 2.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[2].q == [0, 0, 0, 0] and out[2].q_scale == 0.0
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        r = out[vid]
+        for code, x in zip(r.q, vec):
+            assert 0 <= code <= 255
+            assert abs((r.q_min + code * r.q_scale) - x) <= r.q_scale / 2 + 1e-12
