@@ -307,8 +307,8 @@ def run_federated_optimizer(spark, args):
     raw, streaming = _source(spark, args)
     if not streaming:
         raise SystemExit("federated_optimizer is a streaming-only job")
-    updates = job.frecency_updates(raw)
-    agg = job.aggregate_updates(updates)
+    updates = job.frecency_updates(raw, model_branch=args.model_branch)
+    agg = job.aggregate_updates(updates, streaming=True)
     if args.explain:
         agg.explain("formatted")
         return
@@ -352,6 +352,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--state-path")
     p.add_argument("--model-output-path")
+    p.add_argument("--model-branch", default="frecency-update-study")
     return top
 
 

@@ -119,3 +119,32 @@ def test_heka_format_source(spark, tmp_path):
     got = spark.read.parquet(str(out))
     # 2 pings x experiment fan-out
     assert got.agg({"count": "sum"}).first()[0] == 4
+
+
+def test_explain_wires_every_job(spark, tmp_path):
+    """--explain must build each job's full plan (catching wiring bugs
+    like wrong transform signatures) without executing anything."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\n")
+    stream = tmp_path / "stream"
+    stream.mkdir()
+    (stream / "s.jsonl").write_text(main_ping() + "\n")
+
+    batch_jobs = [
+        ["error_aggregator"], ["experiments_error_aggregator"],
+        ["event_ping_events"], ["experiment_enrollments"],
+        ["enrollments_to_testtube"], ["uptake_to_datadog"],
+        ["crashes_to_influx"], ["crashes_to_opentsdb"],
+        ["events_to_amplitude", "--config",
+         "/root/reference/configs/focus_android_events_schemas.json"],
+    ]
+    for job in batch_jobs:
+        main(job + ["--input-path", str(src), "--explain"], spark=spark)
+    main([
+        "federated_optimizer", "--stream-input", str(stream),
+        "--state-path", str(tmp_path / "st"),
+        "--model-output-path", str(tmp_path / "m"),
+        "--checkpoint-path", str(tmp_path / "ck"),
+        "--explain",
+    ], spark=spark)
