@@ -59,6 +59,7 @@ def curate(
     config: CurationConfig = CurationConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    near_dup_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full funnel; returns the curated corpus with
     ``split`` and ``redacted`` columns added.
@@ -66,7 +67,14 @@ def curate(
     The repetition join is a broadcast of *flagged ids only* (the
     flagged set is small by construction — boilerplate is the
     exception, not the rule), so the corpus-side frame never
-    shuffles for stage 3."""
+    shuffles for stage 3.
+
+    ``near_dup_pairs`` (optional, columns id1/id2 — the output of any
+    dedup tier) extends the exact-dedup stage to NEAR-dup collapse:
+    pairs are resolved to clusters with connected components and every
+    non-representative member is dropped, so A~B~C keeps only min(A,B,
+    C) even when A~C was never scored.  The drop set is one id column
+    (anti-join), never the pair graph."""
     c = F.col(text_col)
     gated = df.where(
         (token_count(c) >= config.min_tokens)
@@ -90,6 +98,13 @@ def curate(
         .select(id_col)
     )
     deduped = clean.join(F.broadcast(keeper), id_col, "left_semi")
+    if near_dup_pairs is not None:
+        from telemetry_streaming_spark.operators.components import connected_components
+
+        losers = connected_components(near_dup_pairs).select(
+            F.col("id").alias(id_col)
+        )
+        deduped = deduped.join(losers, id_col, "left_anti")
     redacted = deduped.withColumn("redacted", redact_pii(c))
     return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
 

@@ -138,3 +138,14 @@ def test_curate_stream_e2e(spark, tmp_path):
         assert all(r.split in ("train", "eval") for r in rows)
     finally:
         query.stop()
+
+
+def test_curate_with_near_dup_pairs(spark, corpus):
+    """Near-dup pairs collapse transitively: feeding (1,6)-style pair
+    edges drops every non-representative member of each component."""
+    from telemetry_streaming_spark.ext.curation import curate
+
+    # without pairs both 1 and 6 survive (different fingerprints)
+    pairs = spark.createDataFrame([(1, 6)], ["id1", "id2"])
+    out = {r.doc_id for r in curate(corpus, near_dup_pairs=pairs).collect()}
+    assert out == {1}  # 6 is in 1's component; 1 is the keeper
