@@ -1974,3 +1974,209 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_min",
         "q_scale",
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension — as-of join (union+window formulation, operators/joins.py).
+# For every event, the customer's most recent order at-or-before the
+# event.  DuckDB's native ASOF JOIN is the oracle; the right side is
+# deduped per (key, ts) in BOTH engines so ties are deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_orderkey) AS o_orderkey,
+               ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(e.ts) // 1000000 AS ts_s,
+           r.o_orderkey AS last_orderkey,
+           CAST(FLOOR(r.o_totalprice * 100 + 0.5) AS BIGINT) AS last_price_cents,
+           (epoch_us(e.ts) - epoch_us(r.o_orderdate)) // 86400000000 AS age_days
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: distributed as-of join — one shuffle of |L|+|R| on the
+    key, one per-partition sort, zero join explosion (no ASOF in Spark;
+    a naive inequality join would be BroadcastNestedLoopJoin)."""
+    from telemetry_streaming_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        # NTZ -> session-tz timestamp; the engine pins the session tz to
+        # UTC, so the epoch values match DuckDB's epoch_us exactly.
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        cents(F.col("o_totalprice")).alias("last_price_cents"),
+        F.expr("(unix_micros(ts) - unix_micros(o_orderdate)) div 86400000000").alias(
+            "age_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension — interval (range) join via time-bin bucketing
+# (operators/joins.py).  Purchase attribution: per purchase event, the
+# count and value of same-user events in the following hour.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           COUNT(b.event_id) AS n_follow,
+           COALESCE(SUM(CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT)), 0)
+               AS follow_value_cents
+    FROM p LEFT JOIN events b
+      ON b.user_id = p.user_id
+     AND b.ts > p.ts AND b.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: range join as equi-join on (key, time-bin) + residual
+    predicate — a shuffled hash join, never BroadcastNestedLoopJoin.
+    Zero-match intervals are restored by a right join onto the interval
+    side (count() over the inner pairs, coalesce 0)."""
+    from telemetry_streaming_spark.operators.joins import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_end")
+    )
+    points = events.select("user_id", "ts", "value")
+    pairs = interval_join(
+        points,
+        purchases,
+        point_on="user_id",
+        point_ts="ts",
+        interval_start="ts",
+        interval_end="ts_end",
+        bin_seconds=3600,
+        closed="right",
+        point_prefix="f_",
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_follow"),
+        F.sum(cents(F.col("f_value"))).alias("follow_value_cents"),
+    )
+    return (
+        purchases.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("follow_value_cents", F.lit(0)).alias("follow_value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — ranked window functions: top-N per group via row_number, the
+# grouped-top-k pattern (global top-k is topk_orders/TakeOrdered).
+# ---------------------------------------------------------------------------
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    )
+    SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def top_orders_per_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: per-group top-N — one shuffle on the group key; Spark's
+    WindowGroupLimit pushes the rk<=3 limit into the sort so each
+    partition keeps only N rows per key before the filter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — pivot: long->wide reshape with an explicit value list (no
+# extra distinct scan), counts + a per-slice sum in one aggregation.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           {counts},
+           COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE event_type = 'purchase'), 0) AS purchase_value_cents
+    FROM events
+    GROUP BY user_id
+    """.format(
+        counts=",\n           ".join(
+            f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+        )
+    ),
+)
+def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: pivot with explicit values — one hash aggregation, no
+    distinct-values pre-pass, absent slices coalesced to 0."""
+    piv = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("cents"),
+        )
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(f"{t}_n", F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_value_cents"),
+    )

@@ -1,0 +1,201 @@
+"""asof_join / interval_join semantics + plan-shape gates.
+
+The temporal joins must behave like DuckDB ASOF JOIN / a range
+predicate join while compiling to equi-shuffle plans only (no
+BroadcastNestedLoopJoin, no CartesianProduct) — that is the whole
+point of the operators (operators/joins.py).
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from telemetry_streaming_spark.operators.joins import asof_join, interval_join
+from tests.test_plans import explain_str
+
+
+def t(minute, second=0):
+    return datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "A", t(3)),
+            (2, "A", t(5)),   # exact tie with a right row
+            (3, "A", t(0) - timedelta(minutes=1)),  # before any right row
+            (4, "B", t(59)),
+            (5, "C", t(0)),   # key absent on the right
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", t(0), 1.0),
+            ("A", t(5), 2.0),
+            ("B", t(1), 5.0),
+        ],
+        "k string, rts timestamp, px double",
+    )
+    return left, right
+
+
+def _by_id(df):
+    return {r["id"]: r for r in df.collect()}
+
+
+def test_asof_backward_with_ties(sides):
+    left, right = sides
+    out = _by_id(asof_join(left, right, left_on="k", left_ts="ts", right_ts="rts"))
+    assert out[1]["px"] == 1.0 and out[1]["rts"] == t(0)
+    assert out[2]["px"] == 2.0          # tie matches by default
+    assert out[3]["px"] is None and out[3]["rts"] is None
+    assert out[4]["px"] == 5.0
+    assert out[5]["px"] is None
+    assert set(out[1].asDict()) == {"id", "k", "ts", "rts", "px"}
+
+
+def test_asof_backward_strict_excludes_tie(sides):
+    left, right = sides
+    out = _by_id(
+        asof_join(left, right, left_on="k", left_ts="ts", right_ts="rts", strict=True)
+    )
+    assert out[2]["px"] == 1.0          # t(5) tie skipped -> t(0)
+    assert out[1]["px"] == 1.0
+    assert out[3]["px"] is None
+
+
+def test_asof_forward(sides):
+    left, right = sides
+    out = _by_id(
+        asof_join(left, right, left_on="k", left_ts="ts", right_ts="rts", direction="forward")
+    )
+    assert out[1]["px"] == 2.0          # next at-or-after t(3) is t(5)
+    assert out[2]["px"] == 2.0          # tie matches
+    assert out[3]["px"] == 1.0          # first A quote
+    assert out[4]["px"] is None         # nothing after t(59) for B
+    out_strict = _by_id(
+        asof_join(
+            left, right, left_on="k", left_ts="ts", right_ts="rts",
+            direction="forward", strict=True,
+        )
+    )
+    assert out_strict[2]["px"] is None  # tie excluded, nothing later
+
+
+def test_asof_tolerance(sides):
+    left, right = sides
+    out = _by_id(
+        asof_join(
+            left, right, left_on="k", left_ts="ts", right_ts="rts", tolerance_seconds=60
+        )
+    )
+    assert out[1]["px"] is None         # 3 min gap > 60 s tolerance
+    assert out[2]["px"] == 2.0          # 0 s gap survives
+
+
+def test_asof_column_collision_raises(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left.withColumn("px", left["id"] * 1.0),
+            right, left_on="k", left_ts="ts", right_ts="rts",
+        )
+
+
+def test_asof_plan_has_no_join_node(sides):
+    """The union+window formulation must not contain a join at all —
+    one hash exchange on the key feeds a sort + window."""
+    left, right = sides
+    plan = explain_str(asof_join(left, right, left_on="k", left_ts="ts", right_ts="rts"))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert "Window" in physical and "hashpartitioning(_k0" in physical
+
+
+@pytest.fixture(scope="module")
+def interval_sides(spark):
+    points = spark.createDataFrame(
+        [
+            (10, "A", t(0)),           # on the start boundary of iv 1
+            (11, "A", t(2, 30)),
+            (12, "A", t(5)),           # on the end boundary of iv 1
+            (13, "A", t(30)),          # outside every interval
+            (14, "B", t(2)),           # key B has no interval
+        ],
+        "pid long, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, "A", t(0), t(5)), (2, "A", t(4), t(6))],
+        "iv long, k string, start timestamp, end timestamp",
+    )
+    return points, intervals
+
+
+def pairs_of(df):
+    return sorted((r["iv"], r["p_pid"]) for r in df.collect())
+
+
+def test_interval_join_closed_modes(interval_sides):
+    points, intervals = interval_sides
+    kw = dict(
+        point_on="k", point_ts="ts", interval_start="start", interval_end="end",
+        bin_seconds=60, point_prefix="p_",
+    )
+    # [start, end): boundary start in, end out; 60 s bins => iv 1 spans 6 bins
+    assert pairs_of(interval_join(points, intervals, closed="left", **kw)) == [
+        (1, 10), (1, 11), (2, 12),
+    ]
+    assert pairs_of(interval_join(points, intervals, closed="right", **kw)) == [
+        (1, 11), (1, 12), (2, 12),
+    ]
+    assert pairs_of(interval_join(points, intervals, closed="both", **kw)) == [
+        (1, 10), (1, 11), (1, 12), (2, 12),
+    ]
+    assert pairs_of(interval_join(points, intervals, closed="neither", **kw)) == [
+        (1, 11), (2, 12),
+    ]
+
+
+def test_interval_join_multi_bin_no_duplicates(interval_sides):
+    """An interval spanning many bins must still emit each matching
+    pair exactly once (a point lands in exactly one bin)."""
+    points, intervals = interval_sides
+    out = interval_join(
+        points, intervals,
+        point_on="k", point_ts="ts", interval_start="start", interval_end="end",
+        bin_seconds=10, closed="both", point_prefix="p_",  # iv 1 covers 31 bins
+    )
+    got = pairs_of(out)
+    assert got == sorted(set(got))
+    assert got == [(1, 10), (1, 11), (1, 12), (2, 12)]
+
+
+def test_interval_join_plan_is_equi_join(interval_sides):
+    points, intervals = interval_sides
+    plan = explain_str(
+        interval_join(
+            points, intervals,
+            point_on="k", point_ts="ts", interval_start="start", interval_end="end",
+            bin_seconds=60, point_prefix="p_",
+        )
+    )
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_query_plan_gates(spark):
+    """Registry-level pins for the two temporal-join queries."""
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    asof_plan = explain_str(QUERIES["asof_join"].fn(spark, SF_SMOKE))
+    physical = asof_plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+
+    range_plan = explain_str(QUERIES["range_join"].fn(spark, SF_SMOKE))
+    physical = range_plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "CartesianProduct" not in physical
