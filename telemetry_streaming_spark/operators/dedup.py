@@ -519,3 +519,30 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (append-only) exact dedup: the daily-ingest pattern.
+
+    Returns one row per *new* fingerprint in ``batch`` — not already
+    present in ``corpus``, deduped within the batch (min-id keeper,
+    same rule as ``dedup_exact``).  Shape: the batch collapses to one
+    row per fingerprint first (map-side combine), then a left-anti
+    join probes the corpus fingerprints.  At 100TB the corpus side is
+    a pre-computed fingerprint table (store ``dedup_exact`` output,
+    don't re-scan the raw corpus); the anti-join shuffles only
+    (fp, id) pairs, and AQE picks broadcast when the daily batch's
+    fingerprint set is small enough.
+    """
+    batch_fps = (
+        batch.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"))
+    )
+    corpus_fps = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+    return batch_fps.join(corpus_fps, "fp", "left_anti")

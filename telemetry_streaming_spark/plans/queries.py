@@ -2180,3 +2180,69 @@ def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(f"{t}_n", F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
         F.coalesce("purchase_cents", F.lit(0)).alias("purchase_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — CUBE grouping sets: all four (event_type, day) aggregation
+# levels in one Expand + one hash-agg pass (single shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "event_cube",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY CUBE(event_type, day)
+    """,
+)
+def event_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: CUBE over (event_type, day) — Catalyst plans one Expand
+    (4 grouping sets) feeding a single partial+final hash aggregation,
+    so all levels cost one shuffle, not four scans."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            cents(F.col("value")).alias("vc"),
+        )
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension — incremental dedup (operators/dedup.py:dedup_against):
+# dedupe a new ingest batch against the already-ingested corpus.
+# Corpus = even doc_ids, batch = odd doc_ids (deterministic split of
+# the documents table).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keeper_id
+        FROM documents WHERE doc_id % 2 = 1
+        GROUP BY 1
+    )
+    SELECT b.fp, b.keeper_id
+    FROM batch b ANTI JOIN corpus c ON b.fp = c.fp
+    """,
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: append-only ingest dedup — batch fingerprints
+    collapse map-side, then one anti-join probes the corpus
+    fingerprint set (broadcast under AQE when the batch is small)."""
+    from telemetry_streaming_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_against(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )

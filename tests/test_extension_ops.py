@@ -207,3 +207,24 @@ def test_quantize_roundtrip_error_bounded(spark):
         for code, x in zip(r.q, vec):
             assert 0 <= code <= 255
             assert abs((r.q_min + code * r.q_scale) - x) <= r.q_scale / 2 + 1e-12
+
+
+def test_dedup_against_incremental(spark):
+    """Batch rows collapse per-fingerprint (min-id keeper), anything
+    already in the corpus is dropped, genuinely new text survives."""
+    from telemetry_streaming_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),    # already ingested -> dropped
+            (11, "brand new"),
+            (12, "brand new"),      # in-batch dup -> one keeper (11)
+            (13, "another new"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.keeper_id for r in dedup_against(corpus, batch).collect()}
+    assert out == {11, 13}
