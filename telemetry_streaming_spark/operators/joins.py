@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "asof_enrich", "interval_join"]
 
 
 def _as_list(x: str | list[str]) -> list[str]:
@@ -123,6 +123,82 @@ def asof_join(
         *left.columns,
         F.col("_match._rts").alias(right_prefix + right_ts),
         *[F.col(f"_match.{c}").alias(p) for c, p in zip(payload_cols, out_names)],
+    )
+
+
+def asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    strict: bool = False,
+    right_prefix: str = "",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Streaming-compatible as-of: enrich ``left`` with the nearest
+    ``right`` row per key, where ``right`` is a *static* (bounded)
+    dimension table — e.g. "attach the config/price/model version that
+    was live when this event happened".
+
+    ``asof_join`` needs a global per-key sort (window function), which
+    Structured Streaming forbids.  This variant folds the static side
+    into one sorted history array per key — ``struct(ts, payload)``
+    sorts by its leading field — then equi-joins (broadcast by
+    default) and probes the array with ``F.filter`` + ``element_at``:
+    narrow, stateless column ops, legal in a streaming plan and
+    incrementally correct because each output row depends only on its
+    own input row plus the static side.  Cost: O(versions-per-key) per
+    row, interpreted (higher-order functions don't codegen) — right
+    for dimension histories (SCD tables, config rollouts: tens of
+    versions/key), wrong for event-vs-event as-of at 100TB, which is
+    ``asof_join``'s job.  Same matching semantics as ``asof_join``
+    (direction/strict/unique-per-(key, ts) contract).
+    """
+    lkeys = _as_list(left_on)
+    rkeys = _as_list(right_on) if right_on is not None else lkeys
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left_on and right_on must have the same arity")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    payload_cols = [c for c in right.columns if c not in rkeys and c != right_ts]
+    out_names = [right_prefix + c for c in payload_cols]
+    for name in [*out_names, right_prefix + right_ts]:
+        if name in left.columns:
+            raise ValueError(f"output column {name!r} collides with a left column; set right_prefix")
+
+    hist = right.groupBy(*[F.col(rk).alias(f"_k{i}") for i, rk in enumerate(rkeys)]).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols])
+            )
+        ).alias("_hist")
+    )
+    if broadcast:
+        hist = F.broadcast(hist)
+
+    joined = left.join(
+        hist,
+        on=[F.col(lk) == F.col(f"_k{i}") for i, lk in enumerate(lkeys)],
+        how="left",
+    )
+    lts = F.col(left_ts)
+    if direction == "backward":
+        keep = (lambda e: e["_rts"] < lts) if strict else (lambda e: e["_rts"] <= lts)
+        pick = -1  # sorted ascending: last kept = greatest rts
+    else:
+        keep = (lambda e: e["_rts"] > lts) if strict else (lambda e: e["_rts"] >= lts)
+        pick = 1
+    cand = F.filter(F.col("_hist"), keep)
+    match = F.when(F.size(cand) >= 1, F.element_at(cand, pick))
+    return joined.select(
+        *left.columns,
+        match["_rts"].alias(right_prefix + right_ts),
+        *[match[c].alias(p) for c, p in zip(payload_cols, out_names)],
     )
 
 

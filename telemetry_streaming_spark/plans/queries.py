@@ -2040,6 +2040,52 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extension — streaming-compatible as-of (operators/joins.py:
+# asof_enrich): same semantics as asof_join, different physical
+# strategy (broadcast sorted-history probe, no window/sort — legal in
+# a streaming plan).  Same DuckDB ASOF oracle proves the equivalence.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_enrich",
+    oracle=QUERIES["asof_join"].oracle,
+)
+def asof_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: as-of via per-key sorted dimension history + array
+    probe — stateless narrow ops after one broadcast join, so the same
+    expression enriches a stream (see test_streaming e2e)."""
+    from telemetry_streaming_spark.operators.joins import asof_enrich
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_enrich(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        cents(F.col("o_totalprice")).alias("last_price_cents"),
+        F.expr("(unix_micros(ts) - unix_micros(o_orderdate)) div 86400000000").alias(
+            "age_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extension — interval (range) join via time-bin bucketing
 # (operators/joins.py).  Purchase attribution: per purchase event, the
 # count and value of same-user events in the following hour.

@@ -199,3 +199,30 @@ def test_query_plan_gates(spark):
     physical = range_plan.split("== Physical Plan ==")[-1]
     assert "BroadcastNestedLoopJoin" not in physical
     assert "CartesianProduct" not in physical
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_enrich_matches_asof_join(sides, direction, strict):
+    """The streaming-compatible array-probe formulation must agree
+    with the union+window batch operator on every (direction, strict)
+    combination."""
+    from telemetry_streaming_spark.operators.joins import asof_enrich
+
+    left, right = sides
+    kw = dict(left_on="k", left_ts="ts", right_ts="rts", direction=direction, strict=strict)
+    want = {r["id"]: (r["rts"], r["px"]) for r in asof_join(left, right, **kw).collect()}
+    got = {r["id"]: (r["rts"], r["px"]) for r in asof_enrich(left, right, **kw).collect()}
+    assert got == want
+
+
+def test_asof_enrich_plan_has_no_shuffle_of_left(sides):
+    """The stream side must not be exchanged: one broadcast join, no
+    hash exchange of the left, no window/sort."""
+    from telemetry_streaming_spark.operators.joins import asof_enrich
+
+    left, right = sides
+    plan = explain_str(asof_enrich(left, right, left_on="k", left_ts="ts", right_ts="rts"))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "Window" not in physical

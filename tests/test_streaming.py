@@ -317,3 +317,55 @@ def test_crashes_streaming_to_influx_e2e(spark, stream_dirs, live_http_server):
         assert " buildId=20170101000000" in ln
     # the Fennec row exercises the OS fix-up (Fennec/Linux -> Android)
     assert any("appName=Fennec" in ln and "osName=Android" in ln for ln in delivered)
+
+
+def test_asof_enrich_streaming_e2e(spark, stream_dirs):
+    """Extension: streaming as-of enrichment — events from a file
+    stream pick up the dimension version live at their event time via
+    the broadcast sorted-history probe (no window functions, append
+    mode, stateless)."""
+    from telemetry_streaming_spark.operators.joins import asof_enrich
+
+    base = int(TEST_TIMESTAMP_NS // 1_000_000_000)
+    dim = spark.createDataFrame(
+        [("u1", base - 100, "v1"), ("u1", base + 5, "v2"), ("u2", base - 50, "v9")],
+        "k string, vts long, version string",
+    ).select("k", F.timestamp_seconds("vts").alias("vts"), "version")
+
+    rows = [
+        json.dumps({"k": "u1", "ts_s": base}),        # before v2 -> v1
+        json.dumps({"k": "u1", "ts_s": base + 10}),   # after v2 -> v2
+        json.dumps({"k": "u2", "ts_s": base}),        # -> v9
+        json.dumps({"k": "u3", "ts_s": base}),        # no dim -> null
+    ]
+    _write_lines(stream_dirs["in"], rows)
+
+    raw = text_file_source(spark, stream_dirs["in"])
+    events = raw.select(
+        F.get_json_object("value", "$.k").alias("k"),
+        F.timestamp_seconds(F.get_json_object("value", "$.ts_s").cast("long")).alias("ts"),
+    )
+    enriched = asof_enrich(events, dim, left_on="k", left_ts="ts", right_ts="vts")
+
+    name = f"asof_enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(query)
+        got = {
+            (r.k, int(r.ts.timestamp())): r.version
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == {
+            ("u1", base): "v1",
+            ("u1", base + 10): "v2",
+            ("u2", base): "v9",
+            ("u3", base): None,
+        }
+    finally:
+        stop_quietly(query)
