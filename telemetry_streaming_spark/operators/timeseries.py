@@ -1,0 +1,102 @@
+"""Time-series operators: grid resampling with forward-fill, and
+SCD2 (slowly-changing-dimension) validity intervals.
+
+Both are single-shuffle plans built from the same primitives as the
+temporal joins:
+
+- ``resample_ffill``: per key, emit one row per fixed-width grid step
+  between the key's first and last observation, carrying the last
+  observed payload forward.  The grid is generated declaratively
+  (``sequence`` + ``explode`` over per-key bounds — one narrow agg,
+  no driver loop) and matched with ``asof_join``, so the whole
+  operator is: bounds agg (1 shuffle) → grid explode → union+window
+  as-of (1 shuffle on the key).  Grid cardinality is
+  span/step per key — the caller picks the step, nothing is
+  materialized driver-side.
+
+- ``scd2_intervals``: turn a change log (key, ts, attrs...) into
+  [valid_from, valid_to) intervals — ``lead(ts)`` over the key
+  window; the current version gets a NULL ``valid_to``.  One shuffle
+  on the key.  The output joins back to facts with
+  ``interval_join``/``asof_join``, completing the warehouse loop.
+
+Observation rows must be unique per (key, ts) — same contract as
+``asof_join``; pre-aggregate ties upstream (``max_by`` on a
+tie-break column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from telemetry_streaming_spark.operators.joins import asof_join
+
+__all__ = ["resample_ffill", "scd2_intervals"]
+
+
+def resample_ffill(
+    obs: DataFrame,
+    *,
+    on: str | list[str],
+    ts_seconds: str,
+    step_seconds: int,
+    origin: int = 0,
+) -> DataFrame:
+    """Resample per-key observations onto a fixed grid, forward-filling.
+
+    ``ts_seconds`` is an epoch-seconds long column (convert timestamps
+    with ``unix_micros(ts) div 1_000_000`` upstream — long arithmetic
+    keeps grid alignment exact and engine-portable).  The grid starts
+    at the key's first observation floored to a multiple of
+    ``step_seconds`` (relative to ``origin``) and ends at its last
+    observation, inclusive; every grid row carries the most recent
+    at-or-before payload.  Leading grid rows before the first
+    observation (at most one, from the floor) keep NULL payloads.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError("step_seconds must be positive")
+
+    t = F.col(ts_seconds)
+    bounds = obs.groupBy(*keys).agg(
+        (F.floor((F.min(t) - F.lit(origin)) / step) * step + F.lit(origin)).alias("_t0"),
+        F.max(t).alias("_t1"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step).cast("long"))).alias(
+            "grid_" + ts_seconds
+        ),
+    )
+    return asof_join(
+        grid,
+        obs,
+        left_on=keys,
+        left_ts="grid_" + ts_seconds,
+        right_ts=ts_seconds,
+    )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    *,
+    on: str | list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Change log → SCD2 validity intervals: each version is valid
+    from its own timestamp until the next version's (half-open); the
+    latest version has NULL ``valid_to`` (still current)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    for name in (valid_from, valid_to):
+        if name in changes.columns:
+            raise ValueError(f"output column {name!r} collides with an input column")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    return changes.select(
+        "*",
+        F.col(ts_col).alias(valid_from),
+        F.lead(ts_col).over(w).alias(valid_to),
+    ).drop(ts_col)

@@ -2292,3 +2292,104 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension — time-series resampling with forward-fill
+# (operators/timeseries.py:resample_ffill): per-user 6-hour grid over
+# the events table, each grid point carrying the most recent value.
+# Grid is declarative (sequence+explode over per-key bounds); the fill
+# is the as-of union+window — 2 shuffles total, no driver loop.
+# ---------------------------------------------------------------------------
+@query(
+    "resample_ffill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+               ARG_MAX(value, event_id) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, 21600 * (MIN(ts_s) // 21600) AS t0, MAX(ts_s) AS t1
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, 21600)) AS grid_s
+        FROM bounds
+    )
+    SELECT g.user_id, g.grid_s,
+           CAST(FLOOR(o.value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM grid g
+    ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_s >= o.ts_s
+    """,
+)
+def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-key grid resample + forward-fill, all epoch-long
+    arithmetic (engine-portable grid alignment)."""
+    from telemetry_streaming_spark.operators.timeseries import resample_ffill
+
+    events = _t(spark, sf_dir, "events")
+    obs = (
+        events.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "ts_s")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    r = resample_ffill(obs, on="user_id", ts_seconds="ts_s", step_seconds=21600)
+    return r.select(
+        "user_id",
+        F.col("grid_ts_s").alias("grid_s"),
+        cents(F.col("value")).alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension — SCD2 validity intervals
+# (operators/timeseries.py:scd2_intervals): the orders change log per
+# customer becomes [valid_from, valid_to) version rows; the current
+# version stays open (NULL valid_to).  One shuffle (lead window).
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_orderkey) AS o_orderkey,
+               ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           epoch_us(o_orderdate) // 1000000 AS valid_from_s,
+           epoch_us(LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+           )) // 1000000 AS valid_to_s
+    FROM c
+    """,
+)
+def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: change log -> SCD2 half-open validity intervals via
+    lead() over the key window."""
+    from telemetry_streaming_spark.operators.timeseries import scd2_intervals
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = scd2_intervals(orders, on="o_custkey", ts_col="o_orderdate")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        F.expr("unix_micros(valid_from) div 1000000").alias("valid_from_s"),
+        F.expr("unix_micros(valid_to) div 1000000").alias("valid_to_s"),
+    )
