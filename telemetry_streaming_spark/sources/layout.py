@@ -1,0 +1,89 @@
+"""Storage-layout writers: the data-organization half of the 100TB
+story.
+
+Query-side pruning (PushedFilters, PartitionFilters) only pays off if
+the write side laid the data out so pruning has something to skip:
+
+- ``write_range_sorted``: global range partitioning on the sort key
+  (``repartitionByRange`` samples the key distribution, so output
+  files get *disjoint* key ranges) + ``sortWithinPartitions`` (rows
+  sorted inside every row group).  Parquet footers then carry tight,
+  non-overlapping min/max stats per file and per row group, and a
+  range predicate on the key skips everything but the matching
+  files — the poor man's clustered index.  The disjointness is
+  asserted from the actual footers in tests/test_layout.py.
+
+- ``write_partitioned``: hive-style directory partitioning
+  (``partitionBy``) for low-cardinality columns (day, channel).  A
+  reader's predicate on the partition column never opens non-matching
+  directories at all (PartitionFilters, no file I/O); an optional
+  in-partition sort layers the row-group pruning on top.
+
+Choosing between them: directory partitioning for the column every
+query filters on and whose cardinality stays in the thousands
+(days × channels); range-sort for high-cardinality keys (ids,
+timestamps) *within* those directories.  Too many tiny partitions is
+the classic failure (one dir per user = millions of S3 listings) —
+that is what the cardinality guard is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Hive-style partitioning explodes into one directory per distinct
+# value; past a few thousand the file listing dominates query time.
+MAX_PARTITION_CARDINALITY = 10_000
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: str | list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files with globally disjoint,
+    internally sorted ``sort_cols`` ranges (range-partition + in-file
+    sort)."""
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    if n_files <= 0:
+        raise ValueError("n_files must be positive")
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+    max_cardinality: int = MAX_PARTITION_CARDINALITY,
+) -> None:
+    """Write hive-partitioned parquet, optionally range-sorting rows
+    inside each partition for row-group pruning on a second key.
+
+    Refuses layouts whose partition-column cardinality exceeds
+    ``max_cardinality`` — the small-files failure mode is cheaper to
+    reject at write time than to compact later.
+    """
+    pcols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    n = df.select(*pcols).distinct().limit(max_cardinality + 1).count()
+    if n > max_cardinality:
+        raise ValueError(
+            f"partition columns {pcols} have >{max_cardinality} distinct values; "
+            "use write_range_sorted for high-cardinality keys"
+        )
+    out = df
+    if sort_cols is not None:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        # one task per partition-value group keeps each output file's
+        # sort range tight; the sort covers partition cols first so
+        # rows land in their directory already clustered
+        out = df.repartitionByRange(*pcols, *scols).sortWithinPartitions(*pcols, *scols)
+    out.write.mode(mode).partitionBy(*pcols).parquet(path)

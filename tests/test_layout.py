@@ -1,0 +1,92 @@
+"""Storage-layout proofs: the write side must produce files whose
+parquet footers actually enable the pruning the read side relies on."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from telemetry_streaming_spark.sources.layout import (
+    write_partitioned,
+    write_range_sorted,
+)
+from telemetry_streaming_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+from tests.test_plans import explain_str
+
+
+def _file_ranges(path: str, col: str):
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    return sorted(ranges)
+
+
+def test_range_sorted_files_have_disjoint_stats(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions must yield files with
+    non-overlapping min/max on the sort key — the property row-group
+    pruning needs."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "docs_sorted")
+    write_range_sorted(docs, out, "doc_id", n_files=4)
+
+    ranges = _file_ranges(out, "doc_id")
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    # and the round trip is lossless
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    # a range predicate on the key reaches the scan as PushedFilters
+    plan = explain_str(back.where(F.col("doc_id") < 10))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThan(doc_id,10)" in pushed[0]
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A predicate on the partition column must become a
+    PartitionFilter (no data I/O for other partitions), not a data
+    filter."""
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, "event_type", sort_cols="user_id")
+
+    back = spark.read.parquet(out)
+    q = back.where(F.col("event_type") == "click")
+    plan = explain_str(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0]
+    # the data-filter list must NOT contain the partition predicate
+    # (the line disappears entirely when nothing is pushed to data I/O)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not pushed or "event_type" not in pushed[0]
+
+    want = events.where(F.col("event_type") == "click").count()
+    assert q.count() == want
+
+    # in-partition sort gives disjoint user_id footers inside a directory
+    ranges = _file_ranges(os.path.join(out, "event_type=click"), "user_id")
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_partitioned_write_rejects_high_cardinality(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="distinct values"):
+        write_partitioned(events, str(tmp_path / "x"), "event_id", max_cardinality=10)
