@@ -2393,3 +2393,25 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(valid_from) div 1000000").alias("valid_from_s"),
         F.expr("unix_micros(valid_to) div 1000000").alias("valid_to_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A5-family — sketch twin of value_quantiles: KLL-style approximate
+# percentiles (Spark's approx_percentile, GK under the hood).  Like
+# approx_distinct_users, non-SQL-expressible (sketch internals differ
+# per engine) => rows-only driver check; the error bound vs the exact
+# twin is asserted in pytest (tests/test_extension_ops.py).
+# ---------------------------------------------------------------------------
+@query("approx_value_quantiles", oracle=None)
+def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 family: mergeable quantile sketch — the 100TB default when
+    error tolerance permits (partial+final agg, no per-group sort;
+    accuracy knob trades memory for rank error <= 1/accuracy)."""
+    events = _t(spark, sf_dir, "events")
+    qs = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        qs[0].alias("p50"),
+        qs[1].alias("p90"),
+        qs[2].alias("p99"),
+    )

@@ -228,3 +228,40 @@ def test_dedup_against_incremental(spark):
     )
     out = {r.keeper_id for r in dedup_against(corpus, batch).collect()}
     assert out == {11, 13}
+
+
+def test_approx_quantiles_rank_error_bounded(spark):
+    """The sketch twin must land within the documented rank error of
+    the exact percentiles: with accuracy=10000 and n~2k values per
+    group the estimate is exact-to-adjacent-rank, so allow the value
+    gap between neighboring ranks."""
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS
+
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["value_quantiles"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_value_quantiles"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    assert set(exact) == set(approx)
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    events = load_table(spark, SF_CORRECTNESS, "events")
+    for etype, e in exact.items():
+        a = approx[etype]
+        n = e["n"]
+        assert a["n"] == n
+        vals = sorted(
+            r["value"]
+            for r in events.where(F.col("event_type") == etype).select("value").collect()
+        )
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            # rank window: exact rank +- max(1, n/accuracy)
+            slack = max(1, n // 10000)
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - slack - 1)]
+            hi = vals[min(n - 1, rank + slack + 1)]
+            assert lo <= a[col] <= hi, (etype, col, a[col], lo, hi)
