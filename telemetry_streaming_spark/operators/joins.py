@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "asof_enrich", "interval_join"]
+__all__ = ["asof_join", "asof_enrich", "interval_join", "interval_join_stream"]
 
 
 def _as_list(x: str | list[str]) -> list[str]:
@@ -268,3 +268,60 @@ def interval_join(
     ]
     joined = iv.join(p, on=eq, how="inner").where(cond)
     return joined.drop("_ibin", "_pbin", *[f"_pk{i}" for i in range(len(pkeys))])
+
+
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_on: str | list[str],
+    interval_on: str | list[str] | None = None,
+    point_ts: str,
+    interval_start: str,
+    interval_end: str,
+    closed: str = "left",
+    point_prefix: str = "",
+) -> DataFrame:
+    """Stream-stream twin of ``interval_join``: both sides are
+    *streaming* DataFrames (each with ``withWatermark`` already
+    applied on its time column — required, it bounds the join state).
+
+    No binning here: Structured Streaming's stream-stream join keys
+    its state store on the equi-columns and uses the time-range
+    condition itself to evict state once the watermark passes
+    ``interval_end`` — so state is O(rows within the watermark
+    horizon), not O(stream).  Batch callers should use
+    ``interval_join`` (this shape would be a nested-loop there).
+    Same semantics contract: ``closed`` picks boundary inclusivity,
+    output is interval columns + prefixed point columns.
+    """
+    pkeys = [point_on] if isinstance(point_on, str) else list(point_on)
+    ikeys = (
+        ([interval_on] if isinstance(interval_on, str) else list(interval_on))
+        if interval_on is not None
+        else pkeys
+    )
+    if len(pkeys) != len(ikeys):
+        raise ValueError("point_on and interval_on must have the same arity")
+    if closed not in ("left", "right", "both", "neither"):
+        raise ValueError(f"closed must be left|right|both|neither, got {closed!r}")
+
+    p_payload = [c for c in points.columns if c not in pkeys]
+    for c in p_payload:
+        if point_prefix + c in intervals.columns:
+            raise ValueError(
+                f"output column {point_prefix + c!r} collides with an interval column; set point_prefix"
+            )
+    p = points.select(
+        *[F.col(k).alias(f"_pk{i}") for i, k in enumerate(pkeys)],
+        *[F.col(c).alias(point_prefix + c) for c in p_payload],
+    )
+    pt = F.col(point_prefix + point_ts)
+    lo, hi = F.col(interval_start), F.col(interval_end)
+    cond = (pt >= lo) if closed in ("left", "both") else (pt > lo)
+    cond &= (pt <= hi) if closed in ("right", "both") else (pt < hi)
+    for i, ik in enumerate(ikeys):
+        cond &= F.col(ik) == F.col(f"_pk{i}")
+    return intervals.join(p, on=cond, how="inner").drop(
+        *[f"_pk{i}" for i in range(len(pkeys))]
+    )

@@ -369,3 +369,73 @@ def test_asof_enrich_streaming_e2e(spark, stream_dirs):
         }
     finally:
         stop_quietly(query)
+
+
+def test_interval_join_stream_stream_e2e(spark, stream_dirs, tmp_path):
+    """Extension: stream-stream interval join — purchase-attribution
+    pairs from two live streams, state bounded by watermark + the
+    time-range condition.  Pairs must equal the batch interval_join
+    on the same rows."""
+    from telemetry_streaming_spark.operators.joins import interval_join, interval_join_stream
+
+    base = int(TEST_TIMESTAMP_NS // 1_000_000_000)
+    purchases = [("p1", "u1", base), ("p2", "u2", base + 100)]
+    follows = [
+        ("f1", "u1", base + 60),      # within u1's hour
+        ("f2", "u1", base + 4000),    # outside the hour
+        ("f3", "u2", base + 150),     # within u2's hour
+        ("f4", "u3", base + 10),      # no purchase for u3
+    ]
+    iv_dir, pt_dir = str(tmp_path / "iv_in"), str(tmp_path / "pt_in")
+    _write_lines(iv_dir, [json.dumps({"pid": p, "k": k, "ts_s": t}) for p, k, t in purchases])
+    _write_lines(pt_dir, [json.dumps({"fid": f, "k": k, "ts_s": t}) for f, k, t in follows])
+
+    def parse(src, id_name):
+        return src.select(
+            F.get_json_object("value", "$." + id_name).alias(id_name),
+            F.get_json_object("value", "$.k").alias("k"),
+            F.timestamp_seconds(F.get_json_object("value", "$.ts_s").cast("long")).alias("ts"),
+        )
+
+    iv = (
+        parse(text_file_source(spark, iv_dir), "pid")
+        .withColumn("ts_end", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withWatermark("ts", "0 seconds")
+    )
+    pt = parse(text_file_source(spark, pt_dir), "fid").withWatermark("ts", "0 seconds")
+    joined = interval_join_stream(
+        pt, iv, point_on="k", point_ts="ts",
+        interval_start="ts", interval_end="ts_end",
+        closed="right", point_prefix="f_",
+    )
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(query)
+        got = sorted(
+            (r.pid, r.f_fid) for r in spark.sql(f"SELECT pid, f_fid FROM {name}").collect()
+        )
+        assert got == [("p1", "f1"), ("p2", "f3")]
+
+        # batch twin agrees on the same rows
+        iv_b = spark.createDataFrame(purchases, "pid string, k string, ts_s long").select(
+            "pid", "k", F.timestamp_seconds("ts_s").alias("ts")
+        ).withColumn("ts_end", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        pt_b = spark.createDataFrame(follows, "fid string, k string, ts_s long").select(
+            "fid", "k", F.timestamp_seconds("ts_s").alias("ts")
+        )
+        batch = interval_join(
+            pt_b, iv_b, point_on="k", point_ts="ts",
+            interval_start="ts", interval_end="ts_end",
+            bin_seconds=3600, closed="right", point_prefix="f_",
+        )
+        assert sorted((r.pid, r.f_fid) for r in batch.collect()) == got
+    finally:
+        stop_quietly(query)
