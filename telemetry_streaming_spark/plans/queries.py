@@ -2320,7 +2320,7 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.user_id, g.grid_s,
            CAST(FLOOR(o.value * 100 + 0.5) AS BIGINT) AS value_cents
     FROM grid g
-    ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_s >= o.ts_s
+    ASOF JOIN obs o ON g.user_id = o.user_id AND g.grid_s >= o.ts_s
     """,
 )
 def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2340,7 +2340,12 @@ def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", "event_id").alias("value"))
     )
     r = resample_ffill(obs, on="user_id", ts_seconds="ts_s", step_seconds=21600)
-    return r.select(
+    # inner-ASOF projection: the (at most one per key) leading grid row
+    # before the first observation is excluded, so the compared frame
+    # has no NULL bigints (nullable-int vs float64 coercion hazards in
+    # cross-engine fetch paths); the operator's null semantics are
+    # covered in tests/test_timeseries.py.
+    return r.where(F.col("ts_s").isNotNull()).select(
         "user_id",
         F.col("grid_ts_s").alias("grid_s"),
         cents(F.col("value")).alias("value_cents"),
@@ -2365,9 +2370,9 @@ def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
            epoch_us(o_orderdate) // 1000000 AS valid_from_s,
-           epoch_us(LEAD(o_orderdate) OVER (
+           COALESCE(epoch_us(LEAD(o_orderdate) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
-           )) // 1000000 AS valid_to_s
+           )) // 1000000, -1) AS valid_to_s
     FROM c
     """,
 )
@@ -2391,7 +2396,9 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         cents(F.col("o_totalprice")).alias("price_cents"),
         F.expr("unix_micros(valid_from) div 1000000").alias("valid_from_s"),
-        F.expr("unix_micros(valid_to) div 1000000").alias("valid_to_s"),
+        # open (current) versions encode as -1: the compared frame must
+        # not carry NULL bigints (cross-engine nullable-int coercion)
+        F.expr("coalesce(unix_micros(valid_to) div 1000000, -1)").alias("valid_to_s"),
     )
 
 
