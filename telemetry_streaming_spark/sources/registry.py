@@ -15,7 +15,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -50,11 +50,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # via load_table(..., parallelize=...).
 _PARALLELIZE_TABLES = frozenset({"documents", "embeddings"})
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-# which Spark's vectorized reader rejects.  We read nanos as LongType
-# (legacy conf) and normalize back to TimestampType here — the same
-# ns->timestamp conversion the reference does for its ingest
-# timestamps (Ping.scala:169-171, SURVEY §2.3 P9).
+# Timestamp columns whose physical encoding varies across testdata
+# generations: INT64 TIMESTAMP(NANOS) (read as LongType under the
+# legacy conf, then normalized — the same ns->timestamp conversion the
+# reference does for its ingest timestamps, Ping.scala:169-171, SURVEY
+# §2.3 P9) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively
+# as TIMESTAMP_NTZ, normalized to session-UTC TimestampType so every
+# downstream epoch expression — unix_micros, window(), date_format —
+# sees one type regardless of the writer).
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -105,8 +108,10 @@ def load_table(
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, LongType):
-            lo, hi = (ts_bounds or {}).get(col, (None, None))
+        if field is None:
+            continue
+        lo, hi = (ts_bounds or {}).get(col, (None, None))
+        if isinstance(field.dataType, LongType):
             if lo is not None:
                 df = df.where(F.col(col) >= F.lit(_utc_micros(lo) * 1000))
             if hi is not None:
@@ -116,6 +121,20 @@ def load_table(
             # conversion exact and floor-consistent with readers that
             # truncate nanos natively (DuckDB).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Bounds go on the raw NTZ column (plain comparisons on the
+            # scan column — pushable row-group-stats predicates); the
+            # NTZ->LTZ cast below is value-preserving under the UTC
+            # session timezone but opaque to pushdown, same as the
+            # nanos conversion above.
+            if lo is not None:
+                df = df.where(F.col(col) >= F.expr(f"TIMESTAMP_NTZ '{lo}'"))
+            if hi is not None:
+                hi_us = _utc_micros(hi) + 1
+                hi_dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=hi_us)
+                lit = hi_dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                df = df.where(F.col(col) < F.expr(f"TIMESTAMP_NTZ '{lit}'"))
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if parallelize and name in _PARALLELIZE_TABLES:
         try:
             target = int(spark.conf.get("spark.sql.shuffle.partitions"))
