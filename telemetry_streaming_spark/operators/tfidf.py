@@ -1,0 +1,77 @@
+"""Per-group distinctive terms (c-TF-IDF).
+
+The corpus-curation question "what vocabulary characterizes each
+source/cluster/language slice?" is the grouped variant of TF-IDF
+(class-based TF-IDF): term frequency within the group, inverse
+*group* frequency across groups.  Group-level document frequency is
+the right denominator here — and, unlike per-document df, it falls
+out of the same aggregate that produces tf, so the whole operator is
+two narrow aggregations instead of a second pass over the exploded
+corpus:
+
+    explode(tokens) -> agg (group, term) -> tf      [1 shuffle, combine]
+    tf -> agg (term) -> group-df                    [shuffle of terms x groups]
+    tf join group-df on term -> score -> top-k/group [window, N rows/group]
+
+Nothing after the first exchange is proportional to corpus size: the
+tf table is |groups| x |vocabulary|, the group-df table |vocabulary|.
+
+Scoring is **integer-linearized idf**: ``score = tf * ((n_groups *
+idf_scale) div group_df)``.  A log-idf would rank near-identically but
+``ln`` is not bit-identical across engines (JVM StrictMath vs DuckDB
+libm), which would make the DuckDB oracle flaky at ties; integer
+cross-multiplication is exact everywhere.  Ranking ties break on the
+term string, so top-k is fully deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+from telemetry_streaming_spark.functions.text import tokenize
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 10,
+    min_tf: int = 1,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Top ``top_k`` c-TF-IDF terms per ``group_col``.
+
+    Returns ``(group_col, term, tf, group_df, score, rnk)`` — all
+    integer/string columns, bit-portable across engines.
+    ``min_tf`` prunes singleton noise before the join and window.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    tokens = docs.select(
+        F.col(group_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
+    if min_tf > 1:
+        tf = tf.where(F.col("tf") >= min_tf)
+    group_df = tf.groupBy("term").agg(F.count("*").alias("group_df"))
+    n_groups = tf.select(group_col).distinct().agg(F.count("*").alias("n_groups"))
+    scored = (
+        tf.join(group_df, "term")
+        .join(broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.expr(f"(n_groups * {int(idf_scale)}) div group_df").cast("long"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(group_col, "term", "tf", "group_df", "score", "rnk")
+    )

@@ -2422,3 +2422,113 @@ def approx_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs[1].alias("p90"),
         qs[2].alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (operators/frequency.py): exact phi-frequent keys and
+# the SpaceSaving sketch tier — the input shape for every skew guard
+# in the repo (operators/skew.py hot/cold split, dedup _drop_hot_keys).
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+         t AS (SELECT COUNT(*) AS total FROM events)
+    SELECT user_id, cnt, total FROM c, t WHERE cnt * 140 >= total
+    """,
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact phi-heavy-hitters over the event emitters —
+    one narrow count shuffle + a 1-row broadcast total; the share
+    predicate is integer cross-multiplication (no float)."""
+    from telemetry_streaming_spark.operators.frequency import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=140)
+
+
+@query("approx_heavy_hitters", oracle=None)
+def approx_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: SpaceSaving sketch tier (approx_top_k) — the whole
+    table collapses to one mergeable sketch row, so shuffle volume is
+    O(max_tracked) regardless of row count.  Sketch internals differ
+    per engine => rows-only driver check; exactness vs the exact tier
+    is asserted in tests/test_frequency.py."""
+    from telemetry_streaming_spark.operators.frequency import approx_heavy_hitters
+
+    return approx_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", top_k=20, max_tracked=10_000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms (operators/tfidf.py): per-group c-TF-IDF with
+# integer-linearized idf (ln is not bit-portable across engines).
+# ---------------------------------------------------------------------------
+@query(
+    "distinctive_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, term, COUNT(*) AS tf FROM tok
+        GROUP BY source, term HAVING COUNT(*) >= 2
+    ),
+    gdf AS (SELECT term, COUNT(*) AS group_df FROM tf GROUP BY term),
+    ng AS (SELECT COUNT(DISTINCT source) AS n_groups FROM tf),
+    scored AS (
+        SELECT s.source, s.term, s.tf, g.group_df,
+               s.tf * CAST((ng.n_groups * 1000) // g.group_df AS BIGINT) AS score
+        FROM tf s JOIN gdf g USING (term) CROSS JOIN ng
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY source ORDER BY score DESC, term ASC
+                  ) AS rnk
+        FROM scored
+    )
+    SELECT source, term, tf, group_df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-source c-TF-IDF top-10 — nothing after the first
+    exchange is proportional to corpus size (tf table is groups x
+    vocabulary)."""
+    from telemetry_streaming_spark.operators.tfidf import distinctive_terms
+
+    out = distinctive_terms(
+        _t(spark, sf_dir, "documents", parallelize=False),
+        group_col="source",
+        top_k=10,
+        min_tf=2,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: the binning expression is the same IEEE
+# floor-of-division in both engines, so buckets are bit-portable.
+# ---------------------------------------------------------------------------
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 20.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY bin
+    """,
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: equal-width histogram (20-unit bins) — a single
+    partial+final hash-agg on the computed bin; the classic
+    profile-a-column scan at any scale."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.floor(F.col("value") / 20.0).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+    )

@@ -1,0 +1,96 @@
+"""Heavy-hitter operators: exact tier, sketch tier, and plan shapes."""
+
+import contextlib
+import io
+
+import pytest
+
+from telemetry_streaming_spark.operators.frequency import (
+    approx_heavy_hitters,
+    heavy_hitters,
+)
+from telemetry_streaming_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return load_table(spark, SF, "events", parallelize=False)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_exact_heavy_hitters_matches_manual(spark):
+    ev = _events(spark)
+    out = {r.user_id: (r.cnt, r.total) for r in heavy_hitters(ev, "user_id", k=18).collect()}
+    counts = {r.user_id: r.cnt for r in ev.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()}
+    total = sum(counts.values())
+    expected = {u: c for u, c in counts.items() if c * 18 >= total}
+    assert {u: c for u, (c, _) in out.items()} == expected
+    assert all(t == total for _, t in out.values())
+
+
+def test_exact_heavy_hitters_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        heavy_hitters(_events(spark), "user_id", k=0)
+
+
+def test_sketch_counts_exact_when_tracker_wide(spark):
+    """With max_tracked >= key cardinality the SpaceSaving summary
+    degenerates to exact counting: every returned count must equal the
+    true count, and every key strictly above the k-th count must be
+    present (ties at the boundary are the sketch's to break)."""
+    ev = _events(spark)
+    approx = {r.user_id: r.approx_cnt for r in
+              approx_heavy_hitters(ev, "user_id", top_k=5, max_tracked=10_000).collect()}
+    exact = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    assert len(approx) == 5
+    for uid, cnt in approx.items():
+        assert cnt == exact[uid]
+    kth = sorted(exact.values(), reverse=True)[4]
+    must_have = {u for u, c in exact.items() if c > kth}
+    assert must_have <= set(approx)
+
+
+def test_sketch_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        approx_heavy_hitters(_events(spark), "user_id", top_k=10, max_tracked=5)
+
+
+def test_exact_tier_plan_broadcasts_scalar_total(spark):
+    """The total must join in as a broadcast (1 row), never a shuffle;
+    the count aggregation keeps its map-side combine."""
+    plan = _explain(heavy_hitters(_events(spark), "user_id", k=18))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_sketch_tier_plan_is_one_sketch_row(spark):
+    """approx_top_k must aggregate to a single sketch (partial+final
+    agg, SinglePartition exchange of sketch blobs only)."""
+    plan = _explain(approx_heavy_hitters(_events(spark), "user_id", top_k=5))
+    assert "approx_top_k" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_distinctive_terms_rank_is_deterministic(spark):
+    from telemetry_streaming_spark.operators.tfidf import distinctive_terms
+
+    docs = load_table(spark, SF, "documents", parallelize=False)
+    a = distinctive_terms(docs, top_k=5).collect()
+    b = distinctive_terms(docs, top_k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_group = {}
+    for r in a:
+        by_group.setdefault(r.source, []).append(r)
+    for rows in by_group.values():
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: (-r.score, r.term))
+        assert [r.rnk for r in ordered] == ranks
