@@ -309,7 +309,13 @@ def minhash_lsh_pairs(
     # consume banded (4 narrow rows/doc); without the cache the md5
     # signature scan runs twice.  Same cache-ownership contract as
     # ngram_jaccard_pairs (harnesses clearCache between queries).
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, max_bucket)
+    # Eagerly materialized: the candidate pairs feed the verify join
+    # AND the id-only semi-join below — localCheckpoint computes the
+    # banding pipeline (md5 signature scan included) exactly once and
+    # truncates the lineage, so neither broadcast consumer re-runs it
+    # (a lazy persist still double-computed under concurrent broadcast
+    # builds, measured 2x slower).
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, max_bucket).localCheckpoint()
     # Verification over *narrow* exploded pairs: (doc, shingle-hash)
     # longs only — no shingle array or text-derived expression ever
     # appears in a join, so Catalyst cannot infer a null-filter that
@@ -318,7 +324,19 @@ def minhash_lsh_pairs(
     # exchange.  (An array-valued doc_sets join variant did exactly
     # that: the inferred isnotnull(size(transform(...))) scan filter
     # re-ran the shingle transform single-threaded, 8-10s at sf0.1.)
-    hs_pairs = doc_shingle_pairs(df, text_col, id_col, n)
+    # Only docs that appear in some candidate pair need shingle sets:
+    # semi-join the corpus on the (broadcast, id-only) candidate set
+    # BEFORE the gram explode, so the verify scan is O(candidate docs)
+    # — on a mostly-unique corpus that is a small fraction of |df|.
+    # The semi-join probes ids only (no text expression), so Catalyst
+    # cannot infer a transform-derived scan filter (see note above).
+    cand_ids = (
+        cand.select(F.col("id1").alias(id_col))
+        .union(cand.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    hs_pairs = doc_shingle_pairs(cand_docs, text_col, id_col, n)
     sizes = hs_pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # Explode each candidate by id1's shingles (candidates broadcast —
     # id pairs only), then count matches against id2's shingles with
