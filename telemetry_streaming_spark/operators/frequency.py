@@ -77,3 +77,42 @@ def approx_heavy_hitters(
     return sketch.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias(key_col), F.col("e.count").alias("approx_cnt")
     )
+
+
+def windowed_top_keys(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    window: str = "30 minutes",
+    top_k: int = 5,
+    max_tracked: int = 10_000,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Trending keys per tumbling time window.
+
+    Returns ``(window_start, window_end, rank, key_col, approx_cnt)``.
+    The same plan runs batch or streaming: pass ``watermark`` on a
+    stream and each window's sketch finalizes on watermark close
+    (append emission — one result row set per window, exactly the
+    ErrorAggregator emission discipline).  State per window is ONE
+    SpaceSaving sketch, so streaming state is O(open windows x
+    max_tracked) regardless of event rate.
+    """
+    if top_k < 1 or max_tracked < top_k:
+        raise ValueError(f"need 1 <= top_k <= max_tracked, got {top_k}/{max_tracked}")
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    agg = src.groupBy(F.window(ts_col, window).alias("w")).agg(
+        F.expr(f"approx_top_k(`{key_col}`, {int(top_k)}, {int(max_tracked)})").alias("tk")
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.posexplode("tk").alias("pos", "e"),
+    ).select(
+        "window_start",
+        "window_end",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("e.item").alias(key_col),
+        F.col("e.count").alias("approx_cnt"),
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from telemetry_streaming_spark.operators.joins import asof_join
 
-__all__ = ["resample_ffill", "scd2_intervals"]
+__all__ = ["latest_snapshot", "resample_ffill", "scd2_intervals"]
 
 
 def resample_ffill(
@@ -100,3 +100,32 @@ def scd2_intervals(
         F.col(ts_col).alias(valid_from),
         F.lead(ts_col).over(w).alias(valid_to),
     ).drop(ts_col)
+
+
+def latest_snapshot(
+    changes: DataFrame,
+    *,
+    on: str | list[str],
+    ts_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change log → current snapshot: the newest row per key.
+
+    The CDC compaction every mutable-table ingest needs (upsert-log →
+    table state; the degenerate SCD2 where only the open interval
+    survives).  One shuffle on the key; Spark's WindowGroupLimit
+    prunes each partition to a single row per key *before* the rank
+    filter, so the exchange is the only full-data pass.
+
+    ``tie_cols`` break ordering ties after ``ts_col`` (e.g. a log
+    sequence number) — with them the result is fully deterministic
+    even when a key changes twice in one timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

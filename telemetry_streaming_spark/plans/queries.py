@@ -2532,3 +2532,93 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(cents(F.col("value"))).alias("sum_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (operators/outliers.py): per-group percentile clamp.
+# Spark percentile == DuckDB quantile_cont bit-exactly (the
+# value_quantiles precedent), and the clamp + cents scaling are the
+# same IEEE ops on those doubles, so the whole query hash-matches.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo_b,
+               quantile_cont(value, 0.95) AS hi_b
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(FLOOR(MIN(b.lo_b) * 100 + 0.5) AS BIGINT) AS lo_cents,
+           CAST(FLOOR(MIN(b.hi_b) * 100 + 0.5) AS BIGINT) AS hi_cents,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo_b), b.hi_b) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_w_cents
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-group winsorized sums — exact percentile bounds
+    (one value shuffle), broadcast back, clamp map-side
+    (operators/outliers.py:winsorize)."""
+    from telemetry_streaming_spark.operators.outliers import winsorize
+
+    events = _t(spark, sf_dir, "events")
+    w = winsorize(events, "value", ["event_type"], lo=0.05, hi=0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        cents(F.min("lo_bound")).alias("lo_cents"),
+        cents(F.min("hi_bound")).alias("hi_cents"),
+        F.sum(cents(F.col("value_w"))).alias("sum_w_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction (operators/timeseries.py:latest_snapshot): newest row
+# per key — the upsert-log -> table-state collapse.
+# ---------------------------------------------------------------------------
+@query(
+    "latest_snapshot",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_ts_s
+    FROM ranked WHERE rn = 1
+    """,
+)
+def latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: latest order per customer (CDC compaction) — one
+    key shuffle; WindowGroupLimit prunes to 1 row/key pre-filter."""
+    from telemetry_streaming_spark.operators.timeseries import latest_snapshot
+
+    orders = _t(spark, sf_dir, "orders")
+    out = latest_snapshot(orders, on="o_custkey", ts_col="o_orderdate", tie_cols=["o_orderkey"])
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        F.expr("unix_micros(o_orderdate) div 1000000").alias("order_ts_s"),
+    )
+
+
+@query("windowed_top_keys", oracle=None)
+def windowed_top_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: trending emitters per 1-hour window — the streaming-
+    compatible SpaceSaving sketch per window (rows-only: sketch tie
+    order is engine-internal; batch==streaming parity is asserted in
+    tests/test_frequency.py)."""
+    from telemetry_streaming_spark.operators.frequency import windowed_top_keys
+
+    return windowed_top_keys(
+        _t(spark, sf_dir, "events"), "user_id", "ts", window="1 hour", top_k=5
+    )

@@ -94,3 +94,55 @@ def test_distinctive_terms_rank_is_deterministic(spark):
         assert ranks == list(range(1, len(rows) + 1))
         ordered = sorted(rows, key=lambda r: (-r.score, r.term))
         assert [r.rnk for r in ordered] == ranks
+
+
+def test_windowed_top_keys_stream_matches_batch(spark, tmp_path):
+    """The windowed sketch must emit identical rows from a file stream
+    (append on watermark close) and from the same data as a batch."""
+    import json
+    import os
+
+    from telemetry_streaming_spark.operators.frequency import windowed_top_keys
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        for i in range(600):
+            f.write(json.dumps({"ts": f"2024-01-01 00:{i % 50:02d}:00", "k": f"u{i % 7}"}) + "\n")
+    schema = "ts timestamp, k string"
+
+    stream = windowed_top_keys(
+        spark.readStream.schema(schema).json(str(src)),
+        "k", "ts", window="30 minutes", top_k=3, watermark="10 minutes",
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory")
+        .queryName("wtk").option("checkpointLocation", str(tmp_path / "chk")).start()
+    )
+    q.processAllAvailable()
+    # advance the watermark past the first window so it flushes
+    with open(src / "b.jsonl", "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 02:00:00", "k": "u0"}) + "\n")
+    q.processAllAvailable()
+    streamed = {tuple(r) for r in spark.sql("select * from wtk").collect()}
+    q.stop()
+
+    batch = windowed_top_keys(
+        spark.read.schema(schema).json(str(src)), "k", "ts", window="30 minutes", top_k=3
+    )
+    # the stream has emitted only closed windows; compare those
+    horizon = max(t[1] for t in streamed)
+    flushed = {tuple(r) for r in batch.collect() if r.window_end <= horizon}
+    assert streamed == flushed
+    assert len(streamed) > 0
+
+
+def test_windowed_top_keys_ranks_are_dense(spark):
+    from telemetry_streaming_spark.operators.frequency import windowed_top_keys
+
+    out = windowed_top_keys(_events(spark), "user_id", "ts", window="1 hour", top_k=5).collect()
+    by_w = {}
+    for r in out:
+        by_w.setdefault(r.window_start, []).append(r.rank)
+    for ranks in by_w.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

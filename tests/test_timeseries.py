@@ -68,3 +68,62 @@ def test_scd2_collision_raises(spark):
     changes = spark.createDataFrame([("A", 1, 2)], "k string, ts long, valid_to long")
     with pytest.raises(ValueError, match="collides"):
         scd2_intervals(changes, on="k", ts_col="ts")
+
+
+def test_latest_snapshot_matches_manual(spark):
+    from telemetry_streaming_spark.operators.timeseries import latest_snapshot
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders", parallelize=False)
+    out = {r.o_custkey: (r.o_orderkey, r.o_orderdate) for r in latest_snapshot(
+        orders, on="o_custkey", ts_col="o_orderdate", tie_cols=["o_orderkey"]).collect()}
+    rows = orders.select("o_custkey", "o_orderkey", "o_orderdate").collect()
+    expected = {}
+    for r in rows:
+        cur = expected.get(r.o_custkey)
+        if cur is None or (r.o_orderdate, r.o_orderkey) > (cur[1], cur[0]):
+            expected[r.o_custkey] = (r.o_orderkey, r.o_orderdate)
+    assert out == expected
+    # exactly one row per key
+    assert len(out) == len({r.o_custkey for r in rows})
+
+
+def test_winsorize_clamps_to_group_bounds(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from telemetry_streaming_spark.operators.outliers import winsorize
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False)
+    out = winsorize(events, "value", ["event_type"], lo=0.1, hi=0.9)
+    bad = out.where(
+        (F.col("value_w") < F.col("lo_bound")) | (F.col("value_w") > F.col("hi_bound"))
+    ).count()
+    assert bad == 0
+    # interior values pass through untouched
+    passthru = out.where(
+        (F.col("value") >= F.col("lo_bound")) & (F.col("value") <= F.col("hi_bound"))
+        & (F.col("value") != F.col("value_w"))
+    ).count()
+    assert passthru == 0
+    with pytest.raises(ValueError):
+        winsorize(events, "value", ["event_type"], lo=0.9, hi=0.1)
+
+
+def test_winsorize_sketch_tier_bounds_are_close(spark):
+    """approx_percentile bounds must land within the value range and
+    near the exact bounds (rank error <= 1/accuracy)."""
+    from telemetry_streaming_spark.operators.outliers import winsorize
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False)
+    exact = {r.event_type: (r.lo_bound, r.hi_bound) for r in winsorize(
+        events, "value", ["event_type"]).select("event_type", "lo_bound", "hi_bound").distinct().collect()}
+    approx = {r.event_type: (r.lo_bound, r.hi_bound) for r in winsorize(
+        events, "value", ["event_type"], exact=False, accuracy=10000
+    ).select("event_type", "lo_bound", "hi_bound").distinct().collect()}
+    for et, (lo_e, hi_e) in exact.items():
+        lo_a, hi_a = approx[et]
+        assert abs(lo_a - lo_e) <= max(1.0, 0.1 * abs(lo_e))
+        assert abs(hi_a - hi_e) <= max(1.0, 0.05 * abs(hi_e))
