@@ -2622,3 +2622,119 @@ def windowed_top_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_top_keys(
         _t(spark, sf_dir, "events"), "user_id", "ts", window="1 hour", top_k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (operators/behavior.py): funnel / retention /
+# inter-event gaps — integer/epoch arithmetic only, so all three
+# hash-match their oracles exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS stage1_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS stage2_ts
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > s1.stage1_ts
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS stage3_ts
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > s2.stage2_ts
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           s1.stage1_ts,
+           COALESCE(s2.stage2_ts, -1) AS stage2_ts,
+           COALESCE(s3.stage3_ts, -1) AS stage3_ts,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT AS BIGINT)
+               AS stages_completed
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: strictly-ordered view->click->purchase funnel — one
+    conditional min-aggregate per stage, all keyed on user_id
+    (operators/behavior.py:conversion_funnel).  Open stages encode as
+    -1: the compared frame must not carry NULL bigints (cross-engine
+    nullable-int coercion)."""
+    from telemetry_streaming_spark.operators.behavior import conversion_funnel
+
+    out = conversion_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+    return out.select(
+        "user_id",
+        "stage1_ts",
+        F.coalesce("stage2_ts", F.lit(-1)).alias("stage2_ts"),
+        F.coalesce("stage3_ts", F.lit(-1)).alias("stage3_ts"),
+        "stages_completed",
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - (CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) AS period
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(period) AS cohort_period FROM a GROUP BY user_id)
+    SELECT f.cohort_period,
+           (a.period - f.cohort_period) // 86400 AS "offset",
+           COUNT(*) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: daily cohort x offset retention counts
+    (operators/behavior.py:cohort_retention) — first-seen per user +
+    distinct activity periods, both shuffled on user_id once."""
+    from telemetry_streaming_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period_seconds=86_400)
+
+
+@query(
+    "inter_event_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+        FROM events
+    )
+    SELECT CASE WHEN gap_s <= 0 THEN 0
+                ELSE length(bin(gap_s)) END AS gap_bucket,
+           COUNT(*) AS n,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def inter_event_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: log2-bucketed inter-arrival histogram
+    (operators/behavior.py:inter_event_gaps).  The bucket is the bit
+    length of the gap — integer-only in both engines (conv base-2 /
+    bin string length), no float log anywhere."""
+    from telemetry_streaming_spark.operators.behavior import inter_event_gaps
+
+    gaps = inter_event_gaps(_t(spark, sf_dir, "events"))
+    return gaps.groupBy("gap_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
