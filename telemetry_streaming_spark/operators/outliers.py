@@ -60,3 +60,56 @@ def winsorize(
     return df.join(F.broadcast(bounds), group_cols).withColumn(
         out_col, F.least(F.greatest(v, F.col("lo_bound")), F.col("hi_bound"))
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    k: float = 3.0,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group median / MAD / robust-outlier counts.
+
+    MAD (median absolute deviation) is the robust scale estimate:
+    ``median(|x - median(x)|)``.  Rows with ``|x - med| > k * MAD``
+    count as outliers — the classic heavy-tail-safe alternative to
+    mean/stddev flagging (a single bot user moves a mean; it cannot
+    move a median).
+
+    Two grouped percentile aggregates with a broadcast join between
+    them (bounds tables are |groups| rows); every derived double is
+    the same IEEE subtraction/abs/multiply in any engine, and Spark's
+    ``percentile`` matches DuckDB ``quantile_cont`` bit-exactly, so
+    the whole output is hash-portable.  ``exact=False`` swaps both
+    medians for ``approx_percentile`` (mergeable sketch, no per-group
+    sort) — the 100TB default.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    v = F.col(value_col)
+
+    def _median(col_expr_sql: str):
+        if exact:
+            return F.expr(f"percentile({col_expr_sql}, 0.5D)")
+        return F.expr(f"approx_percentile({col_expr_sql}, 0.5D, {accuracy})")
+
+    med = df.groupBy(*group_cols).agg(_median(f"`{value_col}`").alias("med"))
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__adev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(_median("__adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("__adev") > F.lit(float(k)) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

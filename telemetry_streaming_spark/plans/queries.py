@@ -2738,3 +2738,77 @@ def inter_event_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@query(
+    "robust_stats",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           CAST(FLOOR(MIN(d.med) * 100 + 0.5) AS BIGINT) AS med_cents,
+           CAST(FLOOR(MIN(s.mad) * 100 + 0.5) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: median/MAD robust outlier flagging per group
+    (operators/outliers.py:robust_stats) — two grouped percentile
+    passes + broadcast joins; every derived double is the same IEEE
+    op in both engines."""
+    from telemetry_streaming_spark.operators.outliers import robust_stats
+
+    out = robust_stats(_t(spark, sf_dir, "events"), "value", ["event_type"], k=3.0)
+    return out.select(
+        "event_type",
+        "n",
+        cents(F.col("med")).alias("med_cents"),
+        cents(F.col("mad")).alias("mad_cents"),
+        "n_outliers",
+    )
+
+
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+                  ) AS rn
+        FROM c
+    )
+    SELECT event_type, user_id AS mode_user, cnt AS mode_cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact per-group mode with deterministic tie-break
+    (count desc, key asc) — count agg + 1-row-per-group window; both
+    shuffles carry (group, key, count) only."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    c = events.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), F.col("cnt").alias("mode_cnt"))
+    )

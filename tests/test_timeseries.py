@@ -127,3 +127,36 @@ def test_winsorize_sketch_tier_bounds_are_close(spark):
         lo_a, hi_a = approx[et]
         assert abs(lo_a - lo_e) <= max(1.0, 0.1 * abs(lo_e))
         assert abs(hi_a - hi_e) <= max(1.0, 0.05 * abs(hi_e))
+
+
+def test_robust_stats_flags_planted_outliers(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.outliers import robust_stats
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", float(v)) for v in [5, 5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r.g: r for r in robust_stats(df, "x", ["g"], k=3.0).collect()}
+    assert out["a"].n_outliers == 1          # the planted 1000
+    assert out["a"].med == 12.5
+    # constant group: MAD 0, every deviation is 0, so nothing flags
+    assert out["b"].n_outliers == 0
+    assert out["b"].mad == 0.0
+    with pytest.raises(ValueError):
+        robust_stats(df, "x", ["g"], k=0)
+
+
+def test_robust_stats_sketch_tier_close_to_exact(spark):
+    from telemetry_streaming_spark.operators.outliers import robust_stats
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False)
+    exact = {r.event_type: r for r in robust_stats(events, "value", ["event_type"]).collect()}
+    approx = {r.event_type: r for r in robust_stats(
+        events, "value", ["event_type"], exact=False, accuracy=10_000).collect()}
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a.med - e.med) <= max(0.5, 0.05 * abs(e.med))
+        assert abs(a.mad - e.mad) <= max(0.5, 0.1 * abs(e.mad))
