@@ -112,7 +112,7 @@ def media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.when(media_type == "image", (F.col(id_col) % 48 + 1).cast("int")).alias("height"),
         F.when(media_type == "image", F.lit(3)).cast("int").alias("channels"),
         F.when(media_type == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
-        F.when(media_type == "video", (F.col(id_col) % 30 + 1).cast("float")).alias(
+        F.when(media_type != "image", (F.col(id_col) % 30 + 1).cast("float")).alias(
             "duration_s"
         ),
         byte_len.alias("byte_len"),
@@ -249,3 +249,32 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def audio_chunks(media: DataFrame, chunk_s: int = 4, overlap_s: int = 1) -> DataFrame:
+    """Overlapping fixed-length chunk schedule for audio payloads —
+    the windowing an ASR/embedding pass consumes (chunk k starts at
+    ``k * (chunk_s - overlap_s)``; the tail chunk is clamped to the
+    duration).  ``sequence``+``posexplode``, no Python: like
+    :func:`sample_frames`, only scheduled chunks would ever reach a
+    decoder, and zero-duration media yield no rows.
+
+    Integer-seconds arithmetic throughout, so the schedule is
+    engine-portable (DuckDB oracle: ``multimodal_audio_chunks``).
+    """
+    if chunk_s < 1 or not 0 <= overlap_s < chunk_s:
+        raise ValueError(f"need chunk_s >= 1 and 0 <= overlap_s < chunk_s, got {chunk_s}/{overlap_s}")
+    hop = chunk_s - overlap_s
+    dur = F.col("meta.duration_s").cast("int")
+    starts = F.when(
+        (F.col("meta.media_type") == "audio") & (dur >= 1),
+        F.sequence(F.lit(0), dur - 1, F.lit(hop)),
+    )
+    return media.select(
+        "media_id", F.posexplode(starts).alias("chunk_idx", "start_s"), dur.alias("__d")
+    ).select(
+        "media_id",
+        "chunk_idx",
+        F.col("start_s").cast("long").alias("start_s"),
+        F.least(F.col("start_s") + F.lit(chunk_s), F.col("__d")).cast("long").alias("end_s"),
+    )

@@ -2812,3 +2812,154 @@ def mode_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_type", F.col("user_id").alias("mode_user"), F.col("cnt").alias("mode_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Harder TPC-H shapes: outer-join distribution (Q13), HAVING-subquery
+# fact filter (Q18), and a correlated-min dimension lookup (Q2 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def customer_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving order-less customers +
+    two-level aggregation.  The join condition carries the non-key
+    predicate, so the NULL-extension (COUNT(col)=0) semantics match
+    exactly; both aggs are narrow partial+final hash-aggs."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_custkey, o_orderkey,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_ts_s,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_e2
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped-HAVING subquery (bulk orders) filters
+    the fact via a semi-join, then re-aggregates with the dims.  The
+    HAVING aggregate collapses lineitem before anything joins; the
+    qualifying-key set is small, so it broadcasts into the semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_e2"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.expr("unix_micros(o_orderdate) div 1000000").alias("order_ts_s"),
+            cents(F.col("o_totalprice")).alias("price_cents"),
+            "qty_e2",
+        )
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT p.p_partkey, p.p_brand, s.s_name, s.s_nationkey,
+               CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM part p
+        JOIN supplier s ON s.s_suppkey = 1 + (p.p_partkey % (SELECT COUNT(*) FROM supplier))
+    ),
+    best AS (
+        SELECT p_partkey, MIN(acctbal_cents) AS min_bal
+        FROM costs GROUP BY p_partkey
+    )
+    SELECT c.p_partkey, c.p_brand, c.s_name, c.acctbal_cents
+    FROM costs c JOIN best b
+      ON c.p_partkey = b.p_partkey AND c.acctbal_cents = b.min_bal
+    """,
+)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-minimum lookup — compute the
+    per-group minimum once, join it back as a filter (Catalyst's
+    de-correlation of `WHERE x = (SELECT MIN ... WHERE corr)`).
+    The testdata has no partsupp table, so supplier assignment is the
+    deterministic p_partkey-mod surrogate in BOTH engines."""
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    n_sup = supplier.count()
+    costs = part.join(
+        F.broadcast(supplier),
+        F.col("s_suppkey") == F.lit(1) + (F.col("p_partkey") % F.lit(n_sup)),
+    ).select(
+        "p_partkey", "p_brand", "s_name",
+        cents(F.col("s_acctbal")).alias("acctbal_cents"),
+    )
+    best = (
+        costs.groupBy("p_partkey")
+        .agg(F.min("acctbal_cents").alias("min_bal"))
+        .withColumnRenamed("p_partkey", "best_partkey")
+    )
+    return costs.join(
+        best,
+        (F.col("p_partkey") == F.col("best_partkey"))
+        & (F.col("acctbal_cents") == F.col("min_bal")),
+    ).select("p_partkey", "p_brand", "s_name", "acctbal_cents")
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="WITH " + _MEDIA_CTE + """
+    SELECT media_id,
+           CAST(g.i AS INT) AS chunk_idx,
+           CAST(g.s AS BIGINT) AS start_s,
+           CAST(LEAST(g.s + 4, CAST(duration_s AS INT)) AS BIGINT) AS end_s
+    FROM media, LATERAL (
+        SELECT unnest(generate_series(0, CAST(duration_s AS INT) - 1, 3)) AS s,
+               generate_subscripts(generate_series(0, CAST(duration_s AS INT) - 1, 3), 1) - 1 AS i
+    ) g
+    WHERE media_type = 'audio'
+    """,
+)
+def multimodal_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: overlapping audio chunk schedule (4s chunks, 1s
+    overlap -> 3s hop) — sequence+posexplode, integer-seconds exact
+    (ext/multimodal.py:audio_chunks)."""
+    from telemetry_streaming_spark.ext.multimodal import audio_chunks, media_table
+
+    return audio_chunks(media_table(_t(spark, sf_dir, "documents")), chunk_s=4, overlap_s=1)

@@ -121,3 +121,30 @@ def test_sample_frames_zero_frame_media_emits_no_rows(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     assert 1 not in by_id
     assert sorted(by_id[2]) == [0, 1]
+
+
+def test_audio_chunks_overlap_schedule(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from telemetry_streaming_spark.ext.multimodal import audio_chunks
+
+    media = spark.createDataFrame(
+        [(1, "audio", 10.0), (2, "audio", 0.0), (3, "video", 10.0), (4, "audio", 2.0)],
+        "media_id long, mt string, dur double",
+    ).select(
+        "media_id",
+        F.struct(F.col("mt").alias("media_type"), F.col("dur").alias("duration_s")).alias("meta"),
+    )
+    rows = sorted(
+        (r.media_id, r.chunk_idx, r.start_s, r.end_s)
+        for r in audio_chunks(media, chunk_s=4, overlap_s=1).collect()
+    )
+    # 10s at 3s hop -> starts 0,3,6,9; ends clamped to duration
+    assert rows == [
+        (1, 0, 0, 4), (1, 1, 3, 7), (1, 2, 6, 10), (1, 3, 9, 10),
+        (4, 0, 0, 2),
+    ]
+    # consecutive chunks overlap by exactly overlap_s (except the clamped tail)
+    with pytest.raises(ValueError):
+        audio_chunks(media, chunk_s=2, overlap_s=2)
