@@ -56,6 +56,13 @@ def distinctive_terms(
     tf = tokens.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
     if min_tf > 1:
         tf = tf.where(F.col("tf") >= min_tf)
+    # Persisted: tf feeds three consumers (scoring join, group-df agg,
+    # n_groups) — without the cache each one re-runs the corpus
+    # explode + aggregate.  tf is |groups| x |vocabulary| rows, the
+    # natural checkpoint of the pipeline; same cache-ownership
+    # contract as ngram_jaccard_pairs (harnesses clearCache between
+    # queries, long-lived sessions own the unpersist).
+    tf = tf.persist()
     group_df = tf.groupBy("term").agg(F.count("*").alias("group_df"))
     n_groups = tf.select(group_col).distinct().agg(F.count("*").alias("n_groups"))
     scored = (

@@ -212,3 +212,52 @@ def test_curation_corpus_never_sort_merge_joins(spark):
     df.collect()  # let AQE finalize
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan
+
+
+def test_latest_snapshot_plan_prunes_with_window_group_limit(spark):
+    """CDC compaction must push the rn=1 limit into the sort
+    (WindowGroupLimit) so each task keeps one row per key pre-filter."""
+    plan = explain_str(q(spark, "latest_snapshot"), "simple")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_large_orders_broadcasts_qualifying_keys(spark):
+    """The HAVING-derived key set must broadcast into a semi-join; the
+    fact table never shuffles against it."""
+    plan = explain_str(q(spark, "large_orders"), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_customer_distribution_keeps_outer_join(spark):
+    """Q13's predicate lives in the join condition: the plan must keep
+    LeftOuter (an inner join would drop order-less customers)."""
+    plan = explain_str(q(spark, "customer_distribution"), "simple")
+    assert "LeftOuter" in plan
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    """The |groups|-row bounds table must broadcast back onto the
+    fact; the only wide pass is the percentile aggregation itself."""
+    plan = explain_str(q(spark, "winsorized_stats"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_joins_stay_on_user_key(spark):
+    """Every funnel stage joins and aggregates on user_id only —
+    no cartesian, no broadcast of the event fact."""
+    plan = explain_str(q(spark, "conversion_funnel"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distinctive_terms_post_explode_work_is_vocab_sized(spark):
+    """After the (group, term) tf aggregate, nothing touches the
+    exploded corpus again: all three tf consumers (scoring join,
+    group-df aggregate, n_groups) must read the persisted tf frame —
+    explain prints the cached lineage under each InMemoryTableScan,
+    so the reuse marker (not the explode count) is the invariant."""
+    plan = explain_str(q(spark, "distinctive_terms"), "simple")
+    assert plan.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()
