@@ -116,3 +116,25 @@ def windowed_top_keys(
         F.col("e.item").alias(key_col),
         F.col("e.count").alias("approx_cnt"),
     )
+
+
+def heavy_hitters_verified(
+    df: DataFrame, key_col: str, *, top_k: int, max_tracked: int = 10_000
+) -> DataFrame:
+    """Two-phase frequent items: sketch first, verify survivors exactly.
+
+    Phase 1 (:func:`approx_heavy_hitters`) collapses the table to one
+    sketch row; phase 2 broadcasts the <= top_k candidate keys into a
+    semi-join and counts ONLY those keys exactly.  The expensive exact
+    count never sees the full key space — the same tier discipline as
+    minhash-LSH candidate verification.  Returns ``(key_col, cnt)``
+    with exact counts, descending-count-then-key deterministic order
+    left to the caller.
+    """
+    cand = approx_heavy_hitters(df, key_col, top_k=top_k, max_tracked=max_tracked)
+    keys = cand.select(key_col)
+    return (
+        df.join(broadcast(keys), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

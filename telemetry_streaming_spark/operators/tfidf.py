@@ -82,3 +82,38 @@ def distinctive_terms(
         .where(F.col("rnk") <= top_k)
         .select(group_col, "term", "tf", "group_df", "score", "rnk")
     )
+
+
+def token_entropy(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats).
+
+    ``H = ln(n) - sum(c * ln(c)) / n`` over the doc's token counts — a
+    standard quality/repetition signal (templated or keyword-stuffed
+    text scores low, natural prose high).  Two narrow aggregations:
+    (doc, token) counts, then the per-doc fold; both shuffles carry
+    count rows only, never text.
+
+    Uses IEEE ``ln`` — NOT oracle-hash-portable across engines (libm
+    last-ulp differences), so the registry query is rows-only and the
+    values are pinned against an independent Python reference in
+    ``tests/test_frequency.py``.
+    """
+    tokens = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    counts = tokens.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("__clc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "vocab",
+            (F.log(F.col("n_tokens").cast("double")) - F.col("__clc") / F.col("n_tokens"))
+            .alias("entropy"),
+        )
+    )

@@ -2963,3 +2963,14 @@ def multimodal_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.ext.multimodal import audio_chunks, media_table
 
     return audio_chunks(media_table(_t(spark, sf_dir, "documents")), chunk_s=4, overlap_s=1)
+
+
+@query("token_entropy", oracle=None)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-doc token-distribution entropy (rows-only: ln is
+    not bit-portable across libms; values pinned against a Python
+    reference in tests/test_frequency.py)
+    (operators/tfidf.py:token_entropy)."""
+    from telemetry_streaming_spark.operators.tfidf import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents", parallelize=False))

@@ -146,3 +146,49 @@ def test_windowed_top_keys_ranks_are_dense(spark):
         by_w.setdefault(r.window_start, []).append(r.rank)
     for ranks in by_w.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_verified_tier_counts_are_exact(spark):
+    from telemetry_streaming_spark.operators.frequency import heavy_hitters_verified
+
+    ev = _events(spark)
+    got = {r.user_id: r.cnt for r in
+           heavy_hitters_verified(ev, "user_id", top_k=5).collect()}
+    exact = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    assert len(got) == 5
+    for uid, cnt in got.items():
+        assert cnt == exact[uid]
+
+
+def test_verified_tier_plan_semi_joins_broadcast_candidates(spark):
+    from telemetry_streaming_spark.operators.frequency import heavy_hitters_verified
+
+    plan = _explain(heavy_hitters_verified(_events(spark), "user_id", top_k=5))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_token_entropy_matches_python_reference(spark):
+    import math
+
+    from telemetry_streaming_spark.operators.tfidf import token_entropy
+
+    docs = load_table(spark, SF, "documents", parallelize=False).limit(50)
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = row.text.strip().split()
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        n = len(toks)
+        want = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        r = got[row.doc_id]
+        assert r.n_tokens == n and r.vocab == len(counts)
+        assert abs(r.entropy - want) < 1e-9
+    # uniform text has maximal entropy ln(vocab); constant text zero
+    tiny = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a")], "doc_id long, text string"
+    )
+    e = {r.doc_id: r.entropy for r in token_entropy(tiny).collect()}
+    assert abs(e[1] - math.log(4)) < 1e-12
+    assert abs(e[2]) < 1e-12
