@@ -169,6 +169,9 @@ def embedding_neardup_pairs(
             f"exact near-dup verifier side exceeds {MAX_NEARDUP_SIDE_ROWS} rows; "
             "use embedding_neardup_lsh for the at-scale path"
         )
+    if side.empty:
+        # empty corpus: no pairs, keep the output schema
+        return df.sparkSession.createDataFrame([], "id1 long, id2 long, cos double")
     ids_b = side[id_col].to_numpy()
     B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
     nb = np.zeros(len(ids_b))
@@ -313,6 +316,8 @@ def ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:
+        return []
     for _ in range(iters):
         assign = ivf_assign(df, centroids, vec_col).groupBy("ivf_cluster").agg(
             *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(len(centroids[0]))]
@@ -338,6 +343,8 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
             for i, c in enumerate(centroids)
         ]
     )
+    if not centroids:
+        raise ValueError("ivf_assign needs at least one centroid (empty corpus?)")
     return df.withColumn("ivf_cluster", F.array_max(scored)["i"])
 
 
@@ -360,6 +367,11 @@ def cosine_topk_ivf(
     O(n x probes/lists) bound as the SRP path, with data-adaptive
     partitioning (clusters follow density, buckets don't)."""
     centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
+    if not centroids:
+        # empty corpus: no neighbors, keep the output schema
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     cand = ivf_assign(df, centroids, vec_col).withColumn("_nrm", norm(F.col(vec_col)))
     scored_q = F.array(
         *[
