@@ -90,3 +90,72 @@ def test_partitioned_write_rejects_high_cardinality(spark, tmp_path):
     events = load_table(spark, SF_SMOKE, "events")
     with pytest.raises(ValueError, match="distinct values"):
         write_partitioned(events, str(tmp_path / "x"), "event_id", max_cardinality=10)
+
+
+def test_zorder_boxes_beat_linear_sort_on_secondary_column(spark, tmp_path):
+    """Z-ordered files must carry tight footer stats on BOTH clustered
+    columns; a linear sort leaves the secondary column spanning the
+    whole domain in every file, so a predicate on it can skip nothing."""
+    import pyarrow.parquet as pq
+
+    from telemetry_streaming_spark.sources.layout import write_range_sorted, write_zordered
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False).select(
+        "event_id", "user_id", "value"
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    write_zordered(events, zdir, ["user_id", "value"], n_files=8, bits=8)
+    write_range_sorted(events, ldir, "user_id", n_files=8)
+
+    def spans(d, col):
+        out = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                out.append(max(his) - min(los))
+        return out
+
+    lo, hi = [
+        (r[0], r[1]) for r in events.selectExpr("min(value)", "max(value)").collect()
+    ][0]
+    domain = hi - lo
+    z_spans = sorted(spans(zdir, "value"))
+    l_spans = sorted(spans(ldir, "value"))
+    assert len(z_spans) >= 4 and len(l_spans) >= 4
+    # linear sort by user_id: the typical file's value span covers
+    # most of the domain (nothing to skip on the secondary column)
+    assert l_spans[len(l_spans) // 2] > 0.55 * domain
+    # z-order: the typical file covers a small value box (z-curve
+    # fold-boundary files may still span wide — medians, not means)
+    assert z_spans[len(z_spans) // 2] < 0.4 * domain
+    # and user_id stays clustered too (both-column skipping)
+    uz = spans(zdir, "user_id")
+    full_u = max(r.user_id for r in events.collect()) - min(r.user_id for r in events.collect())
+    assert sum(uz) / len(uz) < 0.9 * full_u
+    # round-trip: no rows lost or duplicated
+    assert spark.read.parquet(zdir).count() == events.count()
+
+
+def test_zorder_rejects_bad_params(spark):
+    import pytest
+
+    from telemetry_streaming_spark.sources.layout import write_zordered, zorder_key
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False)
+    with pytest.raises(ValueError):
+        zorder_key(events, ["a", "b", "c", "d", "e"])
+    with pytest.raises(ValueError):
+        zorder_key(events, ["user_id", "value"], bits=32)
+    with pytest.raises(ValueError):
+        write_zordered(events, "/tmp/x", ["user_id"], n_files=0)
