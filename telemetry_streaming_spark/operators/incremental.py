@@ -1,0 +1,64 @@
+"""Incremental aggregate maintenance: merge partial aggregates
+instead of recomputing from raw data.
+
+The production shape for every continuously-loaded aggregate table:
+batch N's aggregate merges into the running state with one
+keys-shuffle of *aggregate-sized* frames — the raw history is never
+re-scanned.  This is exactly the algebra Spark's partial+final
+aggregation uses inside one query, lifted to cross-batch/cross-day
+granularity (a ``foreachBatch`` upsert, a daily rollup catch-up, a
+backfill merged into a live table).
+
+Only **re-aggregable** statistics merge losslessly: counts and sums
+add, mins/maxes fold, and anything derivable from them (avg =
+sum/count) is computed at read time.  Medians/percentiles/distincts do
+NOT merge exactly — use their sketch forms (approx_percentile, HLL),
+which are mergeable by construction.  :func:`merge_aggregates`
+enforces the distinction by only accepting the four lossless kinds.
+
+Exactness is oracle-provable: aggregating each half of a table and
+merging equals aggregating the whole — the ``incremental_merge``
+registry query hash-checks precisely that against DuckDB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_aggregates(
+    parts: list[DataFrame],
+    keys: list[str],
+    *,
+    count_cols: list[str] = (),
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Merge partial-aggregate frames sharing the ``keys +
+    count/sum/min/max`` schema into one consolidated aggregate.
+
+    One union (no shuffle) + one hash-aggregate on the keys; input
+    frames are aggregate-sized, so the merge cost is independent of
+    how much raw data produced them.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    cols = list(keys) + list(count_cols) + list(sum_cols) + list(min_cols) + list(max_cols)
+    if not (len(cols) > len(keys)):
+        raise ValueError("need at least one aggregate column to merge")
+    for p in parts:
+        missing = [c for c in cols if c not in p.columns]
+        if missing:
+            raise ValueError(f"part missing columns {missing}")
+    unioned = reduce(lambda a, b: a.unionByName(b), [p.select(*cols) for p in parts])
+    aggs = (
+        [F.sum(c).cast("long").alias(c) for c in count_cols]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return unioned.groupBy(*keys).agg(*aggs)

@@ -2974,3 +2974,45 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.tfidf import token_entropy
 
     return token_entropy(_t(spark, sf_dir, "documents", parallelize=False))
+
+
+@query(
+    "incremental_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: incremental aggregate maintenance — the table is
+    split into two halves, each aggregated independently, and the
+    partials merged (operators/incremental.py:merge_aggregates); the
+    oracle aggregates the WHOLE table in one pass, so the hash match
+    proves merge(agg(A), agg(B)) == agg(A union B) exactly."""
+    from telemetry_streaming_spark.operators.incremental import merge_aggregates
+
+    events = _t(spark, sf_dir, "events")
+
+    def half_agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+
+    a = half_agg(events.where(F.col("event_id") % 2 == 0))
+    b = half_agg(events.where(F.col("event_id") % 2 == 1))
+    return merge_aggregates(
+        [a, b],
+        ["event_type"],
+        count_cols=["n_events"],
+        sum_cols=["sum_value_cents"],
+        min_cols=["min_user"],
+        max_cols=["max_user"],
+    )

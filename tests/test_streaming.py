@@ -485,3 +485,54 @@ def test_checkpoint_restart_recovers_exactly_once(spark, stream_dirs):
     # every (window, experiment) key appears at most once
     keys = [(r.window_start, r.experiment_id, r.experiment_branch) for r in got]
     assert len(keys) == len(set(keys))
+
+
+def test_foreachbatch_incremental_aggregate_maintenance(spark, tmp_path):
+    """The production incremental-maintenance loop: each micro-batch is
+    aggregated and merged into a persistent state table
+    (operators/incremental.py:merge_aggregates) — after N batches the
+    state must equal the one-pass batch aggregate of everything seen,
+    and the merge only ever touches aggregate-sized frames."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.operators.incremental import merge_aggregates
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    def upsert(batch_df, batch_id):
+        parts = [agg(batch_df)]
+        if os.path.exists(state_dir):
+            parts.append(spark.read.parquet(state_dir))
+        merged = merge_aggregates(parts, ["k"], count_cols=["n"], sum_cols=["s"])
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        # atomic-ish swap: readers never see a half-written state
+        spark.read.parquet(state_dir + ".tmp").write.mode("overwrite").parquet(state_dir)
+
+    def feed(rows):
+        p = src / f"{uuid.uuid4().hex}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    feed([{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 10}])
+    stream = spark.readStream.schema("k string, v long").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed([{"k": "a", "v": 4}, {"k": "c", "v": 7}])
+        q.processAllAvailable()
+    finally:
+        stop_quietly(q)
+
+    state = {r.k: (r.n, r.s) for r in spark.read.parquet(state_dir).collect()}
+    assert state == {"a": (3, 7), "b": (1, 10), "c": (1, 7)}

@@ -160,3 +160,36 @@ def test_robust_stats_sketch_tier_close_to_exact(spark):
         a = approx[et]
         assert abs(a.med - e.med) <= max(0.5, 0.05 * abs(e.med))
         assert abs(a.mad - e.mad) <= max(0.5, 0.1 * abs(e.mad))
+
+
+def test_merge_aggregates_multi_step_equals_full(spark):
+    """Three-way split, merged pairwise then with the third — any
+    merge tree must equal the one-pass aggregate (associativity)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from telemetry_streaming_spark.operators.incremental import merge_aggregates
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False)
+
+    def agg(part):
+        return part.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+
+    parts = [agg(ev.where(F.col("event_id") % 3 == i)) for i in range(3)]
+    kw = dict(count_cols=["n"], sum_cols=["s"], min_cols=["lo"], max_cols=["hi"])
+    ab = merge_aggregates(parts[:2], ["event_type"], **kw)
+    abc = merge_aggregates([ab, parts[2]], ["event_type"], **kw)
+    full = {tuple(r) for r in agg(ev).collect()}
+    assert {tuple(r) for r in abc.collect()} == full
+    with pytest.raises(ValueError):
+        merge_aggregates([], ["event_type"], **kw)
+    with pytest.raises(ValueError):
+        merge_aggregates(parts[:1], ["event_type"])
+    with pytest.raises(ValueError):
+        merge_aggregates([parts[0].drop("n")], ["event_type"], **kw)
