@@ -316,6 +316,40 @@ def run_federated_optimizer(spark, args):
     job.write_updates_streaming(agg, sink, args.checkpoint_path).awaitTermination()
 
 
+def run_curate(spark, args):
+    """Training-data curation as an operable job: documents parquet in,
+    split-partitioned curated corpus + stage-funnel report out."""
+    from telemetry_streaming_spark.ext.curation import CurationConfig, curate, funnel_counts
+    from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    _require(args, "input-path", "output-path")
+    docs = spark.read.parquet(args.input_path)
+    cfg = CurationConfig(
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        min_quality=args.min_quality,
+        keep_langs=tuple(args.keep_langs.split(",")),
+        eval_rate=args.eval_rate,
+    )
+    pairs = None
+    if args.near_dup == "minhash":
+        pairs = minhash_lsh_pairs(docs, threshold=args.near_dup_threshold)
+    elif args.near_dup == "simhash":
+        pairs = simhash_pairs(docs)
+    out = curate(docs, cfg, near_dup_pairs=pairs)
+    if args.explain:
+        out.explain("formatted")
+        return
+    (
+        out.repartition(args.num_parquet_files, "split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(args.output_path)
+    )
+    for r in funnel_counts(docs, cfg).collect():
+        print(f"{r['stage']}: {r['n_docs']}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     top = argparse.ArgumentParser(prog="telemetry_streaming_spark")
     sub = top.add_subparsers(dest="job", required=True)
@@ -353,6 +387,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state-path")
     p.add_argument("--model-output-path")
     p.add_argument("--model-branch", default="frecency-update-study")
+
+    p = sub.add_parser("curate", help="training-data curation funnel")
+    p.add_argument("--input-path")
+    p.add_argument("--output-path")
+    p.add_argument("--num-parquet-files", type=int, default=60)
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--keep-langs", default="en")
+    p.add_argument("--eval-rate", type=float, default=0.05)
+    p.add_argument("--near-dup", choices=("none", "minhash", "simhash"), default="none")
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--explain", action="store_true")
     return top
 
 
@@ -367,6 +414,7 @@ RUNNERS = {
     "crashes_to_opentsdb": lambda s, a: run_crashes(s, a, "opentsdb"),
     "events_to_amplitude": run_events_to_amplitude,
     "federated_optimizer": run_federated_optimizer,
+    "curate": run_curate,
 }
 
 

@@ -18,7 +18,7 @@ def test_parser_covers_all_jobs():
         "error_aggregator", "experiments_error_aggregator", "event_ping_events",
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
-        "federated_optimizer",
+        "federated_optimizer", "curate",
     }
 
 
@@ -148,3 +148,29 @@ def test_explain_wires_every_job(spark, tmp_path):
         "--checkpoint-path", str(tmp_path / "ck"),
         "--explain",
     ], spark=spark)
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """The curation funnel as an operable job: documents parquet in,
+    split-partitioned curated parquet + printed stage funnel out."""
+    from telemetry_streaming_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    main(
+        [
+            "curate",
+            "--input-path", "/root/testdata/sf0.001/documents.parquet",
+            "--output-path", out,
+            "--num-parquet-files", "2",
+            "--min-tokens", "3",
+            "--min-quality", "0.0",
+            "--keep-langs", "en,es,fr,de,zh,und",
+        ],
+        spark=spark,
+    )
+    curated = spark.read.parquet(out)
+    assert set(curated.select("split").distinct().toPandas()["split"]) <= {"train", "eval"}
+    assert "redacted" in curated.columns
+    assert curated.count() > 0
+    printed = capsys.readouterr().out
+    assert "input:" in printed or "gated" in printed or printed.strip()
