@@ -3016,3 +3016,96 @@ def incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cols=["min_user"],
         max_cols=["max_user"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dictionary match: broadcast a small reference vocabulary and
+# match corpus tokens by bounded edit distance — the entity/brand
+# normalization step of a curation pipeline.  levenshtein is the same
+# classic DP in both engines, so the match set is exact.
+# ---------------------------------------------------------------------------
+_FUZZY_DICT = ("click", "view", "purchase", "signup", "error", "search")
+
+
+@query(
+    "fuzzy_token_match",
+    oracle="""
+    WITH dict(term) AS (VALUES {terms}),
+    tok AS (
+        SELECT DISTINCT lower(event_type) AS token FROM events
+    )
+    SELECT t.token, d.term,
+           CAST(levenshtein(t.token, d.term) AS BIGINT) AS dist
+    FROM tok t JOIN dict d ON levenshtein(t.token, d.term) <= 2
+    """.format(terms=", ".join(f"('{t}')" for t in _FUZZY_DICT)),
+)
+def fuzzy_token_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: bounded-edit-distance dictionary matching — the
+    vocabulary broadcasts (tiny by contract), levenshtein runs
+    map-side on the distinct-token frame; no shuffle carries text
+    wider than a token."""
+    from pyspark.sql.functions import broadcast
+
+    events = _t(spark, sf_dir, "events")
+    tok = events.select(F.lower(F.col("event_type")).alias("token")).distinct()
+    d = events.sparkSession.createDataFrame([(t,) for t in _FUZZY_DICT], "term string")
+    dist = F.levenshtein(F.col("token"), F.col("term"))
+    return (
+        tok.join(broadcast(d), dist <= 2)
+        .select("token", "term", dist.cast("long").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average: interval-weighted mean of an irregular
+# series — each observation holds until the next one (the step
+# interpretation every metrics store uses).  Weights are integer
+# second spans, values integer cents: exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, v_cents,
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t, v_cents) - t AS span_s
+        FROM s
+    )
+    SELECT user_id,
+           CAST(SUM(v_cents * span_s) AS BIGINT) AS weighted_sum,
+           CAST(SUM(span_s) AS BIGINT) AS total_span_s,
+           CAST(SUM(v_cents * span_s) AS DOUBLE) / SUM(span_s) AS twa_cents
+    FROM w WHERE span_s IS NOT NULL AND span_s > 0
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: step-interpolated time-weighted average per user —
+    one key shuffle + lead window; weighted sums are integer-exact,
+    the final mean one IEEE division.  Ties order on (t, v_cents) so
+    the spans are deterministic in both engines."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    s = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("t"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("v_cents").asc())
+    spans = s.withColumn("span_s", F.lead("t").over(w) - F.col("t")).where(
+        F.col("span_s").isNotNull() & (F.col("span_s") > 0)
+    )
+    return spans.groupBy("user_id").agg(
+        F.sum(F.col("v_cents") * F.col("span_s")).alias("weighted_sum"),
+        F.sum("span_s").alias("total_span_s"),
+        (
+            F.sum(F.col("v_cents") * F.col("span_s")).cast("double")
+            / F.sum("span_s")
+        ).alias("twa_cents"),
+    )
