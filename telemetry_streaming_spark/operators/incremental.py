@@ -62,3 +62,50 @@ def merge_aggregates(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def distinct_sketch(col: str):
+    """HLL sketch aggregate for a column — the mergeable form of
+    COUNT(DISTINCT).  Store the binary in the state table; merge with
+    :func:`merge_sketch_aggregates`; read with
+    ``hll_sketch_estimate``."""
+    return F.expr(f"hll_sketch_agg(`{col}`)")
+
+
+def topk_sketch(col: str, max_tracked: int = 10_000):
+    """Accumulating top-k sketch (``approx_top_k_accumulate``) — the
+    mergeable form of frequent-items state."""
+    return F.expr(f"approx_top_k_accumulate(`{col}`, {int(max_tracked)})")
+
+
+def merge_sketch_aggregates(
+    parts: list[DataFrame],
+    keys: list[str],
+    *,
+    hll_cols: list[str] = (),
+    topk_cols: list[str] = (),
+) -> DataFrame:
+    """Merge sketch-typed partial aggregates (HLL distinct, top-k).
+
+    HLL union is register-wise max and the top-k combine merges the
+    SpaceSaving summaries, so ``merge(sketch(A), sketch(B)) ==
+    sketch(A union B)`` holds exactly (identical binaries, not just
+    close estimates) — the sketch algebra that makes distinct counts
+    and frequent items incrementally maintainable at all.  Estimates
+    are read out with ``hll_sketch_estimate`` /
+    ``approx_top_k_estimate``.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    cols = list(keys) + list(hll_cols) + list(topk_cols)
+    if not (len(cols) > len(keys)):
+        raise ValueError("need at least one sketch column to merge")
+    for p in parts:
+        missing = [c for c in cols if c not in p.columns]
+        if missing:
+            raise ValueError(f"part missing columns {missing}")
+    unioned = reduce(lambda a, b: a.unionByName(b), [p.select(*cols) for p in parts])
+    aggs = [F.expr(f"hll_union_agg(`{c}`)").alias(c) for c in hll_cols] + [
+        F.expr(f"approx_top_k_combine(`{c}`)").alias(c) for c in topk_cols
+    ]
+    return unioned.groupBy(*keys).agg(*aggs)

@@ -3109,3 +3109,32 @@ def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("span_s")
         ).alias("twa_cents"),
     )
+
+
+@query("incremental_distinct_merge", oracle=None)
+def incremental_distinct_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: mergeable distinct-count state — per-half HLL
+    sketches merged (operators/incremental.py:merge_sketch_aggregates)
+    and read out; merge(sketch(A), sketch(B)) == sketch(A union B)
+    exactly (rows-only: sketch binaries are engine-internal; exactness
+    pinned in tests/test_timeseries.py)."""
+    from telemetry_streaming_spark.operators.incremental import (
+        distinct_sketch,
+        merge_sketch_aggregates,
+    )
+
+    events = _t(spark, sf_dir, "events")
+
+    def half(cond) -> DataFrame:
+        return events.where(cond).groupBy("event_type").agg(
+            distinct_sketch("user_id").alias("du")
+        )
+
+    merged = merge_sketch_aggregates(
+        [half(F.col("event_id") % 2 == 0), half(F.col("event_id") % 2 == 1)],
+        ["event_type"],
+        hll_cols=["du"],
+    )
+    return merged.selectExpr(
+        "event_type", "hll_sketch_estimate(du) AS approx_distinct_users"
+    )

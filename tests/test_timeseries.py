@@ -193,3 +193,45 @@ def test_merge_aggregates_multi_step_equals_full(spark):
         merge_aggregates(parts[:1], ["event_type"])
     with pytest.raises(ValueError):
         merge_aggregates([parts[0].drop("n")], ["event_type"], **kw)
+
+
+def test_sketch_merge_equals_one_pass_sketch(spark):
+    """merge(sketch(A), sketch(B)) must equal sketch(A union B) — not
+    approximately: HLL union is register-wise max and top-k combine
+    merges summaries, so the read-out estimates are identical."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from telemetry_streaming_spark.operators.incremental import (
+        distinct_sketch,
+        merge_sketch_aggregates,
+        topk_sketch,
+    )
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events", parallelize=False)
+
+    def skagg(part):
+        return part.groupBy("event_type").agg(
+            distinct_sketch("user_id").alias("du"),
+            topk_sketch("user_id").alias("tu"),
+        )
+
+    parts = [skagg(ev.where(F.col("event_id") % 2 == i)) for i in range(2)]
+    m = merge_sketch_aggregates(parts, ["event_type"], hll_cols=["du"], topk_cols=["tu"])
+
+    def readout(df):
+        rows = df.selectExpr(
+            "event_type",
+            "hll_sketch_estimate(du) AS d",
+            "approx_top_k_estimate(tu, 5) AS t",
+        ).collect()
+        return {r.event_type: (r.d, sorted((e.item, e["count"]) for e in r.t)) for r in rows}
+
+    assert readout(m) == readout(skagg(ev))
+    # at this cardinality the HLL sparse mode is exact
+    exact = {r.event_type: r.d for r in ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("d")).collect()}
+    assert {k: v[0] for k, v in readout(m).items()} == exact
+    with pytest.raises(ValueError):
+        merge_sketch_aggregates(parts, ["event_type"])
