@@ -109,3 +109,37 @@ def merge_sketch_aggregates(
         F.expr(f"approx_top_k_combine(`{c}`)").alias(c) for c in topk_cols
     ]
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def segment_overlap(
+    df: DataFrame, key_col: str, segment_col: str
+) -> DataFrame:
+    """Pairwise segment overlap via theta sketches: for every segment
+    pair (a < b), the distinct-key sizes, intersection, and a-only
+    counts.
+
+    COUNT(DISTINCT) intersections across N segments are not
+    expressible as one aggregation — exactly the query theta sketches
+    exist for: one sketch per segment (a single scan + one narrow
+    shuffle), then set algebra on the |segments|^2/2 sketch pairs,
+    which is driver-trivial because segments are few by definition.
+    Below the sketch's nominal-entries threshold (4096 keys) the
+    estimates are exact — the oracle hash-checks that regime; beyond
+    it they degrade to ~2% relative error while the plan cost stays
+    one scan.
+    """
+    sk = df.groupBy(segment_col).agg(
+        F.expr(f"theta_sketch_agg(`{key_col}`)").alias("__sk")
+    )
+    a = sk.select(F.col(segment_col).alias("seg_a"), F.col("__sk").alias("__ska"))
+    b = sk.select(F.col(segment_col).alias("seg_b"), F.col("__sk").alias("__skb"))
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    est = lambda e: F.expr(e).cast("long")  # noqa: E731
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        est("theta_sketch_estimate(__ska)").alias("n_a"),
+        est("theta_sketch_estimate(__skb)").alias("n_b"),
+        est("theta_sketch_estimate(theta_intersection(__ska, __skb))").alias("n_common"),
+        est("theta_sketch_estimate(theta_difference(__ska, __skb))").alias("n_only_a"),
+    )

@@ -3138,3 +3138,37 @@ def incremental_distinct_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.selectExpr(
         "event_type", "hll_sketch_estimate(du) AS approx_distinct_users"
     )
+
+
+@query(
+    "segment_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+    sizes AS (SELECT et, COUNT(*) AS n FROM s GROUP BY et),
+    inter AS (
+        SELECT a.et AS seg_a, b.et AS seg_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.u = b.u AND a.et < b.et
+        GROUP BY a.et, b.et
+    )
+    SELECT i.seg_a, i.seg_b,
+           sa.n AS n_a, sb.n AS n_b,
+           i.n_common,
+           sa.n - i.n_common AS n_only_a
+    FROM inter i
+    JOIN sizes sa ON sa.et = i.seg_a
+    JOIN sizes sb ON sb.et = i.seg_b
+    """,
+)
+def segment_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: pairwise audience overlap via theta-sketch set
+    algebra (operators/incremental.py:segment_overlap) — one scan,
+    one sketch per segment, set ops on broadcast sketch pairs.  Below
+    the 4096-key nominal-entries regime the estimates are exact, so
+    the exact-SQL oracle hash-checks them; disjoint pairs are absent
+    in both (inner-join semantics on the oracle side, and the sketch
+    side emits n_common=0 rows that the oracle's join drops — so the
+    query filters them for parity)."""
+    from telemetry_streaming_spark.operators.incremental import segment_overlap
+
+    out = segment_overlap(_t(spark, sf_dir, "events"), "user_id", "event_type")
+    return out.where(F.col("n_common") > 0)
