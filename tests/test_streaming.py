@@ -536,3 +536,53 @@ def test_foreachbatch_incremental_aggregate_maintenance(spark, tmp_path):
 
     state = {r.k: (r.n, r.s) for r in spark.read.parquet(state_dir).collect()}
     assert state == {"a": (3, 7), "b": (1, 10), "c": (1, 7)}
+
+
+def test_foreachbatch_sketch_state_distinct_counts(spark, tmp_path):
+    """Incremental COUNT(DISTINCT) maintenance: per-batch HLL sketches
+    merge into persistent binary state; after any number of batches the
+    estimate equals the exact distinct count over everything seen
+    (exact regime: cardinality below the sketch threshold).  Raw rows
+    are never re-scanned — only sketch blobs merge."""
+    from telemetry_streaming_spark.operators.incremental import (
+        distinct_sketch,
+        merge_sketch_aggregates,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+
+    def upsert(batch_df, batch_id):
+        parts = [batch_df.groupBy("k").agg(distinct_sketch("u").alias("du"))]
+        if os.path.exists(state_dir):
+            parts.append(spark.read.parquet(state_dir))
+        merged = merge_sketch_aggregates(parts, ["k"], hll_cols=["du"])
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        spark.read.parquet(state_dir + ".tmp").write.mode("overwrite").parquet(state_dir)
+
+    def feed(rows):
+        p = src / f"{uuid.uuid4().hex}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    feed([{"k": "a", "u": i % 7} for i in range(30)] + [{"k": "b", "u": 1}])
+    q = (
+        spark.readStream.schema("k string, u long").json(str(src))
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed([{"k": "a", "u": 100 + i} for i in range(5)] + [{"k": "b", "u": 2}])
+        q.processAllAvailable()
+    finally:
+        stop_quietly(q)
+
+    got = {
+        r.k: r.d
+        for r in spark.read.parquet(state_dir)
+        .selectExpr("k", "hll_sketch_estimate(du) AS d")
+        .collect()
+    }
+    assert got == {"a": 12, "b": 2}  # 7 + 5 fresh for a; {1, 2} for b
