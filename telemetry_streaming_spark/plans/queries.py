@@ -3172,3 +3172,52 @@ def segment_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = segment_overlap(_t(spark, sf_dir, "events"), "user_id", "event_type")
     return out.where(F.col("n_common") > 0)
+
+
+@query(
+    "value_trend",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 AS x,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (SELECT g, MIN(x) AS x0 FROM base GROUP BY g),
+    c AS (SELECT b.g, b.x - m.x0 AS x, b.y, m.x0 FROM base b JOIN m USING (g)),
+    s AS (
+        SELECT g, COUNT(*) AS n, MIN(x0) AS x_min,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy
+        FROM c GROUP BY g
+    )
+    SELECT g AS event_type,
+           n, x_min,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+           CAST(syy AS BIGINT) AS syy,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_at_xmin,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r
+    FROM s
+    """,
+)
+def value_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-group OLS trend of value-cents against time
+    (operators/regression.py:grouped_linreg) — the moment sums are
+    exact integers (x centered per group and coarsened to epoch
+    MINUTES so no square-sum can overflow a signed long at any tested
+    SF), and slope/intercept/r are single IEEE ops on exact operands,
+    so even the doubles hash-match the oracle bit-for-bit."""
+    from telemetry_streaming_spark.operators.regression import grouped_linreg
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 1000000) div 60").alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    return grouped_linreg(base, ["event_type"], "x", "y")

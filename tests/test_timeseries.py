@@ -235,3 +235,24 @@ def test_sketch_merge_equals_one_pass_sketch(spark):
     assert {k: v[0] for k, v in readout(m).items()} == exact
     with pytest.raises(ValueError):
         merge_sketch_aggregates(parts, ["event_type"])
+
+
+def test_grouped_linreg_recovers_known_line(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.regression import grouped_linreg
+
+    rows = [("a", x, 3 * x + 7) for x in range(100, 110)] + [
+        ("b", x, 42) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in grouped_linreg(df, ["g"], "x", "y").collect()}
+    assert out["a"].slope == pytest.approx(3.0, abs=1e-12)
+    # intercept reported at x_min=100: y(100) = 307
+    assert out["a"].intercept_at_xmin == pytest.approx(307.0, abs=1e-9)
+    assert out["a"].r == pytest.approx(1.0, abs=1e-12)
+    # constant y: slope 0, r NULL (zero variance)
+    assert out["b"].slope == 0.0
+    assert out["b"].r is None
+    with pytest.raises(ValueError):
+        grouped_linreg(df, [], "x", "y")
