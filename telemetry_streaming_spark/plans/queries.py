@@ -3221,3 +3221,117 @@ def value_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value")).alias("y"),
     )
     return grouped_linreg(base, ["event_type"], "x", "y")
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH e AS (
+        SELECT quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM events
+    )
+    SELECT CASE WHEN value <= q1 THEN 0
+                WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2
+                ELSE 3 END AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events, e
+    GROUP BY 1
+    """,
+)
+def equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: quantile-binned (equi-depth) histogram — exact
+    quartile edges (bit-portable percentiles) broadcast back, bin
+    assignment by plain comparisons on the same doubles; the dual of
+    value_histogram's equal-width bins."""
+    from pyspark.sql.functions import broadcast
+
+    events = _t(spark, sf_dir, "events")
+    edges = events.agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.50)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    v = F.col("value")
+    bin_ = (
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        events.join(broadcast(edges))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(v)).alias("sum_cents"))
+    )
+
+
+@query(
+    "diversified_topk",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 2
+    ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+)
+def diversified_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: diversified top-k — global top-20 longest docs with
+    a per-source quota of 2, so one dominant source cannot fill the
+    result (the sampling-diversity guard of a curation pipeline).
+    WindowGroupLimit prunes to quota rows per source before the
+    global TakeOrdered."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= 2)
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "share_of_total",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+    FROM s
+    """,
+)
+def share_of_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: share-of-group window ratio (ratio_to_report) —
+    exact integer numerator and group total, one IEEE division; the
+    window total reuses the aggregate's partitioning, so the whole
+    query is one exchange on event_type(+user) then a window on the
+    reduced frame."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    s = events.groupBy("event_type", "user_id").agg(
+        F.sum(cents(F.col("value"))).alias("cents")
+    )
+    w = Window.partitionBy("event_type")
+    return s.select(
+        "event_type",
+        "user_id",
+        "cents",
+        (F.col("cents").cast("double") / F.sum("cents").over(w).cast("double")).alias("share"),
+    )
