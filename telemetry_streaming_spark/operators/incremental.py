@@ -143,3 +143,47 @@ def segment_overlap(
         est("theta_sketch_estimate(theta_intersection(__ska, __skb))").alias("n_common"),
         est("theta_sketch_estimate(theta_difference(__ska, __skb))").alias("n_only_a"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Diff two table snapshots: one row per changed key with
+    ``change_type`` in ``insert`` / ``delete`` / ``update``.
+
+    The reconciliation primitive behind CDC backfills, migration
+    validation, and "what did yesterday's rerun change" audits.  One
+    full-outer join on the keys; rows are compared via an md5 over the
+    concatenated compare columns (computed map-side, so the join only
+    ever carries keys + one hash per side).  Unchanged keys are
+    filtered out before anything leaves the join stage.
+    """
+    if not keys or not compare_cols:
+        raise ValueError("keys and compare_cols must be non-empty")
+    sep = F.lit("\x1f")
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        parts: list = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+            parts.append(sep)
+        return df.select(
+            *keys, F.md5(F.concat(*parts[:-1])).alias(alias), F.lit(1).alias(f"_{alias}_present")
+        )
+
+    o = hashed(old, "old_hash")
+    n = hashed(new, "new_hash")
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old_hash_present").isNull(), F.lit("insert"))
+        .when(F.col("_new_hash_present").isNull(), F.lit("delete"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

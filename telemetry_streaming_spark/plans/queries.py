@@ -3335,3 +3335,53 @@ def share_of_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.col("cents").cast("double") / F.sum("cents").over(w).cast("double")).alias("share"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                     OR o.o_totalprice <> n.o_totalprice THEN 'update'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderstatus <> n.o_orderstatus
+           OR o.o_totalprice <> n.o_totalprice)
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: snapshot reconciliation — two deterministic variants
+    of orders (one drops keys %10, the other drops %11 and bumps
+    prices on %7) diffed into insert/delete/update rows
+    (operators/incremental.py:snapshot_diff); the join carries keys +
+    one md5 per side, never the payload."""
+    from telemetry_streaming_spark.operators.incremental import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.where(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])

@@ -256,3 +256,23 @@ def test_grouped_linreg_recovers_known_line(spark):
     assert out["b"].r is None
     with pytest.raises(ValueError):
         grouped_linreg(df, [], "x", "y")
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 21.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # 1 unchanged (absent), 2 value-updated, 3 deleted, 4 NULL->value update, 5 inserted
+    assert got == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["s"])
