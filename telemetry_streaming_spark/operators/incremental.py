@@ -187,3 +187,31 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: one row per column with non-null / null /
+    exact-distinct counts.
+
+    The ANALYZE-style table profile every ingest gate runs.  All
+    columns profile in ONE aggregation pass (count + count-distinct
+    per column in the same agg — Spark plans a single scan with an
+    expand for the distincts), then the wide row unpivots to the long
+    (column, stat) shape with ``stack`` — no per-column jobs, no
+    second scan.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+        ]
+    wide = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __n - __nn_{c}, __nd_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nonnull, n_null, n_distinct)"
+    )

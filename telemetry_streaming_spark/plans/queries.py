@@ -3385,3 +3385,30 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'user_id' AS "column",
+           COUNT(user_id) AS n_nonnull,
+           COUNT(*) - COUNT(user_id) AS n_null,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(event_type), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'props', COUNT(props), COUNT(*) - COUNT(props),
+           COUNT(DISTINCT props) FROM events
+    """,
+)
+def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: ANALYZE-style column profile — every column's
+    non-null/null/exact-distinct counts in one scan + one aggregation
+    (operators/incremental.py:profile_columns), unpivoted with stack;
+    the oracle pays three scans for the same numbers."""
+    from telemetry_streaming_spark.operators.incremental import profile_columns
+
+    events = _t(spark, sf_dir, "events")
+    return profile_columns(events, ["user_id", "event_type", "props"])
