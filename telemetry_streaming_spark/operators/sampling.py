@@ -89,3 +89,51 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(rate * buckets))
         ).otherwise(threshold)
     return df.where(hash_bucket(F.col(key_col), buckets) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    *,
+    salt: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k by
+    exponential priority), optionally per group.
+
+    The A-ES scheme: each row draws priority ``-ln(u) / w`` with ``u``
+    uniform from the stable hash of (key, salt); the k SMALLEST
+    priorities are the sample.  Inclusion probability rises with
+    weight exactly as weighted sampling without replacement requires,
+    yet membership is a pure function of (key, salt, weight) — same
+    sample on every run, engine, and partitioning.  Vary ``salt`` for
+    independent replicates (bootstrap / cross-validation folds).
+
+    This is the "sample documents proportional to quality" mixture
+    step of a curation pipeline.  One shuffle when grouped (the
+    rank window), a TakeOrdered when global.  Priorities are doubles,
+    so membership is NOT DuckDB-hash-portable (ln); determinism and
+    weight-monotonicity are pinned in tests instead.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    # u in (0, 1]: 32 trailing md5 bits of the salted key, +1 to avoid ln(0)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(kc.cast("string"), F.lit(salt))), 25, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    pr = -F.log(u) / wc
+    out = df.withColumn("__priority", pr)
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(F.col("__priority").asc(), kc.cast("string").asc())
+        return out.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop(
+            "__rn", "__priority"
+        )
+    return out.orderBy(F.col("__priority").asc(), kc.cast("string").asc()).limit(k).drop("__priority")

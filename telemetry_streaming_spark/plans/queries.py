@@ -3412,3 +3412,22 @@ def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return profile_columns(events, ["user_id", "event_type", "props"])
+
+
+@query("weighted_sample", oracle=None)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: deterministic weighted sampling (A-ES exponential
+    priorities) — documents sampled proportional to length as the
+    quality-weighted mixture step (rows-only: priorities use ln;
+    determinism and weight-monotonicity pinned in
+    tests/test_sampling.py) (operators/sampling.py:weighted_sample)."""
+    from telemetry_streaming_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return weighted_sample(
+        docs.select("doc_id", "source", F.col("n_chars").cast("double").alias("w")),
+        "doc_id",
+        "w",
+        100,
+        salt="registry",
+    )

@@ -68,3 +68,42 @@ def test_zero_default_drops_unlisted(spark):
         _docs(spark, 400), "doc_id", "source", rates={"src0": 1.0}
     )
     assert {r.source for r in out.select("source").distinct().collect()} == {"src0"}
+
+
+def test_weighted_sample_is_deterministic_and_weight_monotone(spark):
+    """Same (key, salt) -> same sample across runs and partitionings;
+    across many independent salts, heavier items are sampled more
+    often (the property that makes it *weighted* sampling)."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 10 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", 8, salt="s1").collect())
+    b = sorted(r.id for r in weighted_sample(df.repartition(7), "id", "w", 8, salt="s1").collect())
+    assert a == b and len(a) == 8
+    heavy_hits = light_hits = 0
+    for i in range(60):
+        picked = {r.id for r in weighted_sample(df, "id", "w", 8, salt=f"r{i}").collect()}
+        heavy_hits += len([x for x in picked if x < 10])
+        light_hits += len([x for x in picked if x >= 10])
+    # 10 heavy (w=10) vs 30 light (w=1): heavies must dominate their
+    # population share by a wide margin
+    assert heavy_hits / 10 > 2.5 * (light_hits / 30)
+
+
+def test_weighted_sample_grouped_quota(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.sampling import weighted_sample
+
+    rows = [(f"g{i % 3}", i, 1.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    out = weighted_sample(df, "id", "w", 2, group_cols=["g"]).collect()
+    per_group = {}
+    for r in out:
+        per_group[r.g] = per_group.get(r.g, 0) + 1
+    assert per_group == {"g0": 2, "g1": 2, "g2": 2}
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", 0)
