@@ -3431,3 +3431,56 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         100,
         salt="registry",
     )
+
+
+@query(
+    "session_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                 - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
+           quantile_cont(duration_s, 0.5) AS p50_duration_s
+    FROM sessions GROUP BY user_id
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-user session statistics composed ON TOP of the
+    sessionize operator — the composition proof that operator outputs
+    stay oracle-exact through further aggregation (count/sum/max
+    integer-exact, median via the bit-portable percentile)."""
+    from telemetry_streaming_spark.operators.sessions import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    dur = (
+        F.expr("unix_micros(session_end) div 1000000")
+        - F.expr("unix_micros(session_start) div 1000000")
+    )
+    per = s.select("user_id", dur.alias("duration_s"), F.col("n_events"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("duration_s").cast("long").alias("max_duration_s"),
+        F.percentile("duration_s", F.lit(0.5)).alias("p50_duration_s"),
+    )
