@@ -3484,3 +3484,52 @@ def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("duration_s").cast("long").alias("max_duration_s"),
         F.percentile("duration_s", F.lit(0.5)).alias("p50_duration_s"),
     )
+
+
+@query(
+    "time_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT 'hour' AS granularity, 3600 * (t // 3600) AS bucket_start_s,
+           COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_cents
+    FROM b GROUP BY 2
+    UNION ALL
+    SELECT 'day', 86400 * (t // 86400), COUNT(*), CAST(SUM(v) AS BIGINT)
+    FROM b GROUP BY 2
+    UNION ALL
+    SELECT 'week', 604800 * (t // 604800), COUNT(*), CAST(SUM(v) AS BIGINT)
+    FROM b GROUP BY 2
+    """,
+)
+def time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: hypertable-style multi-granularity rollup — hour,
+    day, and week aggregates of the event stream in ONE pass: the
+    three truncated time buckets feed GROUPING SETS, so Catalyst plans
+    a single scan + one Expand + one hash-aggregate where the oracle
+    (and a naive client) pays three scans.  The grouping-set NULLs are
+    folded back into (granularity, bucket) labels."""
+    events = _t(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) div 1000000")
+    b = events.select(
+        (F.lit(3600) * (t / 3600).cast("long")).alias("h"),
+        (F.lit(86400) * (t / 86400).cast("long")).alias("d"),
+        (F.lit(604800) * (t / 604800).cast("long")).alias("w"),
+        cents(F.col("value")).alias("v"),
+    )
+    b.createOrReplaceTempView("__time_rollup_b")
+    return events.sparkSession.sql(
+        """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS granularity,
+               coalesce(h, d, w) AS bucket_start_s,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS BIGINT) AS sum_cents
+        FROM __time_rollup_b
+        GROUP BY GROUPING SETS ((h), (d), (w))
+        """
+    )

@@ -261,3 +261,13 @@ def test_distinctive_terms_post_explode_work_is_vocab_sized(spark):
     plan = explain_str(q(spark, "distinctive_terms"), "simple")
     assert plan.count("InMemoryTableScan") >= 3
     spark.catalog.clearCache()
+
+
+def test_time_rollup_is_one_scan_one_expand(spark):
+    """The multi-granularity rollup must plan a single parquet scan
+    feeding one Expand + one aggregation — never one scan per
+    granularity (the naive UNION ALL the oracle pays)."""
+    plan = explain_str(q(spark, "time_rollup"), "simple")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Expand") == 1
+    assert final.count("FileScan parquet") == 1
