@@ -64,10 +64,14 @@ def curate(
     """Run the full funnel; returns the curated corpus with
     ``split`` and ``redacted`` columns added.
 
-    The repetition join is a broadcast of *flagged ids only* (the
-    flagged set is small by construction — boilerplate is the
-    exception, not the rule), so the corpus-side frame never
-    shuffles for stage 3.
+    The repetition join carries *flagged ids only*; no hard broadcast
+    hint — boilerplate is usually the exception, but on web-scale
+    corpora it can be a double-digit fraction of documents, so the
+    join strategy is left to autoBroadcastJoinThreshold / AQE
+    (broadcast while the flagged set is small, shuffle when not).
+    Exact dedup keeps min(id) per fingerprint with a window on the
+    fingerprint — ONE shuffle, and no corpus-sized keeper set is ever
+    broadcast or joined back.
 
     ``near_dup_pairs`` (optional, columns id1/id2 — the output of any
     dedup tier) extends the exact-dedup stage to NEAR-dup collapse:
@@ -90,14 +94,16 @@ def curate(
         .where(F.col("flagged") == 1)
         .select(id_col)
     )
-    clean = gated.join(F.broadcast(flagged), id_col, "left_anti")
-    keeper = (
-        clean.select(fingerprint(c).alias("fp"), F.col(id_col))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    clean = gated.join(flagged, id_col, "left_anti")
+    from pyspark.sql import Window
+
+    fp_w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    deduped = (
+        clean.withColumn("__fp", fingerprint(c))
+        .withColumn("__rn", F.row_number().over(fp_w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
-    deduped = clean.join(F.broadcast(keeper), id_col, "left_semi")
     if near_dup_pairs is not None:
         from telemetry_streaming_spark.operators.components import connected_components
 
@@ -229,7 +235,7 @@ def funnel_counts(
         .where(F.col("flagged") == 1)
         .select(id_col)
     )
-    unflagged = lang_kept.join(F.broadcast(flagged), id_col, "left_anti")
+    unflagged = lang_kept.join(flagged, id_col, "left_anti")
     deduped = (
         unflagged.select(fingerprint(c).alias("fp"), F.col(id_col))
         .groupBy("fp")

@@ -160,18 +160,26 @@ def snapshot_diff(
     concatenated compare columns (computed map-side, so the join only
     ever carries keys + one hash per side).  Unchanged keys are
     filtered out before anything leaves the join stage.
+
+    Each compare column is hashed SEPARATELY to a fixed-width token
+    (``v`` + 32-hex md5, or a distinct null token) before the outer
+    concat+md5 — separator/sentinel characters appearing inside values
+    therefore cannot alias across column boundaries, and a literal NUL
+    string stays distinct from SQL NULL.
     """
     if not keys or not compare_cols:
         raise ValueError("keys and compare_cols must be non-empty")
-    sep = F.lit("\x1f")
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        parts: list = []
-        for c in compare_cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
-            parts.append(sep)
+        tokens = [
+            F.coalesce(
+                F.concat(F.lit("v"), F.md5(F.col(c).cast("string"))),
+                F.lit("n" + "0" * 32),
+            )
+            for c in compare_cols
+        ]
         return df.select(
-            *keys, F.md5(F.concat(*parts[:-1])).alias(alias), F.lit(1).alias(f"_{alias}_present")
+            *keys, F.md5(F.concat(*tokens)).alias(alias), F.lit(1).alias(f"_{alias}_present")
         )
 
     o = hashed(old, "old_hash")

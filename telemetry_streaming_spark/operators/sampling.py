@@ -121,6 +121,11 @@ def weighted_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     kc = F.col(key) if isinstance(key, str) else key
     wc = F.col(weight) if isinstance(weight, str) else weight
+    # A-ES is defined for strictly positive weights: w <= 0 would be a
+    # DIVIDE_BY_ZERO under ANSI mode (w == 0) or a priority that sorts
+    # first and silently guarantees selection (w < 0).  Zero/negative/
+    # null weight == zero inclusion probability, so filter, not crash.
+    df = df.where(wc.isNotNull() & (wc > 0))
     # u in (0, 1]: 32 trailing md5 bits of the salted key, +1 to avoid ln(0)
     u = (
         F.conv(F.substring(F.md5(F.concat(kc.cast("string"), F.lit(salt))), 25, 8), 16, 10)

@@ -401,8 +401,11 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: dim-filtered fact join + grouped revenue + top-k.
 
-    customer is broadcast (it is the small side after the segment
-    filter); orders<->lineitem shuffle on orderkey.  TakeOrdered
+    No hard broadcast hint on customer: it scales with SF (1.5M rows
+    at sf10), and an explicit hint would be honored regardless of size
+    — autoBroadcastJoinThreshold / AQE pick broadcast while the
+    filtered side is genuinely small and fall back to shuffle when it
+    is not.  orders<->lineitem shuffle on orderkey; TakeOrdered
     replaces a global sort for the LIMIT.
     """
     customer = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -417,7 +420,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).alias("revenue_e4"))
         .select(
@@ -453,9 +456,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join with broadcast dimensions.
 
-    region/nation/supplier/customer are all broadcast; only the
-    orders<->lineitem join shuffles.  The same-nation constraint
-    (s_nationkey = c_nationkey) rides on the broadcast supplier join.
+    Only the CONSTANT-size dims (region: 5 rows, nation: 25 rows)
+    carry explicit broadcast hints.  customer and supplier scale with
+    SF, so their joins are left to autoBroadcastJoinThreshold / AQE —
+    broadcast while they fit, shuffle-hash beyond, with no
+    driver-OOM-at-sf100 hint baked into the plan.  The same-nation
+    constraint (s_nationkey = c_nationkey) rides on the supplier join.
     """
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -477,9 +483,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(asian_customers), orders.o_custkey == asian_customers.c_custkey)
+        .join(asian_customers, orders.o_custkey == asian_customers.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey) & (supplier.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
@@ -501,13 +507,16 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dimension join + multi-aggregate.  customer broadcasts (it is
-    ~15MB/1M rows at sf1; at larger SFs AQE falls back to shuffle)."""
+    """Dimension join + multi-aggregate.  customer SCALES with SF, so
+    no hard broadcast hint: a hint is honored regardless of size (AQE
+    converts shuffle->broadcast, never the reverse), which would OOM
+    the driver at large SF.  Size-based selection broadcasts while
+    customer fits the threshold and shuffles beyond."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     price_cents = cents(F.col("o_totalprice"))
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -2868,8 +2877,11 @@ def customer_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: grouped-HAVING subquery (bulk orders) filters
     the fact via a semi-join, then re-aggregates with the dims.  The
-    HAVING aggregate collapses lineitem before anything joins; the
-    qualifying-key set is small, so it broadcasts into the semi-join."""
+    HAVING aggregate collapses lineitem before anything joins.  No
+    hard broadcast hints: both the qualifying-key set and customer
+    grow linearly with SF, so join-strategy selection is left to
+    autoBroadcastJoinThreshold / AQE (which broadcasts the key set
+    while it is small and shuffles when it is not)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -2878,12 +2890,12 @@ def large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     orders = _t(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
     )
     customer = _t(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_e2"))
         .select(
@@ -2919,13 +2931,19 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group minimum once, join it back as a filter (Catalyst's
     de-correlation of `WHERE x = (SELECT MIN ... WHERE corr)`).
     The testdata has no partsupp table, so supplier assignment is the
-    deterministic p_partkey-mod surrogate in BOTH engines."""
+    deterministic p_partkey-mod surrogate in BOTH engines.
+
+    The surrogate-key modulus (supplier cardinality) is a 1-row
+    aggregate CROSS-JOINED into the plan — self-contained and lazily
+    planned, not a driver-side ``.count()`` job per invocation.  No
+    hard broadcast hint on supplier itself: it scales with SF, so the
+    join is left to autoBroadcastJoinThreshold / AQE."""
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
-    n_sup = supplier.count()
-    costs = part.join(
-        F.broadcast(supplier),
-        F.col("s_suppkey") == F.lit(1) + (F.col("p_partkey") % F.lit(n_sup)),
+    n_sup = supplier.agg(F.count(F.lit(1)).alias("__n_sup"))
+    costs = part.crossJoin(F.broadcast(n_sup)).join(
+        supplier,
+        F.col("s_suppkey") == F.lit(1) + (F.col("p_partkey") % F.col("__n_sup")),
     ).select(
         "p_partkey", "p_brand", "s_name",
         cents(F.col("s_acctbal")).alias("acctbal_cents"),
@@ -3533,3 +3551,50 @@ def time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((h), (d), (w))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering.  The driver's correctness harness hash-checks the
+# FIRST 50 registry entries; everything after gets no driver-side row.
+# Registration above follows the file's narrative order (reference
+# operators first, extension families after), so the queries added
+# latest would otherwise sit permanently outside the checked window.
+# This reorder front-loads the entries that have not yet received a
+# driver-green CORRECTNESS row (r2 checked the first 50; these 45 were
+# positions 50-94), followed by 5 double-checked anchors, then the rest.
+# Query *names* are the stable interface (bench.py and entry() select
+# by name), so ordering is free to change per round.
+# ---------------------------------------------------------------------------
+_FRONT_WINDOW = [
+    # 45 queries with no driver-side CORRECTNESS row as of r2:
+    "value_quantiles", "priority_rollup", "dedup_components",
+    "embedding_quantize", "asof_join", "asof_enrich", "range_join",
+    "top_orders_per_customer", "event_type_pivot", "event_cube",
+    "dedup_incremental", "resample_ffill", "scd2_intervals",
+    "approx_value_quantiles", "heavy_hitters", "approx_heavy_hitters",
+    "distinctive_terms", "value_histogram", "winsorized_stats",
+    "latest_snapshot", "windowed_top_keys", "conversion_funnel",
+    "cohort_retention", "inter_event_gaps", "robust_stats",
+    "mode_per_group", "customer_distribution", "large_orders",
+    "min_cost_supplier", "multimodal_audio_chunks", "token_entropy",
+    "incremental_merge", "fuzzy_token_match", "time_weighted_avg",
+    "incremental_distinct_merge", "segment_overlap", "value_trend",
+    "equidepth_histogram", "diversified_topk", "share_of_total",
+    "snapshot_diff", "profile_columns", "weighted_sample",
+    "session_stats", "time_rollup",
+    # 5 driver-green r2 anchors to fill the 50-slot window:
+    "pricing_summary", "windowed_sum", "dedup_exact",
+    "sessionize", "curation_funnel",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {name: QUERIES[name] for name in _FRONT_WINDOW}
+    for name, spec in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = spec
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_registry()

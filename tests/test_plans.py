@@ -204,14 +204,44 @@ def test_repetition_two_narrow_exchanges(spark):
 
 
 def test_curation_corpus_never_sort_merge_joins(spark):
-    """The curation funnel joins flagged-id / keeper-id sets back into
-    the corpus as broadcasts (they are small by construction); a
-    SortMergeJoin here would mean the full corpus shuffles once per
-    stage."""
+    """The curation funnel's flagged-id anti-join must resolve to a
+    broadcast at runtime (AQE size-based — no hard hint in the source,
+    since the flagged fraction scales with the corpus); a SortMergeJoin
+    here would mean the full corpus shuffles once per stage.  Exact
+    dedup is a window on fingerprint, so no keeper-id join exists at
+    all."""
     df = q(spark, "curation_funnel")
     df.collect()  # let AQE finalize
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_hard_broadcast_hint_on_sf_scaling_sides(spark):
+    """An explicit broadcast hint is honored REGARDLESS of size (AQE
+    converts shuffle->broadcast, never the reverse), so a hint on a
+    side whose rowcount scales with SF is a driver-OOM at 100x.  Pin
+    the exact hint count per query: hints may appear only on
+    constant-size sides (region 5 rows, nation 25 rows, 1-row scalar
+    aggregates) — never on customer / supplier / filtered-fact sets."""
+    expected_hints = {
+        "shipping_priority": 0,       # filtered customer scales with SF
+        "customer_order_stats": 0,    # full customer scales with SF
+        "large_orders": 0,            # HAVING key set + customer scale with SF
+        "local_supplier_volume": 2,   # region + nation only (constant dims)
+        # one source-level hint on the 1-row count aggregate; it prints
+        # twice because the hinted `costs` subtree feeds both sides of
+        # the min self-join in the analyzed tree
+        "min_cost_supplier": 2,
+        "curation_funnel": 0,         # flagged set scales with corpus
+    }
+    for name, n_hints in expected_hints.items():
+        analyzed = _analyzed(q(spark, name))
+        got = analyzed.count("ResolvedHint")
+        assert got == n_hints, f"{name}: {got} broadcast hints, want {n_hints}"
 
 
 def test_latest_snapshot_plan_prunes_with_window_group_limit(spark):
@@ -223,9 +253,13 @@ def test_latest_snapshot_plan_prunes_with_window_group_limit(spark):
 
 
 def test_large_orders_broadcasts_qualifying_keys(spark):
-    """The HAVING-derived key set must broadcast into a semi-join; the
-    fact table never shuffles against it."""
-    plan = explain_str(q(spark, "large_orders"), "simple")
+    """The HAVING-derived key set must broadcast into the semi-join AT
+    RUNTIME (AQE size-based — the source carries no hard hint because
+    the qualifying set grows with SF); the fact table never shuffles
+    against it while the set is small."""
+    df = q(spark, "large_orders")
+    df.collect()  # let AQE finalize join strategies from runtime sizes
+    plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
