@@ -52,6 +52,13 @@ def _add_common(p: argparse.ArgumentParser, streaming_sink: bool = True) -> None
     snk.add_argument("--num-parquet-files", type=int, default=60)
     p.add_argument("--explain", action="store_true", help="print plan, do not run")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    p.add_argument(
+        "--raise-on-error",
+        action="store_true",
+        help="exit nonzero if any input row is rejected by the parse stage "
+        "instead of silently dropping it (ErrorAggregatorBase.scala:220, "
+        "UptakeEventsToDatadog.scala:117-118)",
+    )
 
 
 def _source(spark: SparkSession, args) -> tuple[DataFrame, bool]:
@@ -142,11 +149,34 @@ def run_error_aggregator(spark, args, experiments: bool = False):
         job.aggregate(raw, streaming=streaming).explain("formatted")
         return
     _require(args, "output-path")
+    raise_on_error = getattr(args, "raise_on_error", False)
     if streaming:
         _require(args, "checkpoint-path")
-        job.write_streaming(raw, args.output_path, args.checkpoint_path).awaitTermination()
+        if raise_on_error:
+            from telemetry_streaming_spark.observability import (
+                ParseRejectionError,
+                make_reject_guard_listener,
+            )
+
+            guard = make_reject_guard_listener()
+            spark.streams.addListener(guard)
+            q = job.write_streaming(
+                raw, args.output_path, args.checkpoint_path, raise_on_error=True
+            )
+            try:
+                while q.isActive:
+                    q.awaitTermination(1)
+                    if guard.tripped is not None:
+                        q.stop()
+                        raise ParseRejectionError(guard.tripped)
+            finally:
+                spark.streams.removeListener(guard)
+        else:
+            job.write_streaming(raw, args.output_path, args.checkpoint_path).awaitTermination()
     else:
-        job.write_batch(raw, args.output_path, args.num_parquet_files)
+        job.write_batch(
+            raw, args.output_path, args.num_parquet_files, raise_on_error=raise_on_error
+        )
 
 
 def run_event_ping_events(spark, args):
@@ -206,7 +236,11 @@ def run_uptake_to_datadog(spark, args):
     from telemetry_streaming_spark.jobs import uptake_to_datadog as job
 
     raw, _ = _source(spark, args)
-    m = job.metrics(raw)
+    obs = None
+    if getattr(args, "raise_on_error", False):
+        m, obs = job.metrics_guarded(raw)
+    else:
+        m = job.metrics(raw)
     if args.explain:
         m.explain("formatted")
         return
@@ -228,6 +262,12 @@ def run_uptake_to_datadog(spark, args):
     else:
         _require(args, "output-path")
         m.write.mode("overwrite").parquet(args.output_path)
+    if obs is not None:
+        counts = obs.get
+        if counts.get("rows_rejected"):
+            from telemetry_streaming_spark.observability import ParseRejectionError
+
+            raise ParseRejectionError(counts)
 
 
 def run_crashes(spark, args, protocol: str):

@@ -23,16 +23,46 @@ from telemetry_streaming_spark.schemas import ping_schema
 SECONDS_PER_HOUR = 3600
 
 
+def parsed_pings_raw(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The ``from_json`` projection WITHOUT the drop-filter: columns
+    ``(ping, __corrupt)`` where ``__corrupt`` carries the raw text of
+    an undecodable envelope (PERMISSIVE columnNameOfCorruptRecord) and
+    is null for well-formed rows.
+
+    This is the observation attach point for ``--raise-on-error`` — a
+    rejection counter must see undecodable rows before they are
+    dropped.  A null-struct check is NOT enough: Spark's PERMISSIVE
+    ``from_json`` yields a struct of all-null FIELDS for malformed
+    input, not a null struct, so only the corrupt-record column
+    distinguishes 'undecodable' from 'decoded but empty'."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(ping_schema().fields + [StructField("__corrupt", StringType())])
+    parsed = raw.select(
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__corrupt"},
+        ).alias("__p")
+    )
+    return parsed.select(
+        F.col("__p").dropFields("__corrupt").alias("ping"),
+        F.col("__p")["__corrupt"].alias("__corrupt"),
+    )
+
+
 def parse_pings(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """P1/P2: JSON envelope -> typed `ping` struct column.
 
-    PERMISSIVE mode: malformed JSON yields a null struct (the
-    reference drops undecodable messages, ErrorAggregatorBase:229-236);
-    jobs filter `ping IS NOT NULL`.
+    PERMISSIVE parity: malformed JSON is dropped (the reference drops
+    undecodable messages, ErrorAggregatorBase:229-236), detected via
+    the corrupt-record column (see :func:`parsed_pings_raw`).
     """
-    return raw.select(
-        F.from_json(F.col(value_col).cast("string"), ping_schema()).alias("ping")
-    ).where(F.col("ping").isNotNull())
+    return (
+        parsed_pings_raw(raw, value_col)
+        .where(F.col("__corrupt").isNull() & F.col("ping").isNotNull())
+        .select("ping")
+    )
 
 
 # --- P9: timestamp normalization (Ping.scala:169-171, StreamingJobBase:59-61)

@@ -41,6 +41,53 @@ def _int_when(cond: Column) -> Column:
     return F.when(cond, F.lit(1)).cast("int")
 
 
+def validity_flags() -> tuple[Column, Column]:
+    """``(allowed, rejected)`` over parsed-ping rows.
+
+    ``allowed`` is the P4 allow-list (intentional filtering —
+    ErrorAggregatorBase.scala:89-129); ``rejected`` re-expresses the
+    reference's throw-paths in parsePing/parse as a boolean (the rows
+    raiseOnError would have crashed on)."""
+    ping = F.col("ping")
+    meta = ping["meta"]
+    payload = ping["payload"]
+    env = ping["environment"]
+    doc_type = meta["docType"]
+    is_main = doc_type == "main"
+    is_crash = doc_type == "crash"
+    is_core = doc_type == "core"
+    allowed = (
+        doc_type.isin(*ALLOWED_DOC_TYPES)
+        & meta["appName"].isin(*ALLOWED_APP_NAMES)
+        & ~F.coalesce(meta["normalizedChannel"], F.lit("")).isin(*DISALLOWED_CHANNELS)
+    )
+    raw_build_id = F.when(is_core, meta["appBuildId"]).otherwise(env["build"]["buildId"])
+    build_id = P.normalized_build_id(raw_build_id, meta["submissionDate"])
+    main_crash = P.is_main_crash(payload)
+    content_crash = P.is_content_crash(payload)
+    rejected = (
+        (is_crash & ~(main_crash | content_crash))  # non main/content crash
+        | (is_main & P.main_usage_hours(payload).isNull())  # main without usage
+        | (is_core & ~payload["os"].isin(*CORE_ALLOWED_OSES))  # core non-Android
+        | build_id.isNull()  # empty normalized buildId (all doctypes)
+    )
+    return allowed, rejected
+
+
+def parse_failure() -> Column:
+    """The rows ``--raise-on-error`` must flag, evaluated over the
+    PRE-drop parse output (functions/pings.parsed_pings_raw):
+    undecodable JSON (corrupt-record column set), or a reject rule
+    tripped on an allow-listed ping.  Allow-list misses are
+    intentional filtering in the reference too, so they never count."""
+    allowed, rejected = validity_flags()
+    return (
+        F.col("__corrupt").isNotNull()
+        | F.col("ping").isNull()
+        | (F.coalesce(allowed, F.lit(False)) & F.coalesce(rejected, F.lit(False)))
+    )
+
+
 def prepare(parsed: DataFrame) -> DataFrame:
     """Parsed pings -> pre-aggregation rows (one per ping x experiment
     slice) with dimension + metric columns.  Pure projection/filter/
@@ -55,12 +102,8 @@ def prepare(parsed: DataFrame) -> DataFrame:
     is_crash = doc_type == "crash"
     is_core = doc_type == "core"
 
-    # --- P4 allow-lists (ErrorAggregatorBase.scala:89-129) ---
-    allowed = (
-        doc_type.isin(*ALLOWED_DOC_TYPES)
-        & meta["appName"].isin(*ALLOWED_APP_NAMES)
-        & ~F.coalesce(meta["normalizedChannel"], F.lit("")).isin(*DISALLOWED_CHANNELS)
-    )
+    # --- P4 allow-lists + reject rules (shared with parse_failure) ---
+    allowed, rejected = validity_flags()
 
     # --- per-doctype raw buildId (main/crash: environment.build via
     # meta; core: appBuildId — CorePing.scala:56) ---
@@ -74,14 +117,6 @@ def prepare(parsed: DataFrame) -> DataFrame:
 
     usage_hours = F.when(is_main, P.main_usage_hours(payload)).when(
         is_core, P.core_usage_hours(payload)
-    )
-
-    # reject rules (throw-paths in parsePing/parse):
-    rejected = (
-        (is_crash & ~(main_crash | content_crash))  # non main/content crash
-        | (is_main & P.main_usage_hours(payload).isNull())  # main without usage
-        | (is_core & ~payload["os"].isin(*CORE_ALLOWED_OSES))  # core non-Android
-        | build_id.isNull()  # empty normalized buildId (all doctypes)
     )
 
     # --- dimensions (P11, buildDimensions ErrorAggregatorBase:258-280) ---
@@ -174,6 +209,25 @@ DIMENSION_COLUMNS = [
 ]
 
 
+def _window_aggregate(
+    rows: DataFrame,
+    streaming: bool,
+    dimensions: list[str] | None,
+    stats: list[str] | None,
+) -> DataFrame:
+    dims = dimensions or DIMENSION_COLUMNS
+    stat_cols = stats or STAT_COLUMNS
+    if streaming:
+        rows = rows.withWatermark("timestamp", "1 minute")
+    return (
+        rows.groupBy(F.window("timestamp", "5 minutes").alias("window"), *dims)
+        .agg(*[F.sum(c).alias(c.lower()) for c in stat_cols])
+        .withColumn("window_start", F.col("window")["start"])
+        .withColumn("window_end", F.col("window")["end"])
+        .drop("window")
+    )
+
+
 def aggregate(
     raw: DataFrame,
     streaming: bool = False,
@@ -190,26 +244,60 @@ def aggregate(
     """
     from telemetry_streaming_spark.functions.pings import parse_pings
 
-    dims = dimensions or DIMENSION_COLUMNS
-    stat_cols = stats or STAT_COLUMNS
-    rows = prepare(parse_pings(raw))
-    if streaming:
-        rows = rows.withWatermark("timestamp", "1 minute")
-    return (
-        rows.groupBy(F.window("timestamp", "5 minutes").alias("window"), *dims)
-        .agg(*[F.sum(c).alias(c.lower()) for c in stat_cols])
-        .withColumn("window_start", F.col("window")["start"])
-        .withColumn("window_end", F.col("window")["end"])
-        .drop("window")
+    return _window_aggregate(prepare(parse_pings(raw)), streaming, dimensions, stats)
+
+
+def aggregate_guarded(
+    raw: DataFrame,
+    streaming: bool = False,
+    dimensions: list[str] | None = None,
+    stats: list[str] | None = None,
+):
+    """``aggregate()`` with the parse-rejection observation attached
+    BEFORE the null-filter: returns ``(df, observation)`` (observation
+    is ``None`` for streaming — read the per-batch metrics from
+    ``observedMetrics["parse_guard"]``).
+
+    This is the --raise-on-error surface (ErrorAggregatorBase.scala:
+    220): the reference lets parse exceptions propagate; the engine's
+    parse never throws, so the equivalent contract is 'the same rows
+    are COUNTED in the same pass, and the caller raises when the count
+    is nonzero'.  Zero extra scans — the observation rides the
+    existing plan."""
+    from telemetry_streaming_spark.functions.pings import parsed_pings_raw
+    from telemetry_streaming_spark.observability import observe_counts
+
+    parsed = parsed_pings_raw(raw)
+    bad = parse_failure()
+    parsed, obs = observe_counts(
+        parsed,
+        "parse_guard",
+        streaming=streaming,
+        rows_seen=F.count(F.lit(1)),
+        rows_rejected=F.sum(bad.cast("long")),
     )
+    rows = prepare(
+        parsed.where(F.col("__corrupt").isNull() & F.col("ping").isNotNull()).select("ping")
+    )
+    return _window_aggregate(rows, streaming, dimensions, stats), obs
 
 
-def write_streaming(raw: DataFrame, output_path: str, checkpoint_path: str):
+def write_streaming(
+    raw: DataFrame, output_path: str, checkpoint_path: str, raise_on_error: bool = False
+):
     """K1: append-mode date-partitioned parquet, one file per batch
-    (repartition(1), ErrorAggregatorBase.scala:146-154)."""
+    (repartition(1), ErrorAggregatorBase.scala:146-154).
+
+    ``raise_on_error`` attaches the parse_guard observation; the CLI
+    registers a :func:`make_reject_guard_listener` and stops the query
+    when a micro-batch reports rejected rows."""
+    agg = (
+        aggregate_guarded(raw, streaming=True)[0]
+        if raise_on_error
+        else aggregate(raw, streaming=True)
+    )
     return (
-        aggregate(raw, streaming=True)
-        .repartition(1)
+        agg.repartition(1)
         .writeStream.queryName("main_query")
         .format("parquet")
         .option("path", output_path)
@@ -220,13 +308,29 @@ def write_streaming(raw: DataFrame, output_path: str, checkpoint_path: str):
     )
 
 
-def write_batch(raw: DataFrame, output_path: str, num_files: int = 60) -> None:
+def write_batch(
+    raw: DataFrame, output_path: str, num_files: int = 60, raise_on_error: bool = False
+) -> None:
     """K2: dynamic-partition-overwrite parquet
-    (ErrorAggregatorBase.scala:168-173)."""
+    (ErrorAggregatorBase.scala:168-173).
+
+    ``raise_on_error``: after the write completes, raise
+    :class:`ParseRejectionError` if any input row was rejected by the
+    parse stage (counted in the same pass — no second scan), matching
+    the reference's --raise-on-error exception propagation."""
+    if raise_on_error:
+        agg, obs = aggregate_guarded(raw, streaming=False)
+    else:
+        agg, obs = aggregate(raw, streaming=False), None
     (
-        aggregate(raw, streaming=False)
-        .repartition(num_files)
+        agg.repartition(num_files)
         .write.mode("overwrite")
         .partitionBy("submission_date_s3")
         .parquet(output_path)
     )
+    if obs is not None:
+        counts = obs.get
+        if counts.get("rows_rejected"):
+            from telemetry_streaming_spark.observability import ParseRejectionError
+
+            raise ParseRejectionError(counts)

@@ -200,12 +200,89 @@ def load_config(path: str) -> AmplitudeConfig:
 
 
 # --- schema -> Column predicate compiler (P19) ---------------------------
+#
+# Two tiers.  The COMPILED tier translates the production corpus's
+# keyword set (required / enum / pattern / minimum, plus type
+# annotations that restate the event struct's natural types) into pure
+# Column expressions — JVM-side, codegen'd, zero Python in the hot
+# path.  Any schema using keywords beyond that set routes to the
+# GENERAL tier: the jsonschema library over Arrow batches, matching
+# the reference's use of a full JSON-schema validator
+# (Ping.scala:354-377; meta-schema EventsToAmplitude.scala:191-206).
+
+_COMPILED_TOP_KEYWORDS = {"$schema", "type", "properties", "required", "description", "title"}
+_COMPILED_PROP_KEYWORDS = {"enum", "pattern", "minimum", "type", "description", "title"}
+# JSON types each reshaped-event field naturally serializes to — a
+# matching "type" keyword is structurally guaranteed and compiles to
+# no-op; a MISmatching one must go through the general validator.
+_NATURAL_TYPES = {
+    "timestamp": {"number", "integer"},
+    "category": {"string"},
+    "method": {"string"},
+    "object": {"string"},
+    "value": {"string"},
+}
+
+
+def schema_is_compiled(schema: dict) -> bool:
+    """True iff the compiled Column translation covers EVERY keyword in
+    ``schema`` with reference semantics.  Detected at config-compile
+    time (parse_config callers), not per row."""
+    if set(schema) - _COMPILED_TOP_KEYWORDS:
+        return False
+    if schema.get("type", "object") != "object":
+        return False
+    for fname, pspec in schema.get("properties", {}).items():
+        if fname not in _NATURAL_TYPES:
+            return False  # e.g. nested constraints on `extra`
+        if set(pspec) - _COMPILED_PROP_KEYWORDS:
+            return False
+        t = pspec.get("type")
+        if t is not None and t not in _NATURAL_TYPES[fname]:
+            return False
+        if "minimum" in pspec and fname != "timestamp":
+            # JSON-schema `minimum` ignores non-numbers; a string-field
+            # comparison would wrongly apply lexicographic order.
+            return False
+    return True
+
+
+def _general_schema_predicate(ev: Column, schema: dict) -> Column:
+    """General JSON-schema tier: serialize the reshaped event struct to
+    a JSON object (null fields omitted, so presence semantics line up
+    with ``required``) and validate with the jsonschema library in an
+    Arrow-batched pandas UDF.  The validator honors the schema's own
+    ``$schema`` draft and is built once per batch, not per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema_json = json.dumps(schema)  # closure ships a string, not a dict tree
+
+    # no type hints: PEP-563 stringized annotations (this module's
+    # `from __future__ import annotations`) defeat pandas_udf's hint
+    # inference, so the eval type is declared via functionType instead
+    def _valid(ev_json):
+        import jsonschema
+
+        spec = json.loads(schema_json)
+        validator = jsonschema.validators.validator_for(spec)(spec)
+        return ev_json.map(
+            lambda s: s is not None and validator.is_valid(json.loads(s))
+        )
+
+    from pyspark.sql.functions import PandasUDFType
+
+    valid_udf = pandas_udf(_valid, "boolean", PandasUDFType.SCALAR)
+    return valid_udf(F.to_json(ev))
 
 
 def event_predicate(ev: Column, schema: dict) -> Column:
-    """Compile one event JSON-schema to a boolean Column over the
-    reshaped event struct.  JSON-schema semantics: an absent (null)
-    property passes every constraint unless listed in ``required``."""
+    """One event JSON-schema -> boolean Column over the reshaped event
+    struct.  Compiled tier when the keyword set allows (the whole
+    production config corpus does); jsonschema-over-Arrow otherwise.
+    JSON-schema semantics either way: an absent (null) property passes
+    every constraint unless listed in ``required``."""
+    if not schema_is_compiled(schema):
+        return _general_schema_predicate(ev, schema)
     preds: list[Column] = [F.lit(True)]
     for fname in schema.get("required", []):
         preds.append(ev[fname].isNotNull())
@@ -708,15 +785,49 @@ def amplitude_payloads(
     ) & _non_top_level_filter(ctx, config)
     df = df.filter(keep)
 
-    matched = F.array_compact(
-        F.transform(events, lambda ev: matched_event_json(ping, ctx, ev, config))
-    )
-    return (
-        df.select(
-            F.coalesce(ctx.client_id, F.lit("")).alias("client_id"),
-            matched.alias("events"),
+    if all(schema_is_compiled(spec.schema) for _, spec in config.flat_specs()):
+        # Compiled tier: per-event matching runs INSIDE the events
+        # array via transform() — no explode, no shuffle, whole ping
+        # stays one row end-to-end.
+        matched = F.array_compact(
+            F.transform(events, lambda ev: matched_event_json(ping, ctx, ev, config))
         )
-        .filter(F.size("events") > 0)
+        return (
+            df.select(
+                F.coalesce(ctx.client_id, F.lit("")).alias("client_id"),
+                matched.alias("events"),
+            )
+            .filter(F.size("events") > 0)
+        )
+
+    # General tier: a pandas UDF cannot run inside a higher-order
+    # lambda, so explode events to rows, validate/serialize as a plain
+    # projection, and regroup to the same (client_id, events[]) shape
+    # preserving event order.  One extra shuffle on the synthetic ping
+    # id — the price of a config outside the compiled keyword set; the
+    # production corpus never takes this branch.
+    base = df.select(
+        F.monotonically_increasing_id().alias("__pid"),
+        F.col("ping"),
+        F.coalesce(ctx.client_id, F.lit("")).alias("client_id"),
+        events.alias("__events"),
+    )
+    ev_rows = base.select(
+        "__pid", "client_id", "ping", F.posexplode("__events").alias("__pos", "__ev")
+    )
+    matched = matched_event_json(F.col("ping"), ctx, F.col("__ev"), config)
+    return (
+        ev_rows.withColumn("__m", matched)
+        .where(F.col("__m").isNotNull())
+        .groupBy("__pid")
+        .agg(
+            F.any_value("client_id").alias("client_id"),
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"),
+        )
+        .select(
+            "client_id",
+            F.transform("__pm", lambda s: s["__m"]).alias("events"),
+        )
     )
 
 

@@ -185,6 +185,36 @@ class OptimizerState:
         )
 
 
+def _parse_s3_url(path: str) -> tuple[str, str] | None:
+    """``s3://bucket/prefix`` -> (bucket, prefix); None for filesystem
+    paths."""
+    if not path.startswith("s3://"):
+        return None
+    bucket, _, key = path[len("s3://"):].partition("/")
+    if not bucket:
+        raise ValueError(f"S3 URL missing bucket: {path!r}")
+    return bucket, key.strip("/")
+
+
+def _s3_client(endpoint_override: str | None = None):
+    """boto3 S3 client with optional endpoint override + path-style
+    access (the reference's S3ClientWrapper builder settings).  boto3
+    is imported lazily so filesystem-only deployments need no AWS
+    SDK."""
+    try:
+        import boto3
+        from botocore.config import Config
+    except ImportError as exc:  # pragma: no cover - boto3 present in CI
+        raise ImportError(
+            "an s3:// model_output_path requires boto3; install it or "
+            "use a filesystem path"
+        ) from exc
+    kwargs: dict = {"config": Config(s3={"addressing_style": "path"})}
+    if endpoint_override:
+        kwargs["endpoint_url"] = endpoint_override
+    return boto3.client("s3", **kwargs)
+
+
 class FederatedOptimizerSink:
     """Per micro-batch: collect the (tiny) aggregates on the driver,
     pick the earliest eligible model update (A6), RProp-fit, write
@@ -197,11 +227,21 @@ class FederatedOptimizerSink:
         model_output_path: str,
         state_checkpoint_path: str,
         state_bootstrap_file: str | None = None,
+        s3_endpoint_override: str | None = None,
     ):
+        """``model_output_path`` may be a filesystem directory or an
+        ``s3://bucket/prefix`` URL.  The S3 path reproduces the
+        reference's object semantics (FederatedLearningSearchOptimizer
+        S3Sink.scala:147-167): public-read canned ACL, JSON content
+        type, no-cache headers, optional endpoint override (the
+        reference's s3EndpointOverride, used against mock S3)."""
         self.model_output_path = model_output_path
         self.state_checkpoint_path = state_checkpoint_path
+        self._s3_location = _parse_s3_url(model_output_path)
+        self._s3_endpoint_override = s3_endpoint_override
         os.makedirs(state_checkpoint_path, exist_ok=True)
-        os.makedirs(model_output_path, exist_ok=True)
+        if self._s3_location is None:
+            os.makedirs(model_output_path, exist_ok=True)
         self.state = self._init_state(state_bootstrap_file)
 
     def _init_state(self, bootstrap: str | None) -> OptimizerState:
@@ -245,7 +285,24 @@ class FederatedOptimizerSink:
 
     def _write_model(self, model: dict) -> None:
         doc = json.dumps(model)
-        for name in ("latest.json", f"{model['iteration']}.json"):
+        names = ("latest.json", f"{model['iteration']}.json")
+        if self._s3_location is not None:
+            bucket, prefix = self._s3_location
+            client = _s3_client(self._s3_endpoint_override)
+            for name in names:
+                key = f"{prefix}/{name}" if prefix else name
+                # parity with S3ClientWrapper.putString
+                # (FederatedLearningSearchOptimizerS3Sink.scala:157-167)
+                client.put_object(
+                    Bucket=bucket,
+                    Key=key,
+                    Body=doc.encode("utf-8"),
+                    ACL="public-read",
+                    ContentType="application/json",
+                    CacheControl="no-cache, no-store, must-revalidate",
+                )
+            return
+        for name in names:
             with open(os.path.join(self.model_output_path, name), "w") as fh:
                 fh.write(doc)
 

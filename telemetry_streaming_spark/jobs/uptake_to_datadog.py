@@ -39,7 +39,35 @@ def _uptake_events(ping) -> Column:
 def metrics(raw: DataFrame) -> DataFrame:
     """One row per DogStatsD metric: counters for every event, timer
     metrics when extra.duration / extra.age parse as ints."""
-    parsed = P.parse_pings(raw)
+    return _metrics_parsed(P.parse_pings(raw))
+
+
+def metrics_guarded(raw: DataFrame):
+    """``metrics()`` with the parse-rejection observation attached
+    BEFORE the null-filter: returns ``(df, observation)``.  The
+    --raise-on-error surface (UptakeEventsToDatadog.scala:117-118):
+    undecodable envelopes are counted in the same pass and the caller
+    raises when the count is nonzero (the only throw-path this job has
+    — event filtering/docType misses are intentional drops)."""
+    from telemetry_streaming_spark.observability import observe_counts
+
+    parsed = P.parsed_pings_raw(raw)
+    bad = F.col("__corrupt").isNotNull() | F.col("ping").isNull()
+    parsed, obs = observe_counts(
+        parsed,
+        "parse_guard",
+        rows_seen=F.count(F.lit(1)),
+        rows_rejected=F.sum(bad.cast("long")),
+    )
+    return (
+        _metrics_parsed(
+            parsed.where(F.col("__corrupt").isNull() & F.col("ping").isNotNull()).select("ping")
+        ),
+        obs,
+    )
+
+
+def _metrics_parsed(parsed: DataFrame) -> DataFrame:
     ping = F.col("ping")
     meta = ping["meta"]
 

@@ -47,13 +47,66 @@ class SinkMetrics:
         return {n: int(a.value) for n, a in self._acc.items()}
 
 
-def observe_counts(df: DataFrame, name: str, **metrics: Column):
+def observe_counts(df: DataFrame, name: str, streaming: bool = False, **metrics: Column):
     """Attach named observed aggregates to a plan: returns
     ``(df, observation)``.  Metrics are computed as a side output of
     the existing pass — no second scan (the idiomatic replacement for
-    the reference's per-record accumulator bumps inside flatMap)."""
+    the reference's per-record accumulator bumps inside flatMap).
+
+    Streaming plans cannot carry an ``Observation`` handle — pass
+    ``streaming=True`` to attach by name instead (observation comes
+    back ``None``; read per-batch values from
+    ``QueryProgressEvent.observedMetrics[name]``, e.g. via
+    :class:`RejectGuardListener`)."""
+    aliased = [m.alias(k) for k, m in metrics.items()]
+    if streaming:
+        return df.observe(name, *aliased), None
     obs = Observation(name)
-    return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs
+    return df.observe(obs, *aliased), obs
+
+
+class ParseRejectionError(RuntimeError):
+    """Raised by the --raise-on-error mode when a batch/micro-batch
+    contained rows the parse stage would silently drop (the engine's
+    equivalent of the reference's raiseOnError exception propagation,
+    ErrorAggregatorBase.scala:220, UptakeEventsToDatadog.scala:117)."""
+
+    def __init__(self, counts: dict):
+        self.counts = counts
+        super().__init__(
+            f"{counts.get('rows_rejected', '?')} of {counts.get('rows_seen', '?')} "
+            "input rows were rejected by the parse stage (--raise-on-error)"
+        )
+
+
+def make_reject_guard_listener(name: str = "parse_guard"):
+    """StreamingQueryListener that trips when a micro-batch reports
+    ``rows_rejected > 0`` under observation ``name``.  The caller polls
+    ``listener.tripped`` (the offending metrics dict) and stops the
+    query — a listener cannot raise into the stream itself."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class RejectGuardListener(StreamingQueryListener):
+        def __init__(self):
+            self.tripped: dict | None = None
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            row = (event.progress.observedMetrics or {}).get(name)
+            if row is not None and self.tripped is None:
+                d = row.asDict()
+                if (d.get("rows_rejected") or 0) > 0:
+                    self.tripped = d
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return RejectGuardListener()
 
 
 def reject_counters(valid: Column) -> dict[str, Column]:

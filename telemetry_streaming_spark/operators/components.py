@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large- or small-star round over the undirected edge list.
@@ -52,6 +54,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Resolve pair edges to components.
 
@@ -62,10 +65,12 @@ def connected_components(
     keepers by definition).
 
     Each iteration materializes the shrinking edge list via
-    ``localCheckpoint`` — at 100TB this truncates the lineage (20
-    chained shuffles would otherwise replan the whole history each
-    round) and lets the driver read the two-number convergence probe
-    cheaply.
+    ``cut_lineage`` — at 100TB this truncates the lineage (20 chained
+    shuffles would otherwise replan the whole history each round) and
+    lets the driver read the two-number convergence probe cheaply.
+    ``checkpoint_mode="reliable"`` writes each round to the
+    SparkContext checkpoint dir so a multi-round run survives executor
+    loss (see operators/checkpointing.py for the contract).
     """
     edges = (
         pairs.select(F.col(id1).cast("long").alias("u"), F.col(id2).cast("long").alias("v"))
@@ -75,7 +80,7 @@ def connected_components(
     prev_probe = None
     for _ in range(max_iterations):
         edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False).localCheckpoint(eager=True)
+        edges = cut_lineage(_star_round(edges, large=False), checkpoint_mode)
         probe = edges.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
         ).first()

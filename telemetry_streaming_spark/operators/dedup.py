@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from telemetry_streaming_spark.functions.text import fingerprint, tokenize
+from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
 SIMHASH_NIBBLES = 12  # 48 bits
 SIMHASH_BANDS = 4  # 12 bits per band -> hamming<=3 always collides somewhere
@@ -170,6 +171,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 100,
     persist: bool = True,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Tier 2: exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -188,19 +190,22 @@ def ngram_jaccard_pairs(
     Versus a shingle-shuffle self-join this generates candidate pairs
     map-side from each postings list, so the index is shuffled once,
     not three times, and nothing O(docs^2) ever hits an exchange.  The
-    postings frame is persisted because both (a) and (b) consume it;
-    at cluster scale this is the natural checkpoint of the pipeline.
+    postings frame is materialized (``cut_lineage``) because both (a)
+    and (b) consume it; at cluster scale this is the natural
+    checkpoint of the pipeline.
 
-    **Cache ownership**: the persisted index lives until the session
-    drops it — callers running many corpora through one long-lived
-    session should ``spark.catalog.clearCache()`` (or pass
-    ``persist=False`` to trade the cache for recomputing the shingle
-    scan twice).  The registry/bench harnesses clear the cache after
-    each query.
+    **No cache ownership contract**: the index is an eager local/
+    reliable checkpoint, not a ``persist()`` — its blocks are dropped
+    by the ContextCleaner when the returned frame goes out of scope,
+    so long-lived sessions accumulate nothing and callers owe no
+    ``clearCache``.  Pass ``persist=False`` to trade the
+    materialization for recomputing the shingle scan twice, or
+    ``checkpoint_mode="reliable"`` (with a session checkpoint dir set)
+    to survive executor loss on multi-hour corpora.
     """
     idx = shingle_index(df, text_col, id_col, n, max_df)
     if persist:
-        idx = idx.persist()
+        idx = cut_lineage(idx, checkpoint_mode)
     sizes = idx.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
         F.count("*").alias("set_size")
     )
@@ -283,6 +288,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n: int = 3,
     max_bucket: int = MAX_LSH_BUCKET,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Tier 3: MinHash-LSH candidate pairs, verified with **true**
     n-gram Jaccard computed on the candidates only — never on the full
@@ -305,17 +311,18 @@ def minhash_lsh_pairs(
 
     Returns (id1, id2, jaccard >= threshold).
     """
-    # Persisted: the hot-bucket guard and the candidate grouping both
-    # consume banded (4 narrow rows/doc); without the cache the md5
-    # signature scan runs twice.  Same cache-ownership contract as
-    # ngram_jaccard_pairs (harnesses clearCache between queries).
     # Eagerly materialized: the candidate pairs feed the verify join
-    # AND the id-only semi-join below — localCheckpoint computes the
+    # AND the id-only semi-join below — cut_lineage computes the
     # banding pipeline (md5 signature scan included) exactly once and
     # truncates the lineage, so neither broadcast consumer re-runs it
     # (a lazy persist still double-computed under concurrent broadcast
-    # builds, measured 2x slower).
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, max_bucket).localCheckpoint()
+    # builds, measured 2x slower).  checkpoint_mode="reliable" routes
+    # both this cut and the banded one inside candidates to the
+    # durable checkpoint dir (see operators/checkpointing.py).
+    cand = cut_lineage(
+        minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, max_bucket, checkpoint_mode),
+        checkpoint_mode,
+    )
     # Verification over *narrow* exploded pairs: (doc, shingle-hash)
     # longs only — no shingle array or text-derived expression ever
     # appears in a join, so Catalyst cannot infer a null-filter that
@@ -370,6 +377,7 @@ def minhash_lsh_candidates(
     num_perm: int = 8,
     bands: int = 4,
     max_bucket: int = MAX_LSH_BUCKET,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Distinct LSH candidate pairs (id1 < id2): docs agreeing on all
     rows of at least one band.  This count is the LSH tier's *work* —
@@ -377,12 +385,12 @@ def minhash_lsh_candidates(
     shared-shingle pair count grows with corpus density (see
     tests/test_extension_ops.py scale-work test).
     """
-    # Persisted: the hot-bucket guard and the candidate grouping both
-    # consume banded (``bands`` narrow rows/doc); without the cache
-    # the md5 signature scan runs twice.  Same cache-ownership
-    # contract as ngram_jaccard_pairs (harnesses clearCache between
-    # queries).
-    banded = banded_signatures(df, text_col, id_col, num_perm, bands).persist()
+    # Materialized: the hot-bucket guard and the candidate grouping
+    # both consume banded (``bands`` narrow rows/doc); without the cut
+    # the md5 signature scan runs twice.  Eager checkpoint, not
+    # persist(): blocks self-clean when the frame is unreferenced, so
+    # no clearCache contract is imposed on callers.
+    banded = cut_lineage(banded_signatures(df, text_col, id_col, num_perm, bands), checkpoint_mode)
     return (
         _drop_hot_keys(banded, ["band", "band_key"], max_bucket)
         .groupBy("band", "band_key")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 from telemetry_streaming_spark.functions.text import tokenize
+from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
 
 def distinctive_terms(
@@ -56,13 +57,13 @@ def distinctive_terms(
     tf = tokens.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
     if min_tf > 1:
         tf = tf.where(F.col("tf") >= min_tf)
-    # Persisted: tf feeds three consumers (scoring join, group-df agg,
-    # n_groups) — without the cache each one re-runs the corpus
+    # Materialized: tf feeds three consumers (scoring join, group-df
+    # agg, n_groups) — without the cut each one re-runs the corpus
     # explode + aggregate.  tf is |groups| x |vocabulary| rows, the
-    # natural checkpoint of the pipeline; same cache-ownership
-    # contract as ngram_jaccard_pairs (harnesses clearCache between
-    # queries, long-lived sessions own the unpersist).
-    tf = tf.persist()
+    # natural checkpoint of the pipeline.  Eager checkpoint rather
+    # than persist(): blocks self-clean when the frame goes out of
+    # scope, so callers owe no clearCache/unpersist.
+    tf = cut_lineage(tf)
     group_df = tf.groupBy("term").agg(F.count("*").alias("group_df"))
     n_groups = tf.select(group_col).distinct().agg(F.count("*").alias("n_groups"))
     scored = (

@@ -174,3 +174,63 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert curated.count() > 0
     printed = capsys.readouterr().out
     assert "input:" in printed or "gated" in printed or printed.strip()
+
+
+def test_raise_on_error_batch_trips_on_malformed_ping(spark, tmp_path):
+    """Default batch run silently drops undecodable JSON (PERMISSIVE
+    parity); --raise-on-error surfaces the same row as a nonzero exit
+    (ErrorAggregatorBase.scala:220), counted in the SAME pass via
+    df.observe — no second scan."""
+    from telemetry_streaming_spark.observability import ParseRejectionError
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\n{not valid json\n")
+
+    out1 = tmp_path / "out1"
+    main([
+        "error_aggregator", "--input-path", str(src), "--output-path", str(out1),
+    ], spark=spark)
+    assert spark.read.parquet(str(out1)).count() > 0  # bad row dropped, job green
+
+    out2 = tmp_path / "out2"
+    with pytest.raises(ParseRejectionError, match="1 of 2"):
+        main([
+            "error_aggregator", "--input-path", str(src),
+            "--output-path", str(out2), "--raise-on-error",
+        ], spark=spark)
+
+
+def test_raise_on_error_batch_clean_input_passes(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\n" + main_ping() + "\n")
+    out = tmp_path / "out"
+    main([
+        "error_aggregator", "--input-path", str(src),
+        "--output-path", str(out), "--raise-on-error",
+    ], spark=spark)
+    assert spark.read.parquet(str(out)).count() > 0
+
+
+def test_raise_on_error_uptake_to_datadog(spark, tmp_path):
+    """UptakeEventsToDatadog.scala:117-118 parity: undecodable
+    envelope -> nonzero exit under --raise-on-error, silent drop
+    without."""
+    from telemetry_streaming_spark.observability import ParseRejectionError
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\nnot-json\n")
+
+    out1 = tmp_path / "m1"
+    main([
+        "uptake_to_datadog", "--input-path", str(src), "--output-path", str(out1),
+    ], spark=spark)  # default: no raise
+
+    out2 = tmp_path / "m2"
+    with pytest.raises(ParseRejectionError, match="1 of 2"):
+        main([
+            "uptake_to_datadog", "--input-path", str(src),
+            "--output-path", str(out2), "--raise-on-error",
+        ], spark=spark)

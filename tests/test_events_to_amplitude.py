@@ -400,3 +400,81 @@ def test_production_config_corpus_compiles_and_runs(spark):
             app_name=app,
         )
         df.collect()  # forces full analysis + execution; may be empty
+
+
+# --- P19 general JSON-schema fallback (Ping.scala:354-377 parity) --------
+
+
+MAXLEN_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "timestamp": {"type": "number", "minimum": 0},
+        "category": {"type": "string", "enum": ["action"]},
+        "method": {"type": "string", "maxLength": 6},  # outside compiled set
+        "object": {"type": "string"},
+    },
+    "required": ["timestamp", "category", "method", "object"],
+}
+
+
+def test_schema_is_compiled_detection():
+    """Every production-corpus keyword compiles; maxLength / nested
+    extra constraints / type-contradictions route to the general
+    validator."""
+    assert amp.schema_is_compiled(APP_OPEN_SCHEMA)
+    assert amp.schema_is_compiled(ERASE_SCHEMA)
+    assert not amp.schema_is_compiled(MAXLEN_SCHEMA)
+    assert not amp.schema_is_compiled(
+        {"type": "object", "properties": {"extra": {"required": ["host"]}}}
+    )
+    assert not amp.schema_is_compiled(
+        {"type": "object", "properties": {"value": {"type": "number"}}}
+    )
+    assert not amp.schema_is_compiled(
+        {"type": "object", "properties": {"value": {"minimum": 3}}}
+    )
+
+
+def test_production_corpus_stays_on_compiled_tier():
+    import glob
+
+    for path in glob.glob("/root/reference/configs/*.json"):
+        cfg = amp.load_config(path)
+        for _, spec in cfg.flat_specs():
+            assert amp.schema_is_compiled(spec.schema), path
+
+
+def test_general_fallback_maxlength_golden(spark):
+    """A config using maxLength must match jsonschema semantics: the
+    6-char method 'foregro'... is rejected, short methods pass.  The
+    same events through an equivalent compiled schema prove the two
+    tiers agree where their semantics overlap."""
+    config = {
+        "source": "telemetry",
+        "filters": {"docType": ["focus-event"], "appName": ["Focus"]},
+        "eventGroups": [
+            {
+                "eventGroupName": "m_foc",
+                "events": [{"name": "Short", "description": "", "schema": MAXLEN_SCHEMA}],
+            }
+        ],
+    }
+    # fixture methods: foreground / type_query / click / background —
+    # under maxLength 6 only 'click' is valid, so exactly one event
+    # must match the general validator
+    rows = amp.exploded_events(
+        _run_focus(spark, [fixtures.focus_event_ping()], config=config)
+    ).collect()
+    payloads = [json.loads(r.event_json) for r in rows]
+    assert [p["event_type"] for p in payloads] == ["m_foc - Short"]
+    assert "click" in payloads[0]["insert_id"]
+    # widen the cap: all four fixture events pass -> tiers agree that
+    # the remaining keywords (type/enum/minimum/required) hold for all
+    wide = {**MAXLEN_SCHEMA, "properties": {
+        **MAXLEN_SCHEMA["properties"], "method": {"type": "string", "maxLength": 99},
+    }}
+    config["eventGroups"][0]["events"][0]["schema"] = wide
+    rows = amp.exploded_events(
+        _run_focus(spark, [fixtures.focus_event_ping()], config=config)
+    ).collect()
+    assert len(rows) == 4

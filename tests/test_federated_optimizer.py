@@ -142,3 +142,50 @@ def test_sink_bootstrap(tmp_path):
 def test_state_json_roundtrip():
     st = fed.OptimizerState(3, [1.5] * 22, [2.0] * 22, [0.1] * 22)
     assert fed.OptimizerState.from_json(st.to_json()) == st
+
+
+# --- K8 S3 object semantics (S3ClientWrapper parity) ---------------------
+
+
+def test_s3_model_write_object_semantics(tmp_path):
+    """s3:// model output reproduces the reference's putString
+    (FederatedLearningSearchOptimizerS3Sink.scala:147-167): latest.json
+    + {iteration}.json, public-read canned ACL, JSON content type,
+    no-cache headers."""
+    moto = pytest.importorskip("moto")
+    import json as _json
+
+    import boto3
+
+    from telemetry_streaming_spark.jobs.federated_optimizer import FederatedOptimizerSink
+
+    with moto.mock_aws():
+        boto3.client("s3", region_name="us-east-1").create_bucket(Bucket="models")
+        sink = FederatedOptimizerSink(
+            "s3://models/search/model", str(tmp_path / "state")
+        )
+        sink._write_model({"weights": [1, 2, 3], "iteration": 7})
+
+        s3 = boto3.client("s3", region_name="us-east-1")
+        for key in ("search/model/latest.json", "search/model/7.json"):
+            obj = s3.get_object(Bucket="models", Key=key)
+            assert _json.loads(obj["Body"].read()) == {"weights": [1, 2, 3], "iteration": 7}
+            assert obj["ContentType"] == "application/json"
+            assert obj["CacheControl"] == "no-cache, no-store, must-revalidate"
+            acl = s3.get_object_acl(Bucket="models", Key=key)
+            public_read = [
+                g for g in acl["Grants"]
+                if g["Grantee"].get("URI", "").endswith("/global/AllUsers")
+                and g["Permission"] == "READ"
+            ]
+            assert public_read, acl["Grants"]
+
+
+def test_s3_url_parsing():
+    from telemetry_streaming_spark.jobs.federated_optimizer import _parse_s3_url
+
+    assert _parse_s3_url("/tmp/models") is None
+    assert _parse_s3_url("s3://b/k/p") == ("b", "k/p")
+    assert _parse_s3_url("s3://b") == ("b", "")
+    with pytest.raises(ValueError):
+        _parse_s3_url("s3:///nope")

@@ -80,13 +80,21 @@ def test_no_cartesian_products_anywhere(spark):
 def test_ngram_jaccard_no_quadratic_exchange(spark):
     """The Jaccard pipeline must shuffle the (id, shingle-hash) index,
     never a pair-expanded frame: the only wide strings stay map-side
-    and candidate pairs are generated after the groupBy."""
-    plan = explain_str(q(spark, "dedup_ngram_jaccard"))
+    and candidate pairs are generated after the groupBy.  Inspected
+    with persist=False — the registry query cuts lineage at the index,
+    which hides the upstream pipeline from the final explain."""
+    from telemetry_streaming_spark.operators.dedup import ngram_jaccard_pairs
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = explain_str(ngram_jaccard_pairs(docs, threshold=0.1, persist=False))
     # shingle strings are hashed before any exchange
     assert "xxhash64" in plan
-    # pair generation is explode-after-groupBy, not a self-join of the
-    # exploded index (which would show a join keyed on shingle)
-    assert "Join" not in plan.split("collect_list")[0] or True
+    # nothing pair-expanded is ever exchanged: every exchange key is an
+    # id or hash column, never a shingle string
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line, line
 
 
 def test_nanos_ts_bounds_push_to_scan(spark):
@@ -289,12 +297,13 @@ def test_funnel_joins_stay_on_user_key(spark):
 def test_distinctive_terms_post_explode_work_is_vocab_sized(spark):
     """After the (group, term) tf aggregate, nothing touches the
     exploded corpus again: all three tf consumers (scoring join,
-    group-df aggregate, n_groups) must read the persisted tf frame —
-    explain prints the cached lineage under each InMemoryTableScan,
-    so the reuse marker (not the explode count) is the invariant."""
+    group-df aggregate, n_groups) must read the materialized tf frame
+    — the checkpointed RDD scan is the reuse marker, and the corpus
+    explode must appear NOWHERE in the final plan (it ran once, inside
+    the cut)."""
     plan = explain_str(q(spark, "distinctive_terms"), "simple")
-    assert plan.count("InMemoryTableScan") >= 3
-    spark.catalog.clearCache()
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "Generate explode" not in plan
 
 
 def test_time_rollup_is_one_scan_one_expand(spark):

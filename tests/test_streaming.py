@@ -586,3 +586,35 @@ def test_foreachbatch_sketch_state_distinct_counts(spark, tmp_path):
         .collect()
     }
     assert got == {"a": 12, "b": 2}  # 7 + 5 fresh for a; {1, 2} for b
+
+
+def test_streaming_reject_guard_trips_on_malformed_ping(spark, stream_dirs):
+    """--raise-on-error streaming surface: the parse_guard observation
+    rides each micro-batch and the RejectGuardListener trips on the
+    first batch containing an undecodable envelope; clean batches
+    leave it untripped."""
+    from telemetry_streaming_spark.observability import make_reject_guard_listener
+
+    guard = make_reject_guard_listener()
+    spark.streams.addListener(guard)
+    os.makedirs(stream_dirs["out"], exist_ok=True)
+    _write_lines(stream_dirs["in"], [main_ping(), main_ping()])
+    raw = text_file_source(spark, stream_dirs["in"])
+    query = error_aggregator.write_streaming(
+        raw, stream_dirs["out"], stream_dirs["ckpt"], raise_on_error=True
+    )
+    try:
+        drain(query)
+        assert guard.tripped is None  # clean batch: no trip
+
+        _write_lines(stream_dirs["in"], [main_ping(), "{broken json"])
+        drain(query)
+        deadline = time.time() + 20
+        while guard.tripped is None and time.time() < deadline:
+            time.sleep(0.2)  # listener events are delivered async
+        assert guard.tripped is not None
+        assert guard.tripped["rows_rejected"] == 1
+        assert guard.tripped["rows_seen"] == 2
+    finally:
+        stop_quietly(query)
+        spark.streams.removeListener(guard)
