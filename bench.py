@@ -44,6 +44,16 @@ HEADLINE = [
     "text_quality",
     "token_stats",
     "lang_id",
+    # r2 operator families (VERDICT r2 task 6): time-ordered joins,
+    # frequency/quantile sketches, sessionization, behavior funnels,
+    # and the multi-granularity rollup — regressions here must be
+    # visible in BENCH, not just pytest.
+    "asof_join",
+    "heavy_hitters",
+    "value_quantiles",
+    "sessionize",
+    "conversion_funnel",
+    "time_rollup",
 ]
 
 

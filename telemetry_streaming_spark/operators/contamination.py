@@ -1,0 +1,182 @@
+"""Corpus hygiene for training-data pipelines: chunk-level dedup,
+benchmark decontamination, and duplicated-substring measurement.
+
+These are the three passes a real LLM data pipeline runs between raw
+crawl and tokenizer (CCNet / RefinedWeb / Dolma style), distinct from
+the document-level dedup family in ``operators/dedup.py``:
+
+- ``chunk_dedup``      — CCNet-style: drop *repeated paragraphs/chunks*
+                         globally, keeping each chunk's first occurrence
+                         in (doc_id, chunk_idx) order.
+- ``contamination_report`` — test-set decontamination: flag training
+                         documents sharing any word n-gram with a
+                         benchmark/eval set.
+- ``dup_window_fraction`` — Lee et al. 2022 ("Deduplicating Training
+                         Data Makes Language Models Better") proxy: the
+                         per-document fraction of overlapping n-token
+                         windows that occur more than once in the corpus.
+
+Scale posture (100 TB): every exchange in this module carries 8-byte
+``xxhash64`` gram/chunk keys plus ids and counts — document text never
+crosses a shuffle.  Gram explosion is map-side (codegen'd
+explode-position-then-concat, see ``dedup._exploded_grams``); the only
+wide operations are hash-keyed aggregates and equi-joins, all
+AQE-planned (benchmark sides small enough auto-broadcast).
+
+The reference engine has no corpus-hygiene operators (its dedup story
+is the Amplitude ``insert_id`` downstream contract, EventsToAmplitude
+.scala:249); this module is part of the extension surface promised in
+SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize
+from .dedup import _exploded_grams
+
+DEFAULT_CHUNK_WORDS = 10
+DEFAULT_NGRAM = 4
+
+
+def chunk_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = DEFAULT_CHUNK_WORDS,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_h) rows: consecutive non-overlapping
+    ``words_per_chunk``-token chunks, identified by xxhash64.
+
+    The chunk *text* exists only transiently inside the projection that
+    computes the hash — what leaves the stage (and what any downstream
+    shuffle carries) is the 8-byte hash.
+    """
+    if words_per_chunk <= 0:
+        raise ValueError("words_per_chunk must be positive")
+    toks = tokenize(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(words_per_chunk)).cast("int")
+    idx = F.when(F.size(toks) > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    e = df.select(F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("chunk_idx"))
+    chunk = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__toks"),
+            F.col("chunk_idx") * words_per_chunk + 1,
+            words_per_chunk,
+        ),
+    )
+    return e.select(
+        F.col(id_col), F.col("chunk_idx"), F.xxhash64(chunk).alias("chunk_h")
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = DEFAULT_CHUNK_WORDS,
+) -> DataFrame:
+    """Global chunk-level dedup report: per document, how many of its
+    chunks survive when every repeated chunk keeps only its first
+    occurrence in (doc_id, chunk_idx) order.
+
+    Returns (id, n_chunks, kept_chunks, dropped_chunks).  One shuffle:
+    the ``row_number`` window partitioned by chunk hash (NOT a global
+    window — parallelism is the number of distinct chunks), then a
+    map-side-combined count aggregate back on the document id.
+    """
+    chunks = chunk_table(df, text_col, id_col, words_per_chunk)
+    w = Window.partitionBy("chunk_h").orderBy(F.col(id_col), F.col("chunk_idx"))
+    flagged = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("__keep").cast("long")).alias("kept_chunks"),
+        F.sum((~F.col("__keep")).cast("long")).alias("dropped_chunks"),
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Training documents sharing >=1 word ``n``-gram with the
+    benchmark set: (id, contaminated_grams = #distinct shared grams).
+
+    Gram sets are distinct per document (``doc_shingle_pairs``-style
+    explode + xxhash64 + distinct); the benchmark side reduces to a
+    distinct-hash set, which at real scale is millions of rows at most
+    (benchmarks are small) — AQE broadcasts it, so the training-side
+    gram stream is filtered map-side without a wide join.
+    """
+    tgrams = (
+        _exploded_grams(train, text_col, id_col, n)
+        .select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
+        .distinct()
+    )
+    bgrams = (
+        _exploded_grams(bench, text_col, id_col, n)
+        .select(F.xxhash64("gram").alias("gram_h"))
+        .distinct()
+    )
+    return (
+        tgrams.join(bgrams, "gram_h")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("contaminated_grams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Drop contaminated documents from ``train`` (left-anti join on
+    the contamination report's id set)."""
+    bad = contamination_report(train, bench, text_col, id_col, n).select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
+def dup_window_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-window fraction: of the document's
+    overlapping ``n``-token windows, the share whose exact token
+    sequence occurs more than once in the whole corpus (its own
+    repeats included) — the scalable proxy for Lee et al.'s
+    suffix-array substring dedup.
+
+    Two hash-keyed exchanges: corpus-wide occurrence counts per window
+    hash (map-side combined), then the window stream re-joined to
+    those counts — both on 8-byte keys.  Returns
+    (id, n_windows, dup_windows, dup_fraction).
+    """
+    wins = _exploded_grams(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("gram").alias("win_h")
+    )
+    counts = wins.groupBy("win_h").agg(F.count("*").alias("__occ"))
+    return (
+        wins.join(counts, "win_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("__occ") > 1).cast("long")).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 6),
+        )
+    )

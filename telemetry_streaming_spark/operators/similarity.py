@@ -444,3 +444,127 @@ def quantize_embeddings(
         lo.alias("q_min"),
         scale.alias("q_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023) and prototypicality
+# pruning (Sorscher et al. 2022) — embedding-space corpus curation
+# built on the IVF coarse quantizer above: cluster once, then do the
+# O(m^2)-shaped work only *inside* clusters, never across the corpus.
+# ---------------------------------------------------------------------------
+
+MAX_SEMDEDUP_CLUSTER = 8_192
+
+
+def ivf_assign_scored(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """`ivf_assign` that also keeps the winning cosine: appends
+    ``ivf_cluster`` and ``centroid_sim``.  Same map-only plan — the
+    argmax runs over (score, idx) structs, so ties break to the
+    larger index, which the numpy test replica mirrors."""
+    if not centroids:
+        raise ValueError("ivf_assign_scored needs at least one centroid")
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _centroid_lit(c)).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn("ivf_cluster", best["i"]).withColumn(
+        "centroid_sim", best["s"]
+    )
+
+
+def prototypicality(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, ivf_cluster, centroid_sim): cosine of each vector to its
+    cluster centroid — the SSL-prototypes pruning signal (drop the
+    most prototypical fraction to keep the informative tail, or the
+    least to denoise).  Centroids ride as literals; the scoring pass
+    is map-only, so the whole operator is one corpus scan after the
+    bounded Lloyd refinement."""
+    centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
+    return ivf_assign_scored(df, centroids, vec_col).select(
+        id_col, "ivf_cluster", "centroid_sim"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: within each IVF cluster, greedily drop vectors whose
+    cosine to an already-kept vector exceeds ``threshold`` (scan in
+    ascending id order, so the survivor set is deterministic).
+
+    Cross-corpus comparisons never happen: candidate pairs exist only
+    inside a cluster, and each cluster is processed independently by
+    an Arrow-batched ``applyInPandas`` group (shuffle key = cluster
+    id).  Per-group work is O(m x kept x dim) numpy, bounded by
+    ``MAX_SEMDEDUP_CLUSTER`` — a cluster bigger than that means nlist
+    is too small for the corpus, which is a sizing error worth failing
+    loudly on rather than silently grinding through.
+
+    Returns (id, ivf_cluster, keep, max_kept_sim) where
+    ``max_kept_sim`` is the candidate's highest cosine to any vector
+    kept before it (null for the first vector of a cluster).
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
+    assigned = ivf_assign_scored(df, centroids, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("ivf_cluster")
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m > MAX_SEMDEDUP_CLUSTER:
+            raise ValueError(
+                f"semdedup cluster of {m} rows exceeds {MAX_SEMDEDUP_CLUSTER}; "
+                "increase nlist so clusters stay bounded"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        V = V / nrm[:, None]
+        kept_rows: list[int] = []
+        keep = np.zeros(m, dtype=bool)
+        max_sim = np.full(m, np.nan)
+        for i in range(m):
+            if kept_rows:
+                sims = V[kept_rows] @ V[i]
+                max_sim[i] = float(sims.max())
+                keep[i] = max_sim[i] <= threshold
+            else:
+                keep[i] = True
+            if keep[i]:
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "ivf_cluster": pdf["ivf_cluster"].to_numpy(),
+                "keep": keep,
+                "max_kept_sim": max_sim,
+            }
+        )
+
+    return assigned.groupBy("ivf_cluster").applyInPandas(
+        prune,
+        schema=f"{id_col} long, ivf_cluster int, keep boolean, max_kept_sim double",
+    )

@@ -3553,6 +3553,145 @@ def time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(toks[i*10+1 : i*10+10], ' ') AS chunk
+        FROM toks,
+             LATERAL (SELECT unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i) t
+        WHERE len(toks) > 0
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped_chunks
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: CCNet-style chunk-level dedup report — every repeated
+    10-word chunk keeps only its first (doc_id, chunk_idx) occurrence
+    corpus-wide.  Spark side dedups on xxhash64 of the chunk (8-byte
+    shuffle keys, text never leaves the map stage); the window is
+    partitioned by chunk hash, so parallelism is the number of
+    distinct chunks, not 1."""
+    from telemetry_streaming_spark.operators.contamination import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_report",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(toks[i : i+3], ' ') AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(toks) - 2)) AS i) t
+        WHERE len(toks) >= 4
+    ),
+    tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 17 <> 0),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+    SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_grams
+    FROM tg JOIN bg USING (gram)
+    GROUP BY tg.doc_id
+    """,
+)
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: test-set decontamination — training docs (doc_id %
+    17 != 0) sharing any word 4-gram with the benchmark split (doc_id
+    % 17 == 0), with the count of distinct shared grams.  The
+    benchmark gram set reduces to distinct 8-byte hashes (benchmarks
+    are small at any corpus scale), so AQE broadcasts it and the
+    training gram stream is filtered without a wide join."""
+    from telemetry_streaming_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return contamination_report(train, bench, n=4)
+
+
+@query(
+    "dup_window_fraction",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, array_to_string(toks[i : i+7], ' ') AS win
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) t
+        WHERE len(toks) >= 8
+    ),
+    counts AS (SELECT win, COUNT(*) AS occ FROM w GROUP BY win)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+           ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM w JOIN counts USING (win)
+    GROUP BY doc_id
+    """,
+)
+def dup_window_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Lee-et-al-style duplicated-substring measurement —
+    per document, the fraction of its overlapping 8-token windows
+    whose exact token sequence occurs more than once in the corpus.
+    Both exchanges (occurrence counts, count re-join) carry 8-byte
+    window hashes; the ratio is one IEEE division of exact integer
+    aggregates, so the 6-dp round matches DuckDB bit-for-bit."""
+    from telemetry_streaming_spark.operators.contamination import dup_window_fraction
+
+    return dup_window_fraction(_t(spark, sf_dir, "documents"), n=8)
+
+
+@query("semdedup", oracle=None)
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: SemDeDup (Abbas et al. 2023) — embedding-space near-
+    dup pruning inside IVF clusters; greedy in ascending vec_id so the
+    survivor set is deterministic.  Iterative (Lloyd refinement) +
+    greedy state per cluster — not SQL-expressible, so no oracle; the
+    numpy replica in tests/test_semdedup.py verifies assignments,
+    survivor sets, and max_kept_sim values exactly."""
+    from telemetry_streaming_spark.operators.similarity import semdedup
+
+    out = semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.92, nlist=8, iters=2)
+    return out.select(
+        "vec_id", "ivf_cluster", "keep", F.round(F.col("max_kept_sim"), 6).alias("max_kept_sim")
+    )
+
+
+@query("embedding_prototypicality", oracle=None)
+def embedding_prototypicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: SSL-prototypes pruning signal (Sorscher et al. 2022)
+    — cosine of each vector to its IVF-cluster centroid.  Centroids
+    ride as literals after a bounded Lloyd refinement; the scoring
+    pass is map-only.  Iterative, so no SQL oracle; numpy-replicated
+    in tests/test_semdedup.py."""
+    from telemetry_streaming_spark.operators.similarity import prototypicality
+
+    out = prototypicality(_t(spark, sf_dir, "embeddings"), nlist=8, iters=2)
+    return out.select(
+        "vec_id", "ivf_cluster", F.round(F.col("centroid_sim"), 6).alias("centroid_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.

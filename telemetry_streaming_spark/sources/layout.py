@@ -89,39 +89,103 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*pcols).parquet(path)
 
 
+# Edge resolution is capped: 2^12 - 1 interior quantiles per column is
+# ample rank resolution for file-level clustering (files number in the
+# thousands, not millions), and it keeps the percentile literal array
+# and the sketch memory bounded.  Requested bits beyond the cap shift
+# the found bin into the high bits so the z-value contract ([0, 2^bits)
+# per column) is unchanged.
+_MAX_EDGE_BITS = 12
+
+
+def _numeric_proj(c, dtype: str):
+    """Order-preserving numeric projection of an orderable column.
+
+    Numeric/timestamp/date cast directly; string/binary map through
+    their first 8 bytes big-endian (zero-padded), which preserves the
+    lexicographic order of 8-byte prefixes — an approximation that is
+    exactly what rank-binning for layout needs, not a total order.
+    """
+    from pyspark.sql import functions as F
+
+    if dtype in ("string", "binary"):
+        b = c.cast("binary") if dtype == "string" else c
+        return F.conv(F.hex(F.rpad(F.substring(b, 1, 8), 8, bytes([0]))), 16, 10).cast(
+            "decimal(24,0)"
+        ).cast("double")
+    if dtype.startswith("timestamp"):
+        return c.cast("double")
+    if dtype == "date":
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     """Z-value (Morton) column interleaving ``cols`` bit-by-bit.
 
-    Each column is rank-normalized to ``[0, 2^bits)`` with
-    ``percent_rank`` (distribution-adaptive — a skewed column still
-    spreads over the full bit range, which raw min/max scaling does
-    not give), then the bit planes are interleaved into one long.
-    Returns ``(df_with_binned_cols, z_column)``; the z expression is
-    a pure sum of shift/mask terms — codegen'd, no UDF.
+    Each column is rank-normalized to ``[0, 2^bits)`` against bin
+    edges from ONE ``percentile_approx`` aggregate (distribution-
+    adaptive — a skewed column still spreads over the full bit range,
+    which raw min/max scaling does not give); rows are then bucketed
+    with ``pyspark.ml.feature.Bucketizer`` — a JVM-side binary search
+    over the splits, map-only.  No global sort, no un-partitioned
+    window (the old ``percent_rank`` form funneled the whole dataset
+    through one task per column), no UDF; the only exchange is the
+    sketch's partial-merge aggregate, and the only driver-side
+    materialization is the edge list itself (< 2^12 doubles per
+    column by construction — the same bounded-sample contract as
+    Spark's own RangePartitioner).
 
-    Write-side cost: one ``percent_rank`` window per column (a global
-    sort each — acceptable in a layout-optimization job, which is
-    exactly where Databricks' OPTIMIZE ZORDER pays it too).
+    Returns ``(df_with_binned_cols, z_column)``; the z expression is
+    a pure sum of shift/mask terms over the bin columns.
     """
-    from pyspark.sql import Window
+    from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
     if bits * len(cols) > 63:
         raise ValueError(f"bits={bits} x {len(cols)} cols exceeds a signed long")
+
+    edge_bits = min(bits, _MAX_EDGE_BITS)
+    dtypes = dict(df.dtypes)
+    probs = [i / (1 << edge_bits) for i in range(1, 1 << edge_bits)]
+    edge_row = df.agg(
+        *[
+            F.percentile_approx(
+                _numeric_proj(F.col(c), dtypes[c]), probs, max(10_000, 4 << edge_bits)
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+
     out = df
     binned = []
     for c in cols:
+        out = out.withColumn(f"__zsrc_{c}", _numeric_proj(F.col(c), dtypes[c]))
+        # the sketch repeats an edge where the data is heavy; splits
+        # must be strictly increasing, so dedupe (bins stay monotone)
+        edges = sorted(set(edge_row[c] or []))
         b = f"__zbin_{c}"
-        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
+        if not edges:  # empty or constant column: single bin
+            out = out.withColumn(b, F.lit(0).cast("long"))
+            binned.append(b)
+            continue
+        n_bins = len(edges) + 1
+        bucketizer = Bucketizer(
+            inputCol=f"__zsrc_{c}",
+            outputCol=f"__zraw_{c}",
+            splits=[float("-inf"), *edges, float("inf")],
+            handleInvalid="keep",  # null/NaN -> extra bucket, clamped below
+        )
+        out = bucketizer.transform(out)
+        raw = F.col(f"__zraw_{c}").cast("long")
+        raw = F.when(raw >= n_bins, F.lit(0)).otherwise(raw)  # nulls sort first
         out = out.withColumn(
-            b,
-            F.least(
-                F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
-            ),
+            b, F.floor(raw * F.lit(float(1 << bits)) / F.lit(float(n_bins))).cast("long")
         )
         binned.append(b)
+    out = out.drop(*[f"__zsrc_{c}" for c in cols], *[f"__zraw_{c}" for c in cols])
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(binned):
