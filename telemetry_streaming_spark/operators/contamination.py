@@ -159,17 +159,18 @@ def dup_window_fraction(
     repeats included) — the scalable proxy for Lee et al.'s
     suffix-array substring dedup.
 
-    Two hash-keyed exchanges: corpus-wide occurrence counts per window
-    hash (map-side combined), then the window stream re-joined to
-    those counts — both on 8-byte keys.  Returns
-    (id, n_windows, dup_windows, dup_fraction).
+    One corpus scan and two hash-keyed exchanges: an analytic count
+    partitioned by window hash (NOT a join back to a separate count
+    aggregate, which would scan and re-shingle the corpus twice), then
+    the per-document rollup — both exchanges carry 8-byte keys plus
+    ids.  Returns (id, n_windows, dup_windows, dup_fraction).
     """
     wins = _exploded_grams(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("gram").alias("win_h")
     )
-    counts = wins.groupBy("win_h").agg(F.count("*").alias("__occ"))
+    occ = F.count("*").over(Window.partitionBy("win_h"))
     return (
-        wins.join(counts, "win_h")
+        wins.withColumn("__occ", occ)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),

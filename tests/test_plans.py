@@ -314,3 +314,73 @@ def test_time_rollup_is_one_scan_one_expand(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Expand") == 1
     assert final.count("FileScan parquet") == 1
+
+
+def test_chunk_dedup_window_partitioned_by_chunk_hash(spark):
+    """The keeper window must be partitioned by chunk hash (parallelism
+    = distinct chunks), never an un-partitioned global window; and the
+    exchanges must carry the 8-byte hash, not chunk text."""
+    plan = explain_str(q(spark, "chunk_dedup"))
+    assert "Window" in plan
+    assert "hashpartitioning(chunk_h" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_gram_exchanges_carry_hashes_not_text(spark):
+    """Both distinct exchanges shuffle xxhash64 gram keys; the gram
+    strings are consumed map-side inside the hash projection."""
+    plan = explain_str(q(spark, "contamination_report"))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram#" not in line.split("hashpartitioning")[1].split(")")[0] or \
+                "gram_h" in line, f"gram text on an exchange: {line.strip()}"
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The distinct benchmark gram-hash set must reach the join as a
+    broadcast (AQE final plan) — the training gram stream is filtered
+    map-side, never sort-merge-shuffled against the benchmark."""
+    df = q(spark, "contamination_report")
+    df.collect()
+    plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_window_fraction_single_scan(spark):
+    """The analytic-count formulation reads the corpus once; the
+    join-back alternative (two scans, two shingle passes) is the
+    regression this pins against."""
+    plan = explain_str(q(spark, "dup_window_fraction"))
+    assert plan.count("InMemoryFileIndex") == 1  # exactly one parquet scan
+    assert "hashpartitioning(win_h" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_semdedup_shuffles_on_cluster_key_only(spark):
+    """semdedup's only wide operation is the cluster-key exchange that
+    feeds applyInPandas: no cartesian, no corpus self-join."""
+    plan = explain_str(q(spark, "semdedup"))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "hashpartitioning(ivf_cluster" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_zorder_write_has_no_single_partition_exchange(spark):
+    """The z-key pipeline (percentile edges + Bucketizer) must never
+    funnel the dataset through one task — the regression pinned here
+    is the old un-partitioned percent_rank window."""
+    from telemetry_streaming_spark.sources.layout import zorder_key
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events", parallelize=False).select(
+        "event_id", "user_id", "value"
+    )
+    keyed, z = zorder_key(ev, ["user_id", "value"], bits=8)
+    plan = explain_str(keyed.withColumn("__z", z))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "Sort" not in plan.split("== Physical Plan ==")[-1]
