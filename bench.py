@@ -54,6 +54,10 @@ HEADLINE = [
     "sessionize",
     "conversion_funnel",
     "time_rollup",
+    # r3 corpus-hygiene family (operators/contamination.py)
+    "chunk_dedup",
+    "contamination_report",
+    "dup_window_fraction",
 ]
 
 

@@ -101,6 +101,48 @@ def chunk_dedup(
     )
 
 
+def chunk_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = DEFAULT_CHUNK_WORDS,
+) -> DataFrame:
+    """Rewrite each document with its duplicated chunks removed (same
+    keeper rule as :func:`chunk_dedup`): the cleaned text is the
+    space-join of the surviving chunks in original order.
+
+    The shuffle stages move only (id, chunk_idx, chunk_h) — the
+    surviving index *list* (bounded by document length) comes back to
+    the document row via one equi-join on the id, and the text is
+    re-sliced from the document's own token array map-side.  A doc
+    whose every chunk was dropped survives with empty text (callers
+    filter on length downstream, as a curation pipeline would).
+    """
+    chunks = chunk_table(df, text_col, id_col, words_per_chunk)
+    w = Window.partitionBy("chunk_h").orderBy(F.col(id_col), F.col("chunk_idx"))
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("__kept"))
+    )
+    toks = tokenize(F.col(text_col))
+    rebuilt = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__kept"), F.array().cast("array<int>")),
+                lambda i: F.slice(toks, i * words_per_chunk + 1, words_per_chunk),
+            )
+        ),
+    )
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    return (
+        df.join(kept, id_col, "left")
+        .select(F.col(id_col), rebuilt.alias(text_col), *[F.col(c) for c in others])
+    )
+
+
 def contamination_report(
     train: DataFrame,
     bench: DataFrame,

@@ -3592,6 +3592,48 @@ def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_dedup_apply",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(toks[i*10+1 : i*10+10], ' ') AS chunk
+        FROM toks,
+             LATERAL (SELECT unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i) t
+        WHERE len(toks) > 0
+    ),
+    kept AS (
+        SELECT doc_id, chunk_idx, chunk
+        FROM (
+            SELECT doc_id, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.chunk, ' ' ORDER BY k.chunk_idx), '') AS text,
+           d.lang, d.source
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, d.lang, d.source
+    """,
+)
+def chunk_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the apply side of chunk-level dedup — documents
+    rewritten with duplicated 10-word chunks removed, surviving chunks
+    re-joined in original order.  The exchanges carry (id, idx, hash)
+    triples and per-doc kept-index lists; the cleaned text itself is
+    re-sliced map-side from each document's own token array, so full
+    text never crosses a shuffle."""
+    from telemetry_streaming_spark.operators.contamination import chunk_dedup_apply
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    return chunk_dedup_apply(docs)
+
+
+@query(
     "contamination_report",
     oracle=r"""
     WITH toks AS (

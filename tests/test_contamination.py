@@ -106,3 +106,23 @@ def test_short_docs_produce_no_windows(spark):
 
     df = _docs(spark, [(1, "a b c")])
     assert dup_window_fraction(df, n=8).collect() == []
+
+
+def test_chunk_dedup_apply_rebuilds_clean_text(spark):
+    from telemetry_streaming_spark.operators.contamination import chunk_dedup_apply
+
+    s = " ".join(f"s{i}" for i in range(10))
+    u = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, s + " " + u, "web"), (2, s, "web"), (3, s + " " + s, "books")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup_apply(df, words_per_chunk=10).collect()}
+    assert out[1].text == s + " " + u  # first occurrence keeps everything
+    assert out[2].text == ""  # whole doc was a dup chunk
+    assert out[3].text == ""  # both copies lose to doc 1's chunk 0
+    assert out[3].source == "books"  # non-text columns survive
+    # intra-doc self-dup with no external competitor: first copy stays
+    v = " ".join(f"v{i}" for i in range(10))
+    solo = spark.createDataFrame([(9, v + " " + v)], "doc_id long, text string")
+    assert chunk_dedup_apply(solo, words_per_chunk=10).collect()[0].text == v
