@@ -47,13 +47,17 @@ def chunk_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     words_per_chunk: int = DEFAULT_CHUNK_WORDS,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, chunk_idx, chunk_h) rows: consecutive non-overlapping
-    ``words_per_chunk``-token chunks, identified by xxhash64.
+    """(id, chunk_idx, chunk_h[, keep_cols...]) rows: consecutive
+    non-overlapping ``words_per_chunk``-token chunks, identified by
+    xxhash64.
 
     The chunk *text* exists only transiently inside the projection that
     computes the hash — what leaves the stage (and what any downstream
-    shuffle carries) is the 8-byte hash.
+    shuffle carries) is the 8-byte hash.  Works unchanged on a
+    streaming frame (explode + hash are stateless); ``keep_cols``
+    carries extra columns (e.g. the event-time column) through.
     """
     if words_per_chunk <= 0:
         raise ValueError("words_per_chunk must be positive")
@@ -62,7 +66,10 @@ def chunk_table(
     idx = F.when(F.size(toks) > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    e = df.select(F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("chunk_idx"))
+    passthrough = [F.col(c) for c in keep_cols]
+    e = df.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("chunk_idx"), *passthrough
+    )
     chunk = F.concat_ws(
         " ",
         F.slice(
@@ -72,7 +79,7 @@ def chunk_table(
         ),
     )
     return e.select(
-        F.col(id_col), F.col("chunk_idx"), F.xxhash64(chunk).alias("chunk_h")
+        F.col(id_col), F.col("chunk_idx"), F.xxhash64(chunk).alias("chunk_h"), *passthrough
     )
 
 
@@ -222,4 +229,33 @@ def dup_window_fraction(
             "dup_fraction",
             F.round(F.col("dup_windows") / F.col("n_windows"), 6),
         )
+    )
+
+
+def streaming_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+    words_per_chunk: int = DEFAULT_CHUNK_WORDS,
+) -> DataFrame:
+    """Streaming first-seen chunk filter: the chunk-exploded stream
+    with every chunk hash that already appeared inside the watermark
+    horizon dropped.
+
+    The batch keeper rule ("first (doc_id, chunk_idx) wins") becomes
+    arrival order on a stream; ``dropDuplicatesWithinWatermark`` keys
+    state on the 8-byte chunk hash with TTL from the watermark, so
+    state is O(chunks per horizon), not O(chunks ever seen) — the same
+    contract as ``streaming_dedup_exact`` one level down the
+    granularity ladder.  Downstream can re-assemble per-doc survivor
+    lists with a windowed ``collect_list`` or route whole-doc decisions
+    off the kept/emitted ratio.
+    """
+    chunks = chunk_table(
+        df, text_col, id_col, words_per_chunk, keep_cols=(ts_col,)
+    )
+    return chunks.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["chunk_h"]
     )

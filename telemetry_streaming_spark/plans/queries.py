@@ -3554,6 +3554,154 @@ def time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           COUNT(*) AS n_items
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by ship
+    year.  The single-nation membership filters are pushed into the
+    supplier/customer sides BEFORE their fact joins (each side shrinks
+    to 2/25 of its nation-spread), and only the cross-pair predicate
+    runs post-join; nation is the only hard-broadcast side (constant
+    25 rows) — supplier/customer scale with SF and are left to
+    AQE/threshold selection."""
+    nations = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(
+        spark, sf_dir, "lineitem",
+        ts_bounds={"l_shipdate": ("1996-01-01 00:00:00", "1998-01-01 00:00:00")},
+    ).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_e4"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(vol_e4) AS BIGINT) AS total_revenue_e4,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_e4 ELSE 0 END) AS BIGINT)
+               AS nation_revenue_e4,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_e4 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(vol_e4) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT) AS vol_e4,
+               ns.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = nc.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    revenue by order year.  The share is a conditional-sum ratio
+    inside ONE aggregate over the star join (no self-join, no second
+    pass); numerator and denominator are exact scaled-integer sums, so
+    the final single IEEE division hash-matches DuckDB.  Constant dims
+    (region, the two nation copies) broadcast by hint; part, customer,
+    and supplier scale with SF and are left to AQE."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nck"), F.col("n_regionkey")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nsk"), F.col("n_name").alias("supp_nation")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(
+        spark, sf_dir, "orders",
+        ts_bounds={"o_orderdate": ("1996-01-01 00:00:00", "1998-01-01 00:00:00")},
+    ).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    asian_cust = (
+        customer.join(
+            F.broadcast(nation_c.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("nck"),
+        ).select("c_custkey")
+    )
+    vol = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    nation_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asian_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("nsk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(vol).alias("total_revenue_e4"),
+            F.sum(nation_vol).alias("nation_revenue_e4"),
+            (F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+@query(
     "chunk_dedup",
     oracle=r"""
     WITH toks AS (

@@ -618,3 +618,50 @@ def test_streaming_reject_guard_trips_on_malformed_ping(spark, stream_dirs):
     finally:
         stop_quietly(query)
         spark.streams.removeListener(guard)
+
+
+def test_streaming_chunk_dedup_first_seen_wins(spark, stream_dirs):
+    """Extension: streaming chunk-level dedup — a chunk replayed
+    within the watermark horizon (same text in a later doc) is
+    dropped; fresh chunks pass."""
+    from telemetry_streaming_spark.operators.contamination import streaming_chunk_dedup
+
+    base = int(TEST_TIMESTAMP_NS // 1_000_000_000)
+    shared = " ".join(f"s{i}" for i in range(10))
+    fresh = " ".join(f"f{i}" for i in range(10))
+    rows1 = [json.dumps({"doc_id": 1, "text": shared, "ts_s": base})]
+    rows2 = [
+        json.dumps({"doc_id": 2, "text": shared + " " + fresh, "ts_s": base + 60}),
+    ]
+    _write_lines(stream_dirs["in"], rows1)
+
+    raw = text_file_source(spark, stream_dirs["in"])
+    parsed = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+        F.timestamp_seconds(
+            F.get_json_object("value", "$.ts_s").cast("long")
+        ).alias("timestamp"),
+    )
+    deduped = streaming_chunk_dedup(parsed)
+    name = f"chunkdedup_test_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(query)
+        _write_lines(stream_dirs["in"], rows2)
+        drain(query)
+        got = sorted(
+            (r.doc_id, r.chunk_idx)
+            for r in spark.sql(f"SELECT doc_id, chunk_idx FROM {name}").collect()
+        )
+        # doc 1 chunk 0 emitted; doc 2's replayed chunk 0 dropped,
+        # its fresh chunk 1 emitted
+        assert got == [(1, 0), (2, 1)]
+    finally:
+        stop_quietly(query)
