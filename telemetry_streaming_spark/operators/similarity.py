@@ -494,6 +494,10 @@ def prototypicality(
     is map-only, so the whole operator is one corpus scan after the
     bounded Lloyd refinement."""
     centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
+    if not centroids:  # empty corpus: schema-stable empty result
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, ivf_cluster int, centroid_sim double"
+        )
     return ivf_assign_scored(df, centroids, vec_col).select(
         id_col, "ivf_cluster", "centroid_sim"
     )
@@ -526,7 +530,10 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
+    out_schema = f"{id_col} long, ivf_cluster int, keep boolean, max_kept_sim double"
     centroids = ivf_centroids(df, nlist, iters, id_col, vec_col)
+    if not centroids:  # empty corpus: schema-stable empty result
+        return df.sparkSession.createDataFrame([], out_schema)
     assigned = ivf_assign_scored(df, centroids, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("ivf_cluster")
     )
@@ -564,7 +571,4 @@ def semdedup(
             }
         )
 
-    return assigned.groupBy("ivf_cluster").applyInPandas(
-        prune,
-        schema=f"{id_col} long, ivf_cluster int, keep boolean, max_kept_sim double",
-    )
+    return assigned.groupBy("ivf_cluster").applyInPandas(prune, schema=out_schema)

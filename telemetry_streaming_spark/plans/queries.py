@@ -3851,6 +3851,84 @@ def dup_window_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_window_fraction(_t(spark, sf_dir, "documents"), n=8)
 
 
+@query(
+    "sequence_packing",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 2048 AS first_seq,
+           (start_offset + n_tokens - 1) // 2048 AS last_seq,
+           (start_offset + n_tokens - 1) // 2048 - start_offset // 2048 + 1
+               AS n_seqs_spanned
+    FROM c
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: sequence packing for pretraining — each document's
+    span in the concatenated token stream cut into 2048-token
+    sequences.  The oracle computes the prefix sum with one global SQL
+    window; the engine computes the identical numbers with a two-level
+    bucketed scan (per-bucket sums -> bounded bucket-offset window ->
+    within-bucket cumsum), so no stage is single-task over the corpus
+    (plan-gated)."""
+    from telemetry_streaming_spark.operators.packing import sequence_packing
+
+    return sequence_packing(_t(spark, sf_dir, "documents"), seq_len=2048)
+
+
+@query(
+    "packing_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM t
+    ),
+    spans AS (
+        SELECT start_offset // 2048 AS first_seq,
+               (start_offset + n_tokens - 1) // 2048 AS last_seq
+        FROM c
+    ),
+    touched AS (
+        SELECT s.seq_id, last_seq
+        FROM spans, LATERAL (
+            SELECT unnest(range(first_seq, last_seq + 1)) AS seq_id
+        ) s
+    )
+    SELECT seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN last_seq > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundary_docs
+    FROM touched GROUP BY seq_id
+    """,
+)
+def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-sequence occupancy of the packed stream — how
+    many documents each 2048-token training sequence touches and how
+    many of those run over its boundary.  One explode of each doc's
+    (tiny) sequence range + one count aggregate on seq_id."""
+    from telemetry_streaming_spark.operators.packing import packing_stats, sequence_packing
+
+    return packing_stats(sequence_packing(_t(spark, sf_dir, "documents"), seq_len=2048), 2048)
+
+
 @query("semdedup", oracle=None)
 def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: SemDeDup (Abbas et al. 2023) — embedding-space near-

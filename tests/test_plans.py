@@ -384,3 +384,22 @@ def test_zorder_write_has_no_single_partition_exchange(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert "Sort" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_sequence_packing_no_corpus_sized_single_partition(spark):
+    """The prefix sum must be the two-level bucketed scan: the
+    per-document window partitions by bucket (parallelism = bucket
+    count); the only single-partition window runs over the B bucket
+    sums, which Catalyst shows as a window WITHOUT a corpus-sized
+    child exchange feeding it rows (its input is the bucket
+    aggregate)."""
+    plan = explain_str(q(spark, "sequence_packing"))
+    assert "hashpartitioning(__bucket" in plan
+    # SinglePartition exchanges may carry only bounded shapes: the
+    # <=n_buckets (bucket, sum) offset rows or the 1-row min/max
+    # bounds partials — never per-document rows
+    blocks = plan.split("\n\n")
+    sp = [b for b in blocks if "SinglePartition" in b and b.strip().startswith("(")]
+    assert sp, "expected the bounded bucket-offset window exchange"
+    for b in sp:
+        assert "doc_id" not in b, f"corpus-sized single-partition exchange:\n{b}"
