@@ -390,6 +390,45 @@ def run_curate(spark, args):
         print(f"{r['stage']}: {r['n_docs']}")
 
 
+def run_hygiene(spark, args):
+    """Corpus hygiene as an operable job: documents parquet in, a
+    chunk-deduped (and optionally decontaminated) corpus out, plus a
+    per-doc duplicated-window report when asked."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.contamination import (
+        chunk_dedup_apply,
+        decontaminate,
+        dup_window_fraction,
+    )
+
+    _require(args, "input-path", "output-path")
+    docs = spark.read.parquet(args.input_path)
+    n_in = docs.count()
+    out = docs
+    if args.benchmark_path:
+        bench = spark.read.parquet(args.benchmark_path)
+        out = decontaminate(out, bench, n=args.contamination_ngram)
+    out = chunk_dedup_apply(out, words_per_chunk=args.chunk_words)
+    if args.min_tokens > 0:
+        from telemetry_streaming_spark.functions.text import token_count
+
+        out = out.where(
+            (F.length(F.col("text")) > 0) & (token_count(F.col("text")) >= args.min_tokens)
+        )
+    if args.explain:
+        out.explain("formatted")
+        return
+    out.repartition(args.num_parquet_files).write.mode("overwrite").parquet(args.output_path)
+    n_out = spark.read.parquet(args.output_path).count()
+    print(f"docs_in: {n_in}")
+    print(f"docs_out: {n_out}")
+    if args.dup_report_path:
+        dup_window_fraction(docs, n=args.dup_window_ngram).write.mode("overwrite").parquet(
+            args.dup_report_path
+        )
+
+
 def build_parser() -> argparse.ArgumentParser:
     top = argparse.ArgumentParser(prog="telemetry_streaming_spark")
     sub = top.add_subparsers(dest="job", required=True)
@@ -440,6 +479,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dup", choices=("none", "minhash", "simhash"), default="none")
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--explain", action="store_true")
+
+    p = sub.add_parser("hygiene", help="chunk dedup + decontamination pass")
+    p.add_argument("--input-path")
+    p.add_argument("--output-path")
+    p.add_argument("--benchmark-path", help="eval/benchmark parquet to decontaminate against")
+    p.add_argument("--chunk-words", type=int, default=10)
+    p.add_argument("--contamination-ngram", type=int, default=4)
+    p.add_argument("--min-tokens", type=int, default=1)
+    p.add_argument("--dup-report-path", help="write dup-window fractions here")
+    p.add_argument("--dup-window-ngram", type=int, default=8)
+    p.add_argument("--num-parquet-files", type=int, default=60)
+    p.add_argument("--explain", action="store_true")
     return top
 
 
@@ -455,6 +506,7 @@ RUNNERS = {
     "events_to_amplitude": run_events_to_amplitude,
     "federated_optimizer": run_federated_optimizer,
     "curate": run_curate,
+    "hygiene": run_hygiene,
 }
 
 

@@ -203,3 +203,115 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessions on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` (SPARK-49770):
+    named state variables instead of one opaque tuple, explicit timers
+    instead of a single group timeout, and a processor object whose
+    lifecycle (init/input/timer) replaces the closure-over-GroupState
+    protocol.
+
+    Same contract as :func:`sessionize_stream` (append mode, state
+    O(active users), emitted rows match the batch tier): per-user
+    ``ValueState`` holds the open session; each batch's rows extend or
+    rotate it; an event-time timer at ``end + gap`` flushes the final
+    open session.  A stale timer (one that fired after newer events
+    already extended the session) re-registers itself at the updated
+    deadline instead of emitting — timers are not deleted on update,
+    so the guard in the expiry handler is the correctness point.
+
+    Environment note: transformWithState's Python state server speaks
+    protobuf, so the ``protobuf`` package must be installed on driver
+    and executors (it is absent in the offline dev sandbox, where the
+    e2e test skips — the same implemented-but-environment-gated status
+    as the Kafka source).  ``sessionize_stream`` is the tier verified
+    end-to-end here and remains the default.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def _utc(us: int) -> _dt.datetime:
+        return _dt.datetime.fromtimestamp(us / 1e6, tz=_dt.timezone.utc)
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "open_session", "start_us long, end_us long, n_events int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(int(v) for v in pdf["__ts_us"])
+            # late rows are dropped (same clamp contract as the
+            # applyInPandasWithState tier)
+            ts_us = sorted(t for t in ts_us if t >= wm_ms * 1000)
+            out = []
+            if ts_us:
+                cur = self._state.get() if self._state.exists() else None
+                start_us, end_us, n = cur if cur else (ts_us[0], ts_us[0], 0)
+                for t in ts_us:
+                    if t - end_us > gap_us:
+                        out.append((user_id, _utc(start_us), _utc(end_us), n))
+                        start_us, end_us, n = t, t, 1
+                    else:
+                        end_us = max(end_us, t)
+                        n += 1
+                self._state.update((start_us, end_us, int(n)))
+                self._handle.registerTimer(
+                    max(end_us // 1000 + gap_seconds * 1000, wm_ms + 1)
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            (user_id,) = key
+            out = []
+            cur = self._state.get() if self._state.exists() else None
+            if cur:
+                start_us, end_us, n = cur
+                deadline_ms = end_us // 1000 + gap_seconds * 1000
+                if expiredTimerInfo.getExpiryTimeInMs() >= deadline_ms:
+                    out.append((user_id, _utc(start_us), _utc(end_us), n))
+                    self._state.clear()
+                else:
+                    # stale timer: the session was extended after this
+                    # timer was set — rearm at the current deadline
+                    self._handle.registerTimer(
+                        max(deadline_ms, timerValues.getCurrentWatermarkInMs() + 1)
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+        .groupBy(user_col)
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

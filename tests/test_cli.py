@@ -18,7 +18,7 @@ def test_parser_covers_all_jobs():
         "error_aggregator", "experiments_error_aggregator", "event_ping_events",
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
-        "federated_optimizer", "curate",
+        "federated_optimizer", "curate", "hygiene",
     }
 
 
@@ -234,3 +234,40 @@ def test_raise_on_error_uptake_to_datadog(spark, tmp_path):
             "uptake_to_datadog", "--input-path", str(src),
             "--output-path", str(out2), "--raise-on-error",
         ], spark=spark)
+
+
+def test_cli_hygiene_end_to_end(spark, tmp_path, capsys):
+    """Corpus hygiene as an operable job: decontaminate against a
+    benchmark, chunk-dedup the rest, write the cleaned corpus and a
+    dup-window report."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.cli import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench_dir = str(tmp_path / "bench")
+    docs.where(F.col("doc_id") % 17 == 0).write.parquet(bench_dir)
+    out = str(tmp_path / "clean")
+    report = str(tmp_path / "dup_report")
+    main(
+        [
+            "hygiene",
+            "--input-path", "/root/testdata/sf0.001/documents.parquet",
+            "--output-path", out,
+            "--benchmark-path", bench_dir,
+            "--min-tokens", "3",
+            "--dup-report-path", report,
+            "--num-parquet-files", "2",
+        ],
+        spark=spark,
+    )
+    cleaned = spark.read.parquet(out)
+    n_docs = docs.count()
+    assert 0 < cleaned.count() < n_docs  # decontamination + dedup removed some
+    # benchmark members were the contamination source, not the input
+    # split — but any doc sharing a 4-gram with them is gone
+    rep = spark.read.parquet(report)
+    assert rep.count() == n_docs
+    assert {"doc_id", "n_windows", "dup_windows", "dup_fraction"} <= set(rep.columns)
+    printed = capsys.readouterr().out
+    assert "docs_in:" in printed and "docs_out:" in printed

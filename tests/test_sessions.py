@@ -4,6 +4,8 @@ applyInPandasWithState — same session contract, two execution tiers."""
 import os
 import uuid
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from telemetry_streaming_spark.operators.sessions import sessionize, sessionize_stream
@@ -207,5 +209,62 @@ def test_native_session_window_streaming(spark, tmp_path):
         rows = {r.user_id: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
         assert rows[1].n_events == 2
         assert rows[1].session_end.isoformat() == "2024-01-01T10:05:00"
+    finally:
+        q.stop()
+
+
+def test_tws_sessionize_matches_stream_tier(spark, tmp_path):
+    """The transformWithStateInPandas tier must emit the same session
+    rows as the applyInPandasWithState tier: rotation on gap, timeout
+    flush via its timer, late rows dropped.  Requires the protobuf
+    package (the TWS Python state-server protocol); skipped where it
+    is not installed."""
+    pytest.importorskip("google.protobuf")
+    from telemetry_streaming_spark.operators.sessions import sessionize_tws
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write(lines, name):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    write(["1,2024-01-01 10:00:00", "1,2024-01-01 10:05:00", "2,2024-01-01 10:00:00"], "a.csv")
+
+    raw = (
+        spark.readStream.format("text")
+        .load(in_dir)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.col("p")[1]).alias("ts"),
+        )
+    )
+    sessions = sessionize_tws(raw, gap_seconds=1800, watermark="0 seconds")
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(["1,2024-01-01 13:00:00"], "b.csv")  # rotates user 1
+        q.processAllAvailable()
+        write(["3,2024-01-01 14:00:00"], "c.csv")  # watermark closes the rest
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start.isoformat()): r
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        first = got[(1, "2024-01-01T10:00:00")]
+        assert first.n_events == 2
+        assert first.session_end.isoformat() == "2024-01-01T10:05:00"
+        # user 2's single-event session flushed by timer once the
+        # watermark passed 10:00 + 30min
+        assert (2, "2024-01-01T10:00:00") in got
+        assert got[(2, "2024-01-01T10:00:00")].n_events == 1
     finally:
         q.stop()
