@@ -403,3 +403,23 @@ def test_sequence_packing_no_corpus_sized_single_partition(spark):
     assert sp, "expected the bounded bucket-offset window exchange"
     for b in sp:
         assert "doc_id" not in b, f"corpus-sized single-partition exchange:\n{b}"
+
+
+def test_no_corpus_rows_on_single_partition_exchanges(spark):
+    """Registry-wide one-task-bottleneck gate: a SinglePartition
+    exchange may carry only bounded shapes (global-agg partials,
+    sketch buffers, the <=n_buckets packing offsets) — never raw row
+    identifiers, which would mean a corpus-sized stream is being
+    funneled through one task."""
+    row_cols = (
+        "doc_id#", "vec_id#", "event_id#", "user_id#", "text#",
+        "embedding#", "o_orderkey#", "l_orderkey#", "c_custkey#",
+    )
+    for name, spec in QUERIES.items():
+        plan = explain_str(spec.fn(spark, SF_SMOKE))
+        for block in plan.split("\n\n"):
+            if "SinglePartition" not in block or not block.strip().startswith("("):
+                continue
+            inp = next((l for l in block.splitlines() if l.startswith("Input")), "")
+            for c in row_cols:
+                assert c not in inp, f"{name}: corpus rows on SinglePartition: {inp}"
