@@ -129,3 +129,58 @@ def latest_snapshot(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def pattern_match_topk(
+    events: DataFrame,
+    pattern_cents: list[int],
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Subsequence similarity search over per-key event series: the k
+    sliding windows (length = len(pattern)) closest to a query pattern
+    by squared euclidean distance on cents-scaled integers.
+
+    The streaming-data subsequence-search shape (distributed sliding
+    windows + global top-k) with a deliberately integer-exact distance:
+    values scale to cents before differencing, so the score is a
+    BIGINT — bit-identical in any engine, no float-fold ordering
+    concerns.  One shuffle on the key builds every window (a
+    ``collect_list`` over a forward row frame — window length is the
+    pattern length, a small constant); the global top-k is a
+    TakeOrdered, not a full sort.  Ties break deterministically on
+    (distance, key, event id).
+
+    For z-normalized / DTW variants the same window-building stage
+    applies with a different (float) scoring expression; the exact
+    integer tier here doubles as their verification oracle.
+    """
+    m = len(pattern_cents)
+    if m < 1:
+        raise ValueError("pattern must be non-empty")
+    if k < 1:
+        raise ValueError("k must be positive")
+    cents_v = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.currentRow, m - 1)
+    )
+    windows = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.expr(f"unix_micros({ts_col}) div 1000000").alias("ts_s"),
+        F.collect_list(cents_v).over(w).alias("__vals"),
+    ).where(F.size("__vals") == m)
+    dist = F.lit(0).cast("long")
+    for i, p in enumerate(pattern_cents):
+        d = F.element_at(F.col("__vals"), i + 1) - F.lit(int(p))
+        dist = dist + d * d
+    return (
+        windows.select(key_col, "ts_s", dist.alias("dist2"))
+        .orderBy(F.col("dist2"), F.col(key_col), F.col("ts_s"))
+        .limit(k)
+    )

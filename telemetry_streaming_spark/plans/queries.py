@@ -3929,6 +3929,47 @@ def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(sequence_packing(_t(spark, sf_dir, "documents"), seq_len=2048), 2048)
 
 
+@query(
+    "pattern_match_topk",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+               ts
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, ts_s,
+               list(v) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+               ) AS vals
+        FROM c
+    )
+    SELECT user_id, ts_s,
+           (vals[1]-1200)*(vals[1]-1200) + (vals[2]-3400)*(vals[2]-3400)
+         + (vals[3]-800)*(vals[3]-800) + (vals[4]-2500)*(vals[4]-2500)
+         + (vals[5]-1500)*(vals[5]-1500) AS dist2
+    FROM w WHERE len(vals) = 5
+    ORDER BY dist2, user_id, ts_s LIMIT 20
+    """,
+)
+def pattern_match_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: time-series subsequence similarity search — the 20
+    per-user sliding windows closest to a 5-point query pattern by
+    squared euclidean distance on cents-scaled integers (BIGINT score,
+    engine-exact).  One shuffle on the key builds the windows; the
+    top-k is a TakeOrdered, never a global sort."""
+    from telemetry_streaming_spark.operators.timeseries import pattern_match_topk
+
+    return pattern_match_topk(
+        _t(spark, sf_dir, "events"),
+        pattern_cents=[1200, 3400, 800, 2500, 1500],
+        k=20,
+    )
+
+
 @query("semdedup", oracle=None)
 def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: SemDeDup (Abbas et al. 2023) — embedding-space near-

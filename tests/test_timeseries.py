@@ -276,3 +276,50 @@ def test_snapshot_diff_classifies_changes(spark):
     assert got == {2: "update", 3: "delete", 4: "update", 5: "insert"}
     with pytest.raises(ValueError):
         snapshot_diff(old, new, [], ["s"])
+
+
+def test_pattern_match_finds_planted_subsequence(spark):
+    """A series containing the exact query pattern must rank first with
+    distance 0; windows never span users."""
+    import datetime as dt
+
+    from telemetry_streaming_spark.operators.timeseries import pattern_match_topk
+
+    def rows(uid, vals, t0=0):
+        return [
+            (uid, 1000 * uid + i, dt.datetime(2024, 1, 1, 0, 0, t0 + i), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    pattern = [12.0, 34.0, 8.0]
+    data = (
+        rows(1, [5.0, 12.0, 34.0, 8.0, 99.0])  # exact match at offset 1
+        + rows(2, [12.0, 34.0])  # prefix only: too short, never a window
+        + rows(3, [12.0, 34.0, 9.0])  # off by 1.0 on the last point
+    )
+    df = spark.createDataFrame(data, "user_id long, event_id long, ts timestamp, value double")
+    got = pattern_match_topk(
+        df, pattern_cents=[1200, 3400, 800], k=3, key_col="user_id"
+    ).collect()
+    assert (got[0].user_id, got[0].dist2) == (1, 0)
+    # user 3's full-series window differs by 100 cents on one point
+    assert (got[1].user_id, got[1].dist2) == (3, 100 * 100)
+    # user 2 contributes no window at all (series shorter than pattern)
+    assert all(r.user_id != 2 for r in got)
+
+
+def test_pattern_match_rejects_bad_params(spark):
+    import datetime as dt
+
+    from telemetry_streaming_spark.operators.timeseries import pattern_match_topk
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pattern_match_topk(df, [], k=1)
+    with _pytest.raises(ValueError):
+        pattern_match_topk(df, [100], k=0)
