@@ -58,6 +58,9 @@ HEADLINE = [
     "chunk_dedup",
     "contamination_report",
     "dup_window_fraction",
+    # r3 packing + subsequence search
+    "sequence_packing",
+    "pattern_match_topk",
 ]
 
 
