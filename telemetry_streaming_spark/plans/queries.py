@@ -4030,9 +4030,11 @@ _FRONT_WINDOW = [
     "equidepth_histogram", "diversified_topk", "share_of_total",
     "snapshot_diff", "profile_columns", "weighted_sample",
     "session_stats", "time_rollup",
-    # 5 driver-green r2 anchors to fill the 50-slot window:
-    "pricing_summary", "windowed_sum", "dedup_exact",
-    "sessionize", "curation_funnel",
+    # 5 round-3 oracle queries fill the remaining slots (the r2
+    # anchors that previously sat here are already driver-green twice
+    # over; these five have only local parity so far):
+    "chunk_dedup", "chunk_dedup_apply", "contamination_report",
+    "dup_window_fraction", "sequence_packing",
 ]
 
 
