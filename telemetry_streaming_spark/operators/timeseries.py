@@ -184,3 +184,80 @@ def pattern_match_topk(
         .orderBy(F.col("dist2"), F.col(key_col), F.col("ts_s"))
         .limit(k)
     )
+
+
+def pattern_match_topk_znorm(
+    events: DataFrame,
+    pattern: list[float],
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Z-normalized subsequence search: each sliding window and the
+    query pattern are normalized to zero mean / unit variance before
+    the squared-distance score, so matches are shape-based (amplitude
+    and offset invariant) — the standard similarity measure of the
+    UCR/matrix-profile line of work.
+
+    Same single-shuffle window-building stage as
+    :func:`pattern_match_topk` (which doubles as the integer-exact
+    verification tier); scoring is a codegen'd expression over the
+    window array: mean and variance from two sequential folds, then
+    per-position normalized differences.  Constant-valued windows
+    (zero variance) are skipped — they have no shape to match.
+    Float scores are engine-specific in the last ulp, so this query
+    is rows-only at the driver; the numpy pin lives in
+    tests/test_timeseries.py.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs >= 2 points for z-normalization")
+    if k < 1:
+        raise ValueError("k must be positive")
+    import math as _math
+
+    p_mean = sum(pattern) / m
+    p_var = sum((p - p_mean) ** 2 for p in pattern) / m
+    if p_var == 0:
+        raise ValueError("constant pattern has no shape to match")
+    p_std = _math.sqrt(p_var)
+    p_norm = [(p - p_mean) / p_std for p in pattern]
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.currentRow, m - 1)
+    )
+    windows = events.select(
+        F.col(key_col),
+        F.expr(f"unix_micros({ts_col}) div 1000000").alias("ts_s"),
+        F.collect_list(F.col(value_col).cast("double")).over(w).alias("__vals"),
+    ).where(F.size("__vals") == m)
+
+    v = F.col("__vals")
+    # mean/var/std materialize as columns so each sequential fold runs
+    # once per row, not once per pattern position
+    windows = windows.withColumn(
+        "__mean", F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
+    ).withColumn(
+        "__var",
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda a, x: a + (x - F.col("__mean")) * (x - F.col("__mean")),
+        )
+        / F.lit(float(m)),
+    ).withColumn("__std", F.sqrt(F.col("__var")))
+    dist = F.lit(0.0)
+    for i, pn in enumerate(p_norm):
+        z = (F.element_at(v, i + 1) - F.col("__mean")) / F.col("__std")
+        d = z - F.lit(float(pn))
+        dist = dist + d * d
+    return (
+        windows.where(F.col("__var") > 0)
+        .select(key_col, "ts_s", F.round(dist, 6).alias("zdist2"))
+        .orderBy(F.col("zdist2"), F.col(key_col), F.col("ts_s"))
+        .limit(k)
+    )

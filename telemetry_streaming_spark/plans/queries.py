@@ -3970,6 +3970,22 @@ def pattern_match_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pattern_match_znorm", oracle=None)
+def pattern_match_znorm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: z-normalized (shape-based) subsequence search — the
+    float tier of pattern_match_topk.  Float scores differ across
+    engines in the last ulp, so no SQL oracle (rows-only at the
+    driver); the numpy replica pin lives in tests/test_timeseries.py,
+    and the integer-exact tier above is the oracle-checked twin."""
+    from telemetry_streaming_spark.operators.timeseries import pattern_match_topk_znorm
+
+    return pattern_match_topk_znorm(
+        _t(spark, sf_dir, "events"),
+        pattern=[12.0, 34.0, 8.0, 25.0, 15.0],
+        k=20,
+    )
+
+
 @query("semdedup", oracle=None)
 def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: SemDeDup (Abbas et al. 2023) — embedding-space near-

@@ -323,3 +323,59 @@ def test_pattern_match_rejects_bad_params(spark):
         pattern_match_topk(df, [], k=1)
     with _pytest.raises(ValueError):
         pattern_match_topk(df, [100], k=0)
+
+
+def test_znorm_pattern_match_is_shape_invariant_and_matches_numpy(spark):
+    """A window that is the pattern scaled and shifted must score ~0;
+    scores match a numpy replica of the same normalization."""
+    import datetime as dt
+
+    import numpy as np
+
+    from telemetry_streaming_spark.operators.timeseries import pattern_match_topk_znorm
+
+    def rows(uid, vals):
+        return [
+            (uid, 1000 * uid + i, dt.datetime(2024, 1, 1, 0, 0, i), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    pattern = [1.0, 3.0, 2.0]
+    data = (
+        rows(1, [10.0, 30.0, 20.0])  # pattern x10: identical shape
+        + rows(2, [101.0, 103.0, 102.0])  # pattern shifted +100: identical shape
+        + rows(3, [3.0, 1.0, 2.0])  # different shape
+        + rows(4, [5.0, 5.0, 5.0])  # constant: no shape, skipped
+    )
+    df = spark.createDataFrame(data, "user_id long, event_id long, ts timestamp, value double")
+    got = pattern_match_topk_znorm(df, pattern, k=10).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r.zdist2)
+    assert min(by_user[1]) < 1e-9 and min(by_user[2]) < 1e-9
+    assert 4 not in by_user  # constant windows skipped
+
+    # numpy replica for user 3's full window
+    p = np.array(pattern)
+    pn = (p - p.mean()) / p.std()
+    v = np.array([3.0, 1.0, 2.0])
+    zn = (v - v.mean()) / np.sqrt(((v - v.mean()) ** 2).mean())
+    want = round(float(((zn - pn) ** 2).sum()), 6)
+    assert abs(min(by_user[3]) - want) < 1e-6
+
+
+def test_znorm_pattern_match_rejects_bad_pattern(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from telemetry_streaming_spark.operators.timeseries import pattern_match_topk_znorm
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    with _pytest.raises(ValueError):
+        pattern_match_topk_znorm(df, [1.0])
+    with _pytest.raises(ValueError):
+        pattern_match_topk_znorm(df, [2.0, 2.0, 2.0])
