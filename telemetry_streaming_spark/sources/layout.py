@@ -98,21 +98,36 @@ def write_partitioned(
 _MAX_EDGE_BITS = 12
 
 
-def _numeric_proj(c, dtype: str):
+def _prefix_decimal(c, dtype: str):
+    """Exact big-endian integer of a string/binary column's first 8
+    bytes (zero-padded) as decimal(24,0) — preserves the lexicographic
+    order of 8-byte prefixes."""
+    from pyspark.sql import functions as F
+
+    b = c.cast("binary") if dtype == "string" else c
+    return F.conv(F.hex(F.rpad(F.substring(b, 1, 8), 8, bytes([0]))), 16, 10).cast(
+        "decimal(24,0)"
+    )
+
+
+def _numeric_proj(c, dtype: str, shift=None):
     """Order-preserving numeric projection of an orderable column.
 
-    Numeric/timestamp/date cast directly; string/binary map through
-    their first 8 bytes big-endian (zero-padded), which preserves the
-    lexicographic order of 8-byte prefixes — an approximation that is
-    exactly what rank-binning for layout needs, not a total order.
+    Numeric/timestamp/date cast directly.  String/binary map through
+    their exact 8-byte-prefix decimal MINUS ``shift`` (the column
+    minimum, computed once by the caller) before the double cast: raw
+    prefix integers sit near 2^63 where a double's ulp is ~2^11, so
+    without the shift every key sharing a long common prefix collapses
+    into one double — the shift re-centers the range at 0, where
+    differences up to 2^53 stay exact.
     """
     from pyspark.sql import functions as F
 
     if dtype in ("string", "binary"):
-        b = c.cast("binary") if dtype == "string" else c
-        return F.conv(F.hex(F.rpad(F.substring(b, 1, 8), 8, bytes([0]))), 16, 10).cast(
-            "decimal(24,0)"
-        ).cast("double")
+        dec = _prefix_decimal(c, dtype)
+        if shift is not None:
+            dec = dec - F.lit(shift)
+        return dec.cast("double")
     if dtype.startswith("timestamp"):
         return c.cast("double")
     if dtype == "date":
@@ -149,11 +164,25 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
 
     edge_bits = min(bits, _MAX_EDGE_BITS)
     dtypes = dict(df.dtypes)
+    # string/binary columns need their prefix-decimal minimum (one
+    # tiny agg) so the double projection is precision-safe — see
+    # _numeric_proj
+    dec_cols = [c for c in cols if dtypes[c] in ("string", "binary")]
+    shifts = {}
+    if dec_cols:
+        mins = df.agg(
+            *[F.min(_prefix_decimal(F.col(c), dtypes[c])).alias(c) for c in dec_cols]
+        ).collect()[0]
+        from decimal import Decimal
+
+        shifts = {c: (mins[c] if mins[c] is not None else Decimal(0)) for c in dec_cols}
     probs = [i / (1 << edge_bits) for i in range(1, 1 << edge_bits)]
     edge_row = df.agg(
         *[
             F.percentile_approx(
-                _numeric_proj(F.col(c), dtypes[c]), probs, max(10_000, 4 << edge_bits)
+                _numeric_proj(F.col(c), dtypes[c], shifts.get(c)),
+                probs,
+                max(10_000, 4 << edge_bits),
             ).alias(c)
             for c in cols
         ]
@@ -162,7 +191,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     out = df
     binned = []
     for c in cols:
-        out = out.withColumn(f"__zsrc_{c}", _numeric_proj(F.col(c), dtypes[c]))
+        out = out.withColumn(
+            f"__zsrc_{c}", _numeric_proj(F.col(c), dtypes[c], shifts.get(c))
+        )
         # the sketch repeats an edge where the data is heavy; splits
         # must be strictly increasing, so dedupe (bins stay monotone)
         edges = sorted(set(edge_row[c] or []))

@@ -159,3 +159,32 @@ def test_zorder_rejects_bad_params(spark):
         zorder_key(events, ["user_id", "value"], bits=32)
     with pytest.raises(ValueError):
         write_zordered(events, "/tmp/x", ["user_id"], n_files=0)
+
+
+def test_zorder_string_column_spreads_and_stays_monotone(spark):
+    """High-cardinality strings sharing a long common prefix must
+    spread over many rank bins (the raw 8-byte-prefix integer sits
+    near 2^63 where double ulp erases low-byte differences — the
+    min-shift keeps them) and binning must be monotone in string
+    order.  Dates likewise."""
+    import datetime as dt
+
+    from telemetry_streaming_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(f"user_{i:04d}", float(i % 97), dt.date(2024, 1 + i % 12, 1)) for i in range(500)],
+        "name string, value double, day date",
+    )
+    keyed, _ = zorder_key(df, ["name", "value"], bits=8)
+    rows = sorted(
+        (r["name"], r["__zbin_name"]) for r in keyed.select("name", "__zbin_name").collect()
+    )
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    assert len({b for _, b in rows}) > 30  # real spread, not 1-2 bins
+
+    keyed2, _ = zorder_key(df, ["day", "value"], bits=8)
+    rows2 = sorted(
+        (r["day"], r["__zbin_day"]) for r in keyed2.select("day", "__zbin_day").collect()
+    )
+    assert all(a[1] <= b[1] for a, b in zip(rows2, rows2[1:]))
+    assert len({b for _, b in rows2}) == 12
