@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from telemetry_streaming_spark.operators.joins import asof_join
 
-__all__ = ["latest_snapshot", "resample_ffill", "scd2_intervals"]
+__all__ = [
+    "dtw_pattern_match",
+    "latest_snapshot",
+    "pattern_match_topk",
+    "pattern_match_topk_znorm",
+    "resample_ffill",
+    "scd2_intervals",
+]
 
 
 def resample_ffill(
@@ -261,3 +268,87 @@ def pattern_match_topk_znorm(
         .orderBy(F.col("zdist2"), F.col(key_col), F.col("ts_s"))
         .limit(k)
     )
+
+
+def dtw_pattern_match(
+    events: DataFrame,
+    pattern: list[float],
+    band: int = 2,
+    k: int = 20,
+    max_series_len: int = 10_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Elastic subsequence match: top-k per-key windows by
+    Sakoe-Chiba-banded DTW distance to the query pattern — tolerates
+    local time warping (a stretched or compressed occurrence of the
+    shape) that euclidean tiers miss.
+
+    The dynamic program is imperative, so this tier runs as an
+    Arrow-batched ``applyInPandas`` per key (numpy DP over each
+    m-length window; cost O(windows x m x band) per key, with the
+    band a small constant).  One shuffle on the key — identical
+    exchange shape to the euclidean tiers; ``max_series_len`` bounds
+    any one group's work, failing loudly on a bot key instead of
+    grinding (filter such keys with heavy_hitters first).  Float DP —
+    rows-only at the driver; the pure-Python replica pin lives in
+    tests/test_timeseries.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs >= 2 points")
+    if band < 0 or k < 1:
+        raise ValueError("band must be >= 0 and k >= 1")
+    p = [float(x) for x in pattern]
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_series_len:
+            raise ValueError(
+                f"series of {len(pdf)} rows exceeds max_series_len="
+                f"{max_series_len}; pre-filter hot keys"
+            )
+        pdf = pdf.sort_values(["__ts_s", id_col], kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        ts_s = pdf["__ts_s"].to_numpy()
+        key = pdf[key_col].iloc[0]
+        out = []
+        inf = float("inf")
+        for s in range(len(vals) - m + 1):
+            w = vals[s : s + m]
+            # banded DP on the m x m grid
+            prev = [inf] * m
+            for i in range(m):
+                cur = [inf] * m
+                lo, hi = max(0, i - band), min(m - 1, i + band)
+                for j in range(lo, hi + 1):
+                    d = (w[i] - p[j]) ** 2
+                    if i == 0 and j == 0:
+                        best = 0.0
+                    else:
+                        best = inf
+                        if i > 0 and prev[j] < best:
+                            best = prev[j]
+                        if j > 0 and cur[j - 1] < best:
+                            best = cur[j - 1]
+                        if i > 0 and j > 0 and prev[j - 1] < best:
+                            best = prev[j - 1]
+                    cur[j] = d + best
+                prev = cur
+            out.append((key, int(ts_s[s]), round(float(prev[m - 1]), 6)))
+        return pd.DataFrame(out, columns=[key_col, "ts_s", "dtw_dist"])
+
+    prepared = events.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.expr(f"unix_micros({ts_col}) div 1000000").alias("__ts_s"),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    windows = prepared.groupBy(key_col).applyInPandas(
+        score, schema=f"{key_col} long, ts_s long, dtw_dist double"
+    )
+    return windows.orderBy(F.col("dtw_dist"), F.col(key_col), F.col("ts_s")).limit(k)

@@ -3970,6 +3970,23 @@ def pattern_match_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dtw_pattern_match", oracle=None)
+def dtw_pattern_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: elastic (Sakoe-Chiba-banded DTW) subsequence match —
+    tolerates locally stretched/compressed occurrences of the query
+    shape.  Imperative DP per key via applyInPandas (bounded by
+    max_series_len); rows-only at the driver, pure-Python replica pin
+    in tests/test_timeseries.py."""
+    from telemetry_streaming_spark.operators.timeseries import dtw_pattern_match
+
+    return dtw_pattern_match(
+        _t(spark, sf_dir, "events"),
+        pattern=[12.0, 34.0, 8.0, 25.0, 15.0],
+        band=1,
+        k=20,
+    )
+
+
 @query("pattern_match_znorm", oracle=None)
 def pattern_match_znorm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: z-normalized (shape-based) subsequence search — the

@@ -379,3 +379,77 @@ def test_znorm_pattern_match_rejects_bad_pattern(spark):
         pattern_match_topk_znorm(df, [1.0])
     with _pytest.raises(ValueError):
         pattern_match_topk_znorm(df, [2.0, 2.0, 2.0])
+
+
+def _py_dtw(w, p, band):
+    """Reference banded DTW (independent of the operator's numpy code)."""
+    inf = float("inf")
+    m = len(p)
+    prev = [inf] * m
+    for i in range(m):
+        cur = [inf] * m
+        for j in range(max(0, i - band), min(m - 1, i + band) + 1):
+            d = (w[i] - p[j]) ** 2
+            if i == 0 and j == 0:
+                best = 0.0
+            else:
+                best = min(
+                    prev[j] if i > 0 else inf,
+                    cur[j - 1] if j > 0 else inf,
+                    prev[j - 1] if i > 0 and j > 0 else inf,
+                )
+            cur[j] = d + best
+        prev = cur
+    return prev[m - 1]
+
+
+def test_dtw_matches_python_reference_and_beats_euclidean_on_warp(spark):
+    import datetime as dt
+    import random
+
+    from telemetry_streaming_spark.operators.timeseries import dtw_pattern_match
+
+    pattern = [1.0, 5.0, 5.0, 1.0]
+    # user 1's window [1,5,1,1] is the pattern with the 5-plateau
+    # compressed and the 1-tail stretched: euclidean cost is 16 (the
+    # missing second 5), DTW with band>=1 aligns plateau/tail
+    # many-to-one at zero cost
+    warped = [0.0, 1.0, 5.0, 1.0, 1.0, 0.0]
+    rng = random.Random(3)
+    rows = [
+        (1, 100 + i, dt.datetime(2024, 1, 1, 0, 0, i), v) for i, v in enumerate(warped)
+    ] + [
+        (2, 200 + i, dt.datetime(2024, 1, 1, 0, 0, i), round(rng.uniform(10, 90), 2))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    got = dtw_pattern_match(df, pattern, band=1, k=30).collect()
+
+    # replicate every window score with the pure-python DP
+    series = {}
+    for uid, eid, ts, v in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        series.setdefault(uid, []).append((int(ts.timestamp()), float(v)))
+    want = {}
+    for uid, sv in series.items():
+        vals = [v for _, v in sv]
+        for s in range(len(vals) - len(pattern) + 1):
+            want[(uid, sv[s][0])] = round(_py_dtw(vals[s:s + len(pattern)], pattern, 1), 6)
+    assert {(r.user_id, r.ts_s): r.dtw_dist for r in got} == want
+    # the warped window (offset 1) is the global best at zero cost —
+    # euclidean distance on the same window is 16
+    best = got[0]
+    assert best.user_id == 1 and best.dtw_dist == want[(1, best.ts_s)]
+    assert best.dtw_dist == 0.0
+
+
+def test_dtw_series_cap_raises(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from telemetry_streaming_spark.operators.timeseries import dtw_pattern_match
+
+    rows = [(1, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    with _pytest.raises(Exception, match="max_series_len"):
+        dtw_pattern_match(df, [1.0, 2.0], max_series_len=10).collect()
