@@ -39,3 +39,16 @@ def test_entry_smoke(spark):
     keys = set(e.queries())
     oracle_keys = set(e.oracle_sql())
     assert oracle_keys <= keys
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_are_deterministic(spark, name):
+    """No SQL oracle means the driver only sees row counts — so pin
+    the stronger property locally: two executions in one session must
+    produce identical result sets (sketches, sampling, clustering and
+    DP tiers are all seeded/deterministic by design)."""
+    spec = QUERIES[name]
+    a = sorted(map(str, spec.fn(spark, SF_DIR).collect()))
+    b = sorted(map(str, spec.fn(spark, SF_DIR).collect()))
+    assert a == b
+    spark.catalog.clearCache()
