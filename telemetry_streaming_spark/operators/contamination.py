@@ -259,3 +259,79 @@ def streaming_chunk_dedup(
     return chunks.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["chunk_h"]
     )
+
+
+MAX_BENCH_GRAMS = 5_000_000
+
+
+def decontaminate_stream(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Streaming decontamination: drop stream documents sharing any
+    word ``n``-gram with a STATIC benchmark set.
+
+    The benchmark reduces to its distinct gram hashes once, driver-side
+    (bounded by ``MAX_BENCH_GRAMS`` — benchmarks are eval sets, not
+    corpora; the same bounded-broadcast contract as ``asof_enrich``'s
+    key histories), and rides to executors as a SORTED numpy array
+    inside an Arrow-batched predicate: gram hashes are computed
+    JVM-side into an array column (higher-order transform over the
+    token array), and membership is a ``searchsorted`` probe per gram.
+    A literal-array + ``arrays_overlap`` formulation was measured and
+    rejected: ``lit(list)`` builds an N-child CreateArray (74 s of
+    analysis at 200k elements) and the overlap scan is O(|bench|) per
+    row.  No state, no watermark, no shuffle — safe in any streaming
+    output mode; the batch tier (:func:`decontaminate`) remains the
+    exact join-based form for corpus-sized benchmark sets.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    hashes = [
+        r[0]
+        for r in (
+            _exploded_grams(bench, text_col, id_col, n)
+            .select(F.xxhash64("gram").alias("h"))
+            .distinct()
+            .limit(MAX_BENCH_GRAMS + 1)
+            .collect()
+        )
+    ]
+    if len(hashes) > MAX_BENCH_GRAMS:
+        raise ValueError(
+            f"benchmark gram set exceeds {MAX_BENCH_GRAMS}; use the batch "
+            "decontaminate() join for corpus-sized benchmarks"
+        )
+    if not hashes:
+        return df
+    bench_sorted = np.sort(np.array(hashes, dtype=np.int64))
+
+    @pandas_udf("boolean")
+    def contaminated(gram_arrays):
+        import pandas as pd
+
+        out = []
+        for arr in gram_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(False)
+                continue
+            g = np.asarray(arr, dtype=np.int64)
+            pos = np.searchsorted(bench_sorted, g)
+            pos = np.clip(pos, 0, len(bench_sorted) - 1)
+            out.append(bool((bench_sorted[pos] == g).any()))
+        return pd.Series(out)
+
+    toks = tokenize(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return df.withColumn("__grams", gram_hashes).where(
+        ~contaminated(F.col("__grams"))
+    ).drop("__grams")

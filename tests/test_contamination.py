@@ -126,3 +126,20 @@ def test_chunk_dedup_apply_rebuilds_clean_text(spark):
     v = " ".join(f"v{i}" for i in range(10))
     solo = spark.createDataFrame([(9, v + " " + v)], "doc_id long, text string")
     assert chunk_dedup_apply(solo, words_per_chunk=10).collect()[0].text == v
+
+
+def test_decontaminate_stream_filter_matches_batch_join_tier(spark):
+    """The stateless stream filter and the batch anti-join must agree
+    on the driver testdata corpus (same grams, same verdicts)."""
+    from telemetry_streaming_spark.operators.contamination import (
+        decontaminate,
+        decontaminate_stream,
+    )
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents", parallelize=False)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    a = {r.doc_id for r in decontaminate(train, bench, n=4).collect()}
+    b = {r.doc_id for r in decontaminate_stream(train, bench, n=4).collect()}
+    assert a == b

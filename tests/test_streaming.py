@@ -665,3 +665,40 @@ def test_streaming_chunk_dedup_first_seen_wins(spark, stream_dirs):
         assert got == [(1, 0), (2, 1)]
     finally:
         stop_quietly(query)
+
+
+def test_streaming_decontaminate_drops_overlapping_docs(spark, stream_dirs):
+    """Streaming decontamination must agree with the batch join tier:
+    docs sharing a benchmark n-gram are dropped, clean docs pass, and
+    the operator is stateless (append mode, no watermark needed)."""
+    from telemetry_streaming_spark.operators.contamination import decontaminate_stream
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    rows = [
+        json.dumps({"doc_id": 1, "text": "the quick brown fox runs today"}),
+        json.dumps({"doc_id": 2, "text": "a completely unrelated token stream"}),
+        json.dumps({"doc_id": 3, "text": "quick brown fox jumps high"}),
+    ]
+    _write_lines(stream_dirs["in"], rows)
+    raw = text_file_source(spark, stream_dirs["in"])
+    parsed = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    clean = decontaminate_stream(parsed, bench, n=4)
+    name = f"decontam_{uuid.uuid4().hex[:8]}"
+    query = (
+        clean.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(query)
+        kept = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+        assert kept == {2}
+    finally:
+        stop_quietly(query)
