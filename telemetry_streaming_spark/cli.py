@@ -370,13 +370,15 @@ def run_curate(spark, args):
         min_quality=args.min_quality,
         keep_langs=tuple(args.keep_langs.split(",")),
         eval_rate=args.eval_rate,
+        chunk_dedup_words=args.chunk_dedup_words,
     )
+    bench = spark.read.parquet(args.benchmark_path) if args.benchmark_path else None
     pairs = None
     if args.near_dup == "minhash":
         pairs = minhash_lsh_pairs(docs, threshold=args.near_dup_threshold)
     elif args.near_dup == "simhash":
         pairs = simhash_pairs(docs)
-    out = curate(docs, cfg, near_dup_pairs=pairs)
+    out = curate(docs, cfg, near_dup_pairs=pairs, benchmark=bench)
     if args.explain:
         out.explain("formatted")
         return
@@ -478,6 +480,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-rate", type=float, default=0.05)
     p.add_argument("--near-dup", choices=("none", "minhash", "simhash"), default="none")
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--benchmark-path", help="decontaminate against this parquet")
+    p.add_argument("--chunk-dedup-words", type=int, help="chunk-dedup rewrite width")
     p.add_argument("--explain", action="store_true")
 
     p = sub.add_parser("hygiene", help="chunk dedup + decontamination pass")

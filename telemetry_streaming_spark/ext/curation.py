@@ -52,6 +52,10 @@ class CurationConfig:
     max_dup_frac: float = 0.75
     max_top_frac: float = 0.10
     eval_rate: float = 0.05
+    # optional corpus-hygiene stages (default off — the oracle-checked
+    # default funnel is unchanged): chunk-level dedup rewrite width
+    chunk_dedup_words: int | None = None
+    contamination_n: int = 4
 
 
 def curate(
@@ -60,9 +64,17 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_dup_pairs: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full funnel; returns the curated corpus with
     ``split`` and ``redacted`` columns added.
+
+    Optional hygiene stages (both default off): ``benchmark`` drops
+    documents sharing any ``config.contamination_n``-gram with the
+    given eval set (test-set decontamination, after dedup so the gram
+    join sees the smallest corpus); ``config.chunk_dedup_words``
+    rewrites survivors with globally repeated chunks removed and
+    re-applies the min-token gate to docs the rewrite emptied.
 
     The repetition join carries *flagged ids only*; no hard broadcast
     hint — boilerplate is usually the exception, but on web-scale
@@ -111,6 +123,18 @@ def curate(
             F.col("id").alias(id_col)
         )
         deduped = deduped.join(losers, id_col, "left_anti")
+    if benchmark is not None:
+        from telemetry_streaming_spark.operators.contamination import decontaminate
+
+        deduped = decontaminate(
+            deduped, benchmark, text_col, id_col, config.contamination_n
+        )
+    if config.chunk_dedup_words:
+        from telemetry_streaming_spark.operators.contamination import chunk_dedup_apply
+
+        deduped = chunk_dedup_apply(
+            deduped, text_col, id_col, config.chunk_dedup_words
+        ).where(token_count(c) >= config.min_tokens)
     redacted = deduped.withColumn("redacted", redact_pii(c))
     return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
 
@@ -169,6 +193,7 @@ def curate_stream(
     id_col: str = "doc_id",
     ts_col: str = "timestamp",
     watermark: str = "10 minutes",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming variant of :func:`curate` — the same funnel on an
     unbounded stream.
@@ -208,6 +233,20 @@ def curate_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+    if benchmark is not None:
+        from telemetry_streaming_spark.operators.contamination import (
+            decontaminate_stream,
+        )
+
+        # the stateless Arrow-batched probe — the join-based batch
+        # tier would add a stateful stream-side aggregation here
+        deduped = decontaminate_stream(
+            deduped, benchmark, text_col, id_col, config.contamination_n
+        )
+    # chunk-level dedup is deliberately NOT offered on the stream
+    # path: rewriting documents against global chunk state is not
+    # expressible in append mode — run streaming_chunk_dedup on the
+    # chunk stream, or the batch rewrite over the sink.
     redacted = deduped.withColumn("redacted", redact_pii(c))
     return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
 

@@ -149,3 +149,41 @@ def test_curate_with_near_dup_pairs(spark, corpus):
     pairs = spark.createDataFrame([(1, 6)], ["id1", "id2"])
     out = {r.doc_id for r in curate(corpus, near_dup_pairs=pairs).collect()}
     assert out == {1}  # 6 is in 1's component; 1 is the keeper
+
+
+def test_curate_optional_hygiene_stages(spark):
+    """benchmark + chunk_dedup_words compose into the funnel: the
+    result has no benchmark-contaminated docs, no cross-doc repeated
+    chunks, and the default funnel is untouched when both are off."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.ext.curation import CurationConfig, curate
+    from telemetry_streaming_spark.operators.contamination import (
+        chunk_dedup,
+        contamination_report,
+    )
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents", parallelize=False)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    cfg = CurationConfig(
+        min_tokens=3, min_quality=0.0,
+        keep_langs=("en", "es", "fr", "de", "zh", "und"),
+        chunk_dedup_words=10,
+    )
+    out = curate(docs, cfg, benchmark=bench)
+    n = out.count()
+    assert 0 < n < docs.count()
+    # no survivor shares a 4-gram with the benchmark
+    rep = contamination_report(out.select("doc_id", "text"), bench, n=4)
+    assert rep.count() == 0
+    # no cross-doc duplicate chunks remain among survivors
+    cd = chunk_dedup(out.select("doc_id", "text"), words_per_chunk=10)
+    assert cd.where(F.col("dropped_chunks") > 0).count() == 0
+    # defaults-off path unchanged (same rows as before this feature)
+    base_cfg = CurationConfig(
+        min_tokens=3, min_quality=0.0,
+        keep_langs=("en", "es", "fr", "de", "zh", "und"),
+    )
+    base = curate(docs, base_cfg)
+    assert base.count() >= n
