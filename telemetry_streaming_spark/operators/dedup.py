@@ -229,6 +229,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 100,
+    persist: bool = True,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Tier 2b: DIRECTED n-gram containment pairs.
+
+    containment(src -> dst) = |shingles(src) ∩ shingles(dst)| /
+    |shingles(src)| — the asymmetric cousin of Jaccard.  A small doc
+    fully quoted inside a large one scores containment ~1.0 while its
+    Jaccard stays low, so this is the tier that catches boilerplate,
+    quotations, and wrapped re-posts that symmetric dedup misses.
+
+    Same single-pass postings plan as ``ngram_jaccard_pairs`` (the
+    index is built/shuffled once and both sizes and intersections fold
+    out of it); the only difference is the denominator and that each
+    undirected candidate emits up to two directed rows — a map-side
+    2x on an already-bounded pair set, nothing new on an exchange.
+    """
+    idx = shingle_index(df, text_col, id_col, n, max_df)
+    if persist:
+        idx = cut_lineage(idx, checkpoint_mode)
+    sizes = idx.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
+        F.count("*").alias("set_size")
+    )
+    inter = (
+        idx.select(F.explode("ids").alias("id1"), "ids")
+        .select("id1", F.explode("ids").alias("id2"))
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    both = inter.join(s1, "id1").join(s2, "id2")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("src"),
+                    F.col("id2").alias("dst"),
+                    (F.col("n_common").cast("double") / F.col("size1")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id2").alias("src"),
+                    F.col("id1").alias("dst"),
+                    (F.col("n_common").cast("double") / F.col("size2")).alias("containment"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.containment")
+    return directed.where(F.col("containment") >= threshold)
+
+
 # Universal-hash permutation constants for minhash: sig_p(doc) =
 # min over shingles of (A[p] * h(shingle) + B[p]) mod MINHASH_MOD,
 # with h = first 48 md5 bits reduced mod 2^30.  One md5 per shingle

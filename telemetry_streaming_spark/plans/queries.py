@@ -25,7 +25,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from telemetry_streaming_spark.operators.dedup import MAX_LSH_BUCKET as _MAX_LSH_BUCKET
 from telemetry_streaming_spark.sources.registry import load_table
@@ -4034,6 +4034,542 @@ def embedding_prototypicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-3 additions: remaining classic join/aggregate shapes (conditional
+# ratio, correlated-average decorrelation, disjunctive cross-table
+# predicates, multi-EXISTS decorrelation, scalar-subquery anti-join,
+# surrogate-cost profit rollup, cumulative windows) plus pipeline ops
+# (k-means assignment, corpus-frequency rarity scoring, directed n-gram
+# containment).  Each carries its DuckDB oracle twin.
+# ===========================================================================
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_revenue_e4,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type share of revenue as a conditional-
+    sum ratio inside ONE aggregate — no second scan, no self-join.
+    The shipdate range is pushed to the parquet scan (``ts_bounds``);
+    part is projected to (p_partkey, p_type) before the join and left
+    to AQE/threshold for broadcast-vs-shuffle (it scales with SF).
+    Numerator/denominator are exact scaled-integer sums, so the final
+    percentage is one IEEE division that hash-matches DuckDB."""
+    li = _t(
+        spark, sf_dir, "lineitem",
+        ts_bounds={"l_shipdate": ("1997-01-01 00:00:00", "1998-01-01 00:00:00")},
+    ).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_revenue_e4"),
+            F.sum(rev).alias("total_revenue_e4"),
+            (
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_e4 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter.  orderdate range pushed to the orders scan; the R-flag
+    filter pushed to the lineitem scan; nation (constant 25 rows) is
+    the only hard broadcast; customer scales with SF and is left to
+    AQE.  The LIMIT plans as TakeOrderedAndProject — a per-partition
+    top-20 + driver merge, never a global sort."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = _t(
+        spark, sf_dir, "orders",
+        ts_bounds={"o_orderdate": ("1996-07-01 00:00:00", "1996-10-01 00:00:00")},
+    ).where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "avg_qty_threshold",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#3'
+    ),
+    w AS (
+        SELECT l_quantity, l_extendedprice,
+               SUM(l_quantity) OVER (PARTITION BY l_partkey) AS sq,
+               COUNT(*)        OVER (PARTITION BY l_partkey) AS cq
+        FROM li
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM w
+    WHERE l_quantity < 0.5 * (CAST(sq AS DOUBLE) / cq)
+    """,
+)
+def avg_qty_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity orders below half the per-part
+    average — the classic correlated AVG subquery, de-correlated as a
+    window over l_partkey in ONE scan of the brand-filtered lineitems
+    (vs the aggregate-then-self-join form, which scans twice).  The
+    window partitions by part key, so parallelism is #parts and no
+    group exceeds lineitems-per-part (bounded, no skew).  l_quantity
+    is integer-valued, so the per-part sum is exact and the 0.5*avg
+    comparison is the same IEEE division in both engines."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    filtered = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("sq", F.sum("l_quantity").over(w))
+        .withColumn("cq", F.count(F.lit(1)).over(w))
+        .where(F.col("l_quantity") < F.lit(0.5) * (F.col("sq").cast("double") / F.col("cq")))
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+    )
+
+
+@query(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst cannot push a cross-table disjunction below the join, so
+    each side's RESIDUAL disjunct is pre-pushed by hand — part keeps
+    rows matching any (brand, size) arm, lineitem keeps the union
+    quantity range [1, 40] — which is exactly what a cost-based
+    rewrite (OR-expansion) would derive.  The full predicate then runs
+    once post-join; at 100TB the pre-push is the difference between
+    joining 3 brands' parts and joining all 25."""
+    part_arm = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50))
+    )
+    part = _t(spark, sf_dir, "part").where(part_arm).select("p_partkey", "p_brand", "p_size")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").between(1, 40))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    full = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(full)
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue_e4"))
+    )
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    WITH r AS (
+        SELECT l1.l_orderkey, l1.l_suppkey
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+    )
+    SELECT s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS numwait
+    FROM r
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returning supplier
+    on a multi-supplier finalized order.  The oracle's correlated
+    EXISTS / NOT-EXISTS pair de-correlates into ONE aggregate over
+    lineitem — per order, (distinct suppliers, distinct returning
+    suppliers) — because for a returning supplier's row, "another
+    supplier exists" == n_supp > 1 and "no other returning supplier"
+    == n_supp_r == 1.  One lineitem scan + one narrow per-order
+    aggregate replaces two correlated re-scans; the order-level stats
+    then semi-join back (AQE broadcasts the small survivor set).
+    nation is the only hard broadcast; supplier scales and is left to
+    AQE."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    ostats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    waiting = ostats.where((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)).select("l_orderkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1").select("n_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(waiting, "l_orderkey", "left_semi")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "sales_opportunity",
+    oracle="""
+    WITH pos AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    ab AS (SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS avg_cents FROM pos)
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM pos, ab
+    WHERE c_nationkey IN (1, 4, 9, 13, 21)
+      AND CAST(bal_cents AS DOUBLE) > avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-lapsed customers per market.  The
+    scalar AVG subquery rides the plan as a 1-row aggregate cross-
+    joined in (broadcast — self-contained, no driver .collect()); the
+    "no recent order" predicate is a LEFT ANTI join on o_custkey with
+    the date bound pushed to the orders scan (row-group pruning at
+    scale) and the side projected to its key column before the
+    exchange.  Balances compare in exact cents; the average is one
+    IEEE division of exact integers, identical in both engines."""
+    pos = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0.0)
+        .select(
+            "c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_cents")
+        )
+    )
+    ab = pos.agg(
+        (F.sum("bal_cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    orders = _t(
+        spark, sf_dir, "orders",
+        ts_bounds={"o_orderdate": ("2000-01-01 00:00:00", None)},
+    ).where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pos.where(F.col("c_nationkey").isin(1, 4, 9, 13, 21))
+        .crossJoin(F.broadcast(ab))
+        .where(F.col("bal_cents").cast("double") > F.col("avg_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
+@query(
+    "product_profit",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)
+                    - CAST(l_quantity AS BIGINT) * ((l_partkey * 31 + l_suppkey * 17) % 10000) * 100)
+                AS BIGINT) AS profit_e4,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY n_name, o_year
+    """,
+)
+def product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation-per-year profit on a part subset.
+    The testdata has no partsupp table, so supply cost is the
+    deterministic (l_partkey*31 + l_suppkey*17) % 10000 surrogate —
+    pure BIGINT arithmetic, identical in both engines (cited vs
+    partsupp.ps_supplycost in the TPC-H spec shape).  Profit stays in
+    exact scaled integers end-to-end.  part is pre-filtered by the
+    name predicate before its join; supplier/part scale with SF and
+    are left to AQE, nation broadcasts."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    cost_e2 = (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 10000
+    profit = rev - F.col("l_quantity").cast("long") * cost_e2 * 100
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_e4"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(price_cents) OVER w AS BIGINT) AS cum_spend_cents
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders WHERE o_custkey % 50 = 0
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_order_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic shape: per-customer running spend (cumulative-sum
+    frame) + lifetime order sequence number.  One shuffle on
+    o_custkey; the running sum is the streaming-friendly ROWS frame
+    (O(1) per row state), not a re-aggregating RANGE frame.  The
+    customer-key sample filter (o_custkey % 50) is pushed to the scan
+    and keeps driver-bound output stable across SFs.  Exact-cents
+    integer arithmetic; (o_orderdate, o_orderkey) is a total order so
+    both engines agree on every prefix."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.sum("price_cents").over(w).alias("cum_spend_cents"),
+    )
+
+
+@query(
+    "kmeans_assign",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS ci, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+        SELECT vec_id, ci,
+               list_dot_product(vv, cv) /
+                   (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM v, cent
+    )
+    SELECT vec_id, CAST(ci AS INT) AS cluster, cos AS centroid_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: k-means ASSIGNMENT step (the inner loop of Lloyd /
+    the map stage of SemDeDup clustering) with the 8 lowest-id vectors
+    as fixed centroids — argmax cosine per vector, ties to the larger
+    centroid index (array_max struct semantics, mirrored by the
+    oracle's ORDER BY cos DESC, ci DESC).  Centroids ride the plan as
+    literals (operators/similarity.py:ivf_assign_scored), so the whole
+    assignment is ONE map-only stage over the corpus — no join, no
+    shuffle; at 100TB this is embarrassingly parallel.  The iterative
+    trainer (ivf_centroids) reuses this same expression each round."""
+    from telemetry_streaming_spark.operators.similarity import ivf_assign_scored
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    return ivf_assign_scored(emb, centroids).select(
+        "vec_id",
+        F.col("ivf_cluster").cast("int").alias("cluster"),
+        F.col("centroid_sim"),
+    )
+
+
+@query(
+    "rare_token_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS sum_freq,
+           CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_freq
+    FROM tok JOIN freq USING (token)
+    GROUP BY doc_id
+    """,
+)
+def rare_token_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: corpus-frequency novelty scoring — for each doc, how
+    common its tokens are corpus-wide (mean corpus frequency) and how
+    many are rare (freq <= 2).  The integer-exact cousin of unigram
+    surprisal: log-free, so every stat is an order-independent integer
+    sum that hash-matches across engines.
+
+    Plan: tokens are xxhash64'd map-side, so exchanges carry 8-byte
+    keys, never strings; the frequency table aggregates with map-side
+    combine BEFORE the join back (vocabulary-sized, AQE broadcasts
+    it).  A count-over-window-by-token formulation was rejected: every
+    occurrence of a stopword would land in ONE window partition — a
+    guaranteed straggler at 100TB — whereas the agg+join shape
+    partial-aggregates hot tokens map-side and AQE splits any residual
+    skew in the join."""
+    docs = _t(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).select("doc_id", F.xxhash64("token").alias("th"))
+    freq = tok.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(freq, "th")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
+        )
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle="WITH " + _JACCARD_CTES + """
+    , dir AS (
+        SELECT id1 AS src, id2 AS dst,
+               CAST(n_common AS DOUBLE) / s1.set_size AS containment
+        FROM inter JOIN sizes s1 ON s1.doc_id = id1
+        UNION ALL
+        SELECT id2 AS src, id1 AS dst,
+               CAST(n_common AS DOUBLE) / s2.set_size AS containment
+        FROM inter JOIN sizes s2 ON s2.doc_id = id2
+    )
+    SELECT src, dst, containment FROM dir WHERE containment >= 0.6
+    """,
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 2b: DIRECTED n-gram containment (|A∩B|/|A|) —
+    catches small docs quoted inside larger ones (boilerplate, re-
+    posts), which symmetric Jaccard under-scores
+    (operators/dedup.py:ngram_containment_pairs).  Same single-pass
+    postings plan as the Jaccard tier; the 2x directed expansion is
+    map-side on the already-bounded candidate set."""
+    from telemetry_streaming_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -4041,33 +4577,38 @@ def embedding_prototypicality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators first, extension families after), so the queries added
 # latest would otherwise sit permanently outside the checked window.
 # This reorder front-loads the entries that have not yet received a
-# driver-green CORRECTNESS row (r2 checked the first 50; these 45 were
-# positions 50-94), followed by 5 double-checked anchors, then the rest.
+# driver-green CORRECTNESS row (r2 checked the registration-order first
+# 50), prioritizing ORACLE-backed entries (full hash check) over
+# rows-only ones (weaker check): 4 rows-only entries yield their slots
+# to the 4 late oracle-backed additions and rotate into the r4 window.
 # Query *names* are the stable interface (bench.py and entry() select
 # by name), so ordering is free to change per round.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    # 45 queries with no driver-side CORRECTNESS row as of r2:
+    # oracle-backed queries with no driver-side CORRECTNESS row as of r2:
     "value_quantiles", "priority_rollup", "dedup_components",
     "embedding_quantize", "asof_join", "asof_enrich", "range_join",
     "top_orders_per_customer", "event_type_pivot", "event_cube",
     "dedup_incremental", "resample_ffill", "scd2_intervals",
-    "approx_value_quantiles", "heavy_hitters", "approx_heavy_hitters",
+    "heavy_hitters",
     "distinctive_terms", "value_histogram", "winsorized_stats",
-    "latest_snapshot", "windowed_top_keys", "conversion_funnel",
+    "latest_snapshot", "conversion_funnel",
     "cohort_retention", "inter_event_gaps", "robust_stats",
     "mode_per_group", "customer_distribution", "large_orders",
-    "min_cost_supplier", "multimodal_audio_chunks", "token_entropy",
+    "min_cost_supplier", "multimodal_audio_chunks",
     "incremental_merge", "fuzzy_token_match", "time_weighted_avg",
-    "incremental_distinct_merge", "segment_overlap", "value_trend",
+    "segment_overlap", "value_trend",
     "equidepth_histogram", "diversified_topk", "share_of_total",
-    "snapshot_diff", "profile_columns", "weighted_sample",
+    "snapshot_diff", "profile_columns",
     "session_stats", "time_rollup",
-    # 5 round-3 oracle queries fill the remaining slots (the r2
-    # anchors that previously sat here are already driver-green twice
-    # over; these five have only local parity so far):
     "chunk_dedup", "chunk_dedup_apply", "contamination_report",
     "dup_window_fraction", "sequence_packing",
+    "nation_trade_volume", "market_share", "packing_stats",
+    "pattern_match_topk",
+    # two rows-only entries fill the remaining slots (rows-only checks
+    # still confirm the query runs and its cardinality in the driver
+    # env); the other rows-only entries rotate into the r4 window:
+    "weighted_sample", "incremental_distinct_merge",
 ]
 
 

@@ -46,6 +46,31 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
 
 
+def test_containment_catches_quoted_doc(spark):
+    """A small doc fully quoted inside a big one must score containment
+    ~1.0 in the small->big direction even though Jaccard is low."""
+    from telemetry_streaming_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + (
+        " plus a very long tail of unrelated filler words stretching on "
+        "and on with more and more distinct vocabulary items appearing "
+        "here so the union grows large while the intersection stays small"
+    )
+    docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    cont = {
+        (r.src, r.dst): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # every shingle of the small doc is in the big one
+    assert (2, 1) not in cont  # big->small direction is far below threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the quotation entirely
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
 
