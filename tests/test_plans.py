@@ -405,6 +405,75 @@ def test_sequence_packing_no_corpus_sized_single_partition(spark):
         assert "doc_id" not in b, f"corpus-sized single-partition exchange:\n{b}"
 
 
+def test_topk_queries_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT query shapes must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k
+    rows), never a global Sort feeding a Limit — the difference
+    between O(k) and O(n log n) crossing the wire at 100TB."""
+    for name in ("returned_items", "waiting_suppliers", "shipping_priority"):
+        plan = explain_str(q(spark, name), "simple")
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrdered"
+        assert "GlobalLimit" not in plan, f"{name}: global sort+limit"
+
+
+def test_avg_qty_threshold_single_lineitem_scan(spark):
+    """The de-correlated Q17 window form must scan lineitem ONCE —
+    the aggregate-then-self-join form scans it twice, which at 100TB
+    doubles the dominant cost."""
+    plan = explain_str(q(spark, "avg_qty_threshold"), "simple")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_disjunctive_residuals_prepushed_to_scans(spark):
+    """Q19's cross-table OR cannot push down whole, so each side's
+    residual disjunct must be manually pre-pushed: the part scan
+    carries the (brand, size) arms, the lineitem scan the union
+    quantity range."""
+    plan = explain_str(q(spark, "disjunctive_revenue"))
+    # part side: brand disjunction reaches the scan's pushed filters
+    assert "Or(And(EqualTo(p_brand,Brand#1)" in plan.replace(" ", "")
+    # lineitem side: the union quantity bounds reach the scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,40.0)" in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """Centroid assignment must be a single map stage: centroids ride
+    as literals, so the plan has no join and no aggregate exchange —
+    embarrassingly parallel at any scale."""
+    plan = explain_str(q(spark, "kmeans_assign"), "simple")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rare_token_score_exchanges_carry_hashes_not_text(spark):
+    """The corpus-frequency join must shuffle 8-byte token hashes,
+    never token strings, and the frequency side must aggregate (map-
+    side combine) before the join back."""
+    plan = explain_str(q(spark, "rare_token_score"), "formatted")
+    for block in plan.split("\n\n"):
+        if "Exchange hashpartitioning" in block:
+            inp = next((l for l in block.splitlines() if l.startswith("Input")), "")
+            assert "token#" not in inp, f"token strings on an exchange: {inp}"
+
+
+def test_containment_reuses_single_postings_pass(spark):
+    """Directed containment must reuse the Jaccard tier's single-pass
+    postings plan: the documents table is scanned once for the index
+    (the checkpoint cuts lineage, so downstream consumers replay
+    blocks, not the scan), and nothing O(docs^2) hits an exchange."""
+    from telemetry_streaming_spark.operators.dedup import ngram_containment_pairs
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
+    plan = explain_str(ngram_containment_pairs(docs), "simple")
+    # pairs once + sizes twice (it feeds both directed denominators):
+    # three replays of checkpointed blocks, zero re-scans of the corpus
+    assert plan.count("Scan ExistingRDD") <= 3
+    assert "documents.parquet" not in plan  # corpus scan happened once, at the cut
+    assert "CartesianProduct" not in plan
+
+
 def test_no_corpus_rows_on_single_partition_exchanges(spark):
     """Registry-wide one-task-bottleneck gate: a SinglePartition
     exchange may carry only bounded shapes (global-agg partials,
