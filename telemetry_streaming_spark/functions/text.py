@@ -95,6 +95,31 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Fixed weights of a trained linear quality classifier (offline
+# logistic regression over the three structure features; the model is
+# frozen here as literals — the deployment pattern for any linear /
+# logistic scorer at 100TB is exactly this: weights ride the plan,
+# scoring is a map-only codegen'd expression, no model server, no UDF).
+QUALITY_LOGIT_WEIGHTS = (-1.5, 2.0, -4.0, 0.35)  # bias, len, punct, tok_len
+
+
+def quality_logit(text: Column) -> Column:
+    """Linear classifier logit over (length, punctuation, token-length)
+    features.  Kept as the LOGIT, not sigmoid(logit): the decision
+    boundary (logit > 0) and ranking are identical, and +, *, / are
+    IEEE-exact in a fixed association order while exp() is not
+    correctly rounded — so the logit is engine-portable where the
+    probability would drift in the last ulp.  Association order is
+    ((bias + w1*f1) + w2*f2) + w3*f3, mirrored in the SQL oracle."""
+    w0, w1, w2, w3 = QUALITY_LOGIT_WEIGHTS
+    f1 = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    f2 = punct_ratio(text)
+    f3 = F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0))
+    return (
+        (F.lit(w0) + F.lit(w1) * f1) + F.lit(w2) * f2
+    ) + F.lit(w3) * f3
+
+
 # BPE-ish tokenizer: a GPT-2-style pretokenization regex (contraction
 # suffixes, letter runs, digit runs, punctuation runs, each with an
 # optional leading space).  Token *counts* from this pattern track BPE

@@ -406,6 +406,44 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_cross_neardup(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-SET near-duplicate scan: corpus vectors semantically close
+    to any probe vector — the embedding tier of benchmark
+    decontamination (the n-gram tier is
+    ``operators/contamination.py``): an eval item paraphrased in the
+    training corpus shares no 8-gram but still sits next to it in
+    embedding space.
+
+    ``probes`` must have (probe_id, probe_vec); it is the benchmark /
+    eval set, small by contract, and is BROADCAST — the corpus side
+    sees one map-only pass (norms precomputed per side, one fold per
+    pair).  Emits (probe_id, vec_id, cos) for every pair at or above
+    the threshold; downstream decontamination anti-joins the distinct
+    vec_ids.  At 100TB: O(corpus x probes) multiply-adds distributed
+    over the corpus partitions, zero shuffles.
+    """
+    cand = corpus.withColumn("_nrm", norm(F.col(vec_col)))
+    q = probes.withColumn("_qnrm", norm(F.col("probe_vec")))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            (
+                dot(F.col("probe_vec"), F.col(vec_col))
+                / (F.col("_qnrm") * F.col("_nrm"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -4570,6 +4570,115 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shard_manifest",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 25, 8) AS BIGINT) % 16 AS INT)
+                   AS shard,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 12) AS BIGINT) % 1000003
+                   AS h,
+               md5(CAST(doc_id AS VARCHAR) || 'r3') AS sort_key,
+               n_chars
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_size,
+           CAST(SUM(h) % 1000003 AS BIGINT) AS checksum,
+           MIN(sort_key) AS first_key,
+           MAX(sort_key) AS last_key
+    FROM s GROUP BY shard
+    """,
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: training-export shard manifest
+    (operators/export.py:shard_manifest) — 16 deterministic md5 shards
+    with order-independent checksums.  The write side (export_shards:
+    one exchange, one file per shard, salt-seeded global shuffle) is
+    pinned by tests/test_export.py; this manifest is its verification
+    artifact, recomputable by any engine."""
+    from telemetry_streaming_spark.operators.export import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return shard_manifest(docs, "doc_id", n_shards=16, salt="r3", size_col="n_chars")
+
+
+@query(
+    "semantic_contamination",
+    oracle="""
+    WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10)
+    SELECT probe_id, vec_id,
+           list_dot_product(pv, cv) /
+               (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos
+    FROM p, c
+    WHERE list_dot_product(pv, cv) /
+              (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) >= 0.40
+    """,
+)
+def semantic_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: embedding-tier benchmark decontamination — corpus
+    vectors cosine-close to any probe (eval-set) vector
+    (operators/similarity.py:embedding_cross_neardup).  Complements
+    the n-gram tier (operators/contamination.py): a paraphrased eval
+    item shares no 8-gram but still lands next to its source in
+    embedding space.  Probes broadcast; the corpus side is one
+    map-only pass, zero shuffles at any scale."""
+    from telemetry_streaming_spark.operators.similarity import embedding_cross_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    return embedding_cross_neardup(corpus, probes, threshold=0.40)
+
+
+@query(
+    "quality_logit",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct,
+               CAST(list_sum([length(tk) FOR tk IN string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) AS atl
+        FROM documents
+    )
+    SELECT doc_id,
+           -1.5 + 2.0 * least(1.0, n_toks / 100.0)
+                + -4.0 * punct
+                + 0.35 * least(1.0, atl / 8.0) AS logit,
+           CAST(CASE WHEN -1.5 + 2.0 * least(1.0, n_toks / 100.0)
+                          + -4.0 * punct
+                          + 0.35 * least(1.0, atl / 8.0) > 0.0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM t
+    """,
+)
+def quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: frozen linear quality classifier applied at scale
+    (functions/text.py:quality_logit) — weights ride the plan as
+    literals, scoring is one map-only codegen'd expression per row (no
+    model server, no UDF).  Emits the LOGIT, not sigmoid(logit):
+    same decision boundary and ranking, but +,*,/ in a fixed
+    association order are IEEE-exact across engines while exp() is
+    not correctly rounded."""
+    from telemetry_streaming_spark.functions.text import quality_logit
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    lg = quality_logit(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lg.alias("logit"),
+        F.when(lg > 0.0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.

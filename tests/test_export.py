@@ -1,0 +1,103 @@
+"""Training-data export: deterministic sharding + manifest."""
+
+import glob
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from telemetry_streaming_spark.operators.export import (
+    export_shards,
+    shard_assignments,
+    shard_manifest,
+)
+from telemetry_streaming_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _read_shard_rows(spark, path):
+    """Per-shard list of (doc_id, sort_key) in FILE order."""
+    out = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        shard = int(d.split("=")[-1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d}: expected exactly one file, got {len(files)}"
+        rows = spark.read.parquet(files[0]).select("doc_id", "sort_key").collect()
+        out[shard] = [(r.doc_id, r.sort_key) for r in rows]
+    return out
+
+
+def test_export_one_file_per_shard_deterministic_order(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
+    p1, p2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    export_shards(docs, p1, n_shards=8, salt="s1")
+    # second run with a DIFFERENT physical layout must produce the
+    # same shards with the same internal order
+    export_shards(docs.repartition(13), p2, n_shards=8, salt="s1")
+    a, b = _read_shard_rows(spark, p1), _read_shard_rows(spark, p2)
+    assert set(a) == set(range(8))  # every shard non-empty at 500 docs
+    assert a == b  # byte-order identical across layouts
+    for rows in a.values():  # intra-file order is the md5 sort key
+        keys = [k for _, k in rows]
+        assert keys == sorted(keys)
+    # different salt => a different global shuffle (fresh epoch order)
+    p3 = str(tmp_path / "run3")
+    export_shards(docs, p3, n_shards=8, salt="s2")
+    c = _read_shard_rows(spark, p3)
+    assert a != c
+    # ... but the same total membership
+    assert sorted(i for rs in a.values() for i, _ in rs) == sorted(
+        i for rs in c.values() for i, _ in rs
+    )
+    shutil.rmtree(p1), shutil.rmtree(p2), shutil.rmtree(p3)
+
+
+def test_manifest_matches_written_shards(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
+    path = str(tmp_path / "out")
+    export_shards(docs, path, n_shards=4, salt="m")
+    manifest = {
+        r.shard: r for r in shard_manifest(docs, "doc_id", 4, "m").collect()
+    }
+    written = _read_shard_rows(spark, path)
+    for shard, rows in written.items():
+        m = manifest[shard]
+        assert m.n_rows == len(rows)
+        assert m.first_key == rows[0][1]
+        assert m.last_key == rows[-1][1]
+    shutil.rmtree(path)
+
+
+def test_shard_assignment_is_layout_free_pure_map(spark):
+    docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
+    a = shard_assignments(docs, "doc_id", 16, "x")
+    # pure map: no exchange in the assignment plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        a.explain(mode="simple")
+    assert "Exchange" not in buf.getvalue()
+    # membership independent of partitioning
+    b = shard_assignments(docs.repartition(7), "doc_id", 16, "x")
+    assert sorted(map(tuple, a.select("doc_id", "shard").collect())) == sorted(
+        map(tuple, b.select("doc_id", "shard").collect())
+    )
+
+
+def test_export_plan_single_exchange(spark):
+    docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
+    assigned = shard_assignments(docs, "doc_id", 8, "")
+    staged = assigned.repartition(8, F.col("shard")).sortWithinPartitions(
+        "shard", "sort_key"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        staged.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1  # the shard hash partitioning only
+    assert "rangepartitioning" not in plan  # no sampled boundaries
