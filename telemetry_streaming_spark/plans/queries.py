@@ -4266,30 +4266,41 @@ def waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate replaces two correlated re-scans; the order-level stats
     then semi-join back (AQE broadcasts the small survivor set).
     nation is the only hard broadcast; supplier scales and is left to
-    AQE."""
+    AQE.
+
+    The per-order stats come from a TWO-LEVEL pass — distinct
+    (order, supplier, any-R) triples first, then per-order counts AS A
+    WINDOW over the same rows — instead of two COUNT(DISTINCT)s,
+    whose Expand would double every lineitem row before the shuffle.
+    The window keeps the candidate rows and their order-level stats in
+    ONE chain (no self-semi-join, no second branch over the pair
+    aggregate), so lineitem is scanned once and the final
+    per-supplier count needs no distinct.  Window groups are bounded
+    by suppliers-per-order (single digits), so there is no skew
+    exposure."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
     orders_f = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    ostats = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
     )
-    waiting = ostats.where((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)).select("l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    cand = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_supp_r", F.sum("has_r").over(w))
+        .where((F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+    )
     nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1").select("n_nationkey")
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     return (
-        li.where(F.col("l_returnflag") == "R")
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(waiting, "l_orderkey", "left_semi")
+        cand.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
@@ -4481,7 +4492,10 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer (ivf_centroids) reuses this same expression each round."""
     from telemetry_streaming_spark.operators.similarity import ivf_assign_scored
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # parallelize=False: the assignment is one fused map over the scan
+    # (k+1 folds/row); the local fan-out exchange costs more than it
+    # buys, and the seed probe below is a 1-task point lookup.
+    emb = _t(spark, sf_dir, "embeddings", parallelize=False)
     seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
     return ivf_assign_scored(emb, centroids).select(
