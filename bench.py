@@ -61,6 +61,12 @@ HEADLINE = [
     # r3 packing + subsequence search
     "sequence_packing",
     "pattern_match_topk",
+    # r3 join-shape + pipeline additions (the substantial ones — the
+    # floor-dominated sub-0.3s queries would only measure scheduling)
+    "product_profit",
+    "waiting_suppliers",
+    "rare_token_score",
+    "dedup_containment",
 ]
 
 

@@ -431,6 +431,35 @@ def run_hygiene(spark, args):
         )
 
 
+def run_export(spark, args):
+    """Deterministic training-data export: corpus parquet in, N md5
+    shards (salt-seeded global shuffle, one file per shard) + a
+    recomputable manifest out."""
+    from telemetry_streaming_spark.operators.export import export_shards, shard_manifest
+
+    _require(args, "input-path", "output-path")
+    df = spark.read.parquet(args.input_path)
+    export_shards(
+        df,
+        args.output_path,
+        id_col=args.id_col,
+        n_shards=args.num_shards,
+        salt=args.salt,
+        mode="overwrite",
+    )
+    manifest = shard_manifest(
+        df, args.id_col, args.num_shards, args.salt,
+        size_col=args.size_col or None,
+    )
+    if args.manifest_path:
+        manifest.repartition(1).write.mode("overwrite").parquet(args.manifest_path)
+    rows = {r["shard"]: r for r in manifest.collect()}
+    total = sum(r["n_rows"] for r in rows.values())
+    print(f"shards: {len(rows)}")
+    print(f"rows: {total}")
+    print(f"max_shard_rows: {max(r['n_rows'] for r in rows.values())}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     top = argparse.ArgumentParser(prog="telemetry_streaming_spark")
     sub = top.add_subparsers(dest="job", required=True)
@@ -495,6 +524,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dup-window-ngram", type=int, default=8)
     p.add_argument("--num-parquet-files", type=int, default=60)
     p.add_argument("--explain", action="store_true")
+
+    p = sub.add_parser("export", help="deterministic sharded training export")
+    p.add_argument("--input-path")
+    p.add_argument("--output-path")
+    p.add_argument("--manifest-path", help="write the shard manifest parquet here")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--num-shards", type=int, default=64)
+    p.add_argument("--salt", default="", help="epoch seed: a new salt is a fresh global shuffle")
+    p.add_argument("--size-col", default="", help="payload size column for the manifest")
     return top
 
 
@@ -511,6 +549,7 @@ RUNNERS = {
     "federated_optimizer": run_federated_optimizer,
     "curate": run_curate,
     "hygiene": run_hygiene,
+    "export": run_export,
 }
 
 

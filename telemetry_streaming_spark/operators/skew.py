@@ -112,3 +112,46 @@ def split_hot_keys(
     hot = df.join(F.broadcast(hot_keys), list(key_cols), "left_semi")
     cold = df.join(F.broadcast(hot_keys), list(key_cols), "left_anti")
     return hot, cold, hot_keys
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key: key
+    cardinality, the heaviest key's share, and the top-k keys' share —
+    the numbers that decide between a plain aggregate, ``salted_agg``,
+    and ``split_hot_keys`` BEFORE a 100TB job discovers its straggler
+    at hour three.
+
+    Scale shape: one count aggregate on the key (map-side combined),
+    then two bounded consumers — a 1-row global aggregate and a
+    TakeOrdered top-k (per-partition top-k + driver merge of k rows).
+    Deliberately NOT a row_number window over the counts: that would
+    funnel all n_keys rows through a single-partition sort, the exact
+    pathology this report exists to prevent.
+
+    Columns: n_rows, n_keys, max_count, topk_rows, topk_share,
+    skew_ratio (= max_count / mean count; 1.0 means perfectly even).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    topk = (
+        counts.orderBy(*order)
+        .limit(top_k)
+        .agg(F.sum("cnt").alias("topk_rows"))
+    )
+    return totals.crossJoin(F.broadcast(topk)).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "topk_rows",
+        (F.col("topk_rows").cast("double") / F.col("n_rows")).alias("topk_share"),
+        (
+            F.col("max_count").cast("double") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_ratio"),
+    )

@@ -4498,6 +4498,10 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings", parallelize=False)
     seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:  # empty corpus: schema-stable empty result
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, centroid_sim double"
+        )
     return ivf_assign_scored(emb, centroids).select(
         "vec_id",
         F.col("ivf_cluster").cast("int").alias("cluster"),
@@ -4691,6 +4695,36 @@ def quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lg.alias("logit"),
         F.when(lg > 0.0, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+@query(
+    "skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM c
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_count,
+           CAST(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS topk_rows,
+           CAST(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(cnt) AS DOUBLE) AS topk_share,
+           CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio
+    FROM ranked
+    """,
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: shuffle-key skew diagnosis for events.user_id
+    (operators/skew.py:key_skew_report) — the pre-flight check that
+    decides between a plain aggregate, salted_agg, and
+    split_hot_keys.  The top-k share comes from a TakeOrdered (k rows
+    to the driver), never a global row_number window — the oracle may
+    sort all keys in one pass because DuckDB is single-node; the
+    Spark plan must not."""
+    from telemetry_streaming_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ def test_parser_covers_all_jobs():
         "error_aggregator", "experiments_error_aggregator", "event_ping_events",
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
-        "federated_optimizer", "curate", "hygiene",
+        "federated_optimizer", "curate", "hygiene", "export",
     }
 
 
@@ -271,3 +271,36 @@ def test_cli_hygiene_end_to_end(spark, tmp_path, capsys):
     assert {"doc_id", "n_windows", "dup_windows", "dup_fraction"} <= set(rep.columns)
     printed = capsys.readouterr().out
     assert "docs_in:" in printed and "docs_out:" in printed
+
+
+def test_cli_export_end_to_end(spark, tmp_path, capsys):
+    """Sharded training export as an operable job: corpus in, one file
+    per shard dir out, recomputable manifest next to it."""
+    import glob
+
+    from telemetry_streaming_spark.cli import main
+
+    out = str(tmp_path / "shards")
+    manifest = str(tmp_path / "manifest")
+    main(
+        [
+            "export",
+            "--input-path", "/root/testdata/sf0.001/documents.parquet",
+            "--output-path", out,
+            "--manifest-path", manifest,
+            "--num-shards", "8",
+            "--salt", "epoch0",
+            "--size-col", "n_chars",
+        ],
+        spark=spark,
+    )
+    dirs = glob.glob(os.path.join(out, "shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    m = spark.read.parquet(manifest)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert m.count() == 8
+    assert m.agg({"n_rows": "sum"}).collect()[0][0] == docs.count()
+    printed = capsys.readouterr().out
+    assert "shards: 8" in printed
