@@ -45,15 +45,23 @@ def avg_token_len(text: Column) -> Column:
 
     Total token chars == non-whitespace chars of the trimmed text —
     a codegen'd scalar expression; the F.aggregate(tokens, +length)
-    equivalent runs as an interpreted higher-order function."""
+    equivalent runs as an interpreted higher-order function.
+    ``try_divide``: a degenerate doc yields NULL instead of an ANSI
+    DIVIDE_BY_ZERO that would kill a 100TB job on one bad row —
+    matching DuckDB, whose double division by zero is NULL, so the
+    oracle contract is unchanged."""
     total = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
-    return total.cast("double") / F.size(tokenize(text))
+    return F.try_divide(total.cast("double"), F.size(tokenize(text)))
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not [A-Za-z0-9 ]."""
+    """Fraction of characters that are not [A-Za-z0-9 ].  NULL for an
+    empty doc (``try_divide`` — see avg_token_len): one empty string
+    in a corpus must not abort the job under ANSI mode, and NULL
+    propagates into quality gates as "drop", which is the right
+    curation outcome for an empty document."""
     stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
-    return F.length(stripped).cast("double") / F.length(text)
+    return F.try_divide(F.length(stripped).cast("double"), F.length(text))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:

@@ -4513,8 +4513,8 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rare_token_score",
     oracle=r"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        FROM documents WHERE trim(text) <> ''
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text), E' \t\r\n'), '\s+')) AS token
+        FROM documents WHERE regexp_matches(text, '\S')
     ),
     freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
     SELECT doc_id,
@@ -4541,10 +4541,15 @@ def rare_token_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed straggler at 100TB — whereas the agg+join shape
     partial-aggregates hot tokens map-side and AQE splits any residual
     skew in the join."""
-    docs = _t(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    # \S guard + explicit whitespace-set trim: F.trim / plain SQL trim
+    # strip only spaces, so a tab-only doc would otherwise contribute
+    # empty-string "tokens" to the frequency table in both engines
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").rlike(r"\S"))
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        F.explode(
+            F.split(F.expr(r"trim(BOTH ' \t\r\n' FROM lower(text))"), r"\s+")
+        ).alias("token"),
     ).select("doc_id", F.xxhash64("token").alias("th"))
     freq = tok.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
     return (
