@@ -83,6 +83,53 @@ def chunk_table(
     )
 
 
+def text_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 4,
+    overlap: int = 1,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Overlapping token-window chunks WITH text — the retrieval /
+    embedding preparation pass (each chunk goes to an embedding model;
+    the overlap keeps boundary context).  The text analog of
+    ``ext/multimodal.py:audio_chunks``.
+
+    Emits (id, chunk_idx, chunk, n_tokens): chunk k spans tokens
+    [k*stride, k*stride + chunk_tokens), stride = chunk_tokens -
+    overlap, for every start < n_tokens (trailing chunks may be
+    short).  Unlike the hygiene ops above this one's OUTPUT is chunk
+    text by design — but the plan is a pure map (explode + slice, no
+    shuffle), so nothing wide ever crosses an exchange; the downstream
+    embedding stage is where partition byte-budgeting
+    (``multimodal.repartition_by_bytes``) takes over.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(
+        F.expr(rf"trim(BOTH ' \t\r\n' FROM {text_col})"), r"\s+"
+    )
+    n_chunks = F.ceil(F.size(toks) / F.lit(stride)).cast("int")
+    e = df.where(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        *[F.col(c) for c in keep_cols],
+    )
+    start = F.col("chunk_idx") * stride
+    return e.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.concat_ws(" ", F.slice(F.col("__toks"), start + 1, chunk_tokens)).alias("chunk"),
+        F.least(F.lit(chunk_tokens), F.size(F.col("__toks")) - start)
+        .cast("long")
+        .alias("n_tokens"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     text_col: str = "text",
