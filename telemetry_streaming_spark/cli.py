@@ -451,13 +451,21 @@ def run_export(spark, args):
         df, args.id_col, args.num_shards, args.salt,
         size_col=args.size_col or None,
     )
+    # collect once (n_shards rows), then persist the collected rows —
+    # computing the manifest aggregation twice (write + collect) would
+    # double its full-corpus scan at scale
+    rows = manifest.collect()
     if args.manifest_path:
-        manifest.repartition(1).write.mode("overwrite").parquet(args.manifest_path)
-    rows = {r["shard"]: r for r in manifest.collect()}
-    total = sum(r["n_rows"] for r in rows.values())
+        spark.createDataFrame(rows, manifest.schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(args.manifest_path)
+    total = sum(r["n_rows"] for r in rows)
     print(f"shards: {len(rows)}")
     print(f"rows: {total}")
-    print(f"max_shard_rows: {max(r['n_rows'] for r in rows.values())}")
+    print(f"max_shard_rows: {max((r['n_rows'] for r in rows), default=0)}")
+    if any(r["n_keys"] < r["n_rows"] for r in rows):
+        print("WARNING: duplicate ids detected (n_keys < n_rows); "
+              "intra-shard order is not layout-independent for tied rows")
 
 
 def build_parser() -> argparse.ArgumentParser:

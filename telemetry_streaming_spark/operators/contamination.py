@@ -98,12 +98,17 @@ def text_chunks(
 
     Emits (id, chunk_idx, chunk, n_tokens): chunk k spans tokens
     [k*stride, k*stride + chunk_tokens), stride = chunk_tokens -
-    overlap, for every start < n_tokens (trailing chunks may be
-    short).  Unlike the hygiene ops above this one's OUTPUT is chunk
-    text by design — but the plan is a pure map (explode + slice, no
-    shuffle), so nothing wide ever crosses an exchange; the downstream
-    embedding stage is where partition byte-budgeting
-    (``multimodal.repartition_by_bytes``) takes over.
+    overlap; the chunk count is ceil((n_tokens - overlap) / stride)
+    (min 1), NOT ceil(n_tokens / stride) — the naive formula emits a
+    trailing chunk of <= overlap tokens that is fully contained in its
+    predecessor whenever n_tokens mod stride lands in 1..overlap,
+    shipping duplicate text to the embedding stage.  Trailing chunks
+    may still be short, but every chunk contains at least one token no
+    earlier chunk covers.  Unlike the hygiene ops above this one's
+    OUTPUT is chunk text by design — but the plan is a pure map
+    (explode + slice, no shuffle), so nothing wide ever crosses an
+    exchange; the downstream embedding stage is where partition
+    byte-budgeting (``multimodal.repartition_by_bytes``) takes over.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -111,7 +116,9 @@ def text_chunks(
     toks = F.split(
         F.expr(rf"trim(BOTH ' \t\r\n' FROM {text_col})"), r"\s+"
     )
-    n_chunks = F.ceil(F.size(toks) / F.lit(stride)).cast("int")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
     e = df.where(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col),
         toks.alias("__toks"),

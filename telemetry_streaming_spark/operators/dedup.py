@@ -203,6 +203,29 @@ def ngram_jaccard_pairs(
     ``checkpoint_mode="reliable"`` (with a session checkpoint dir set)
     to survive executor loss on multi-hour corpora.
     """
+    sized = _postings_pair_counts(df, text_col, id_col, n, max_df, persist, checkpoint_mode)
+    jac = F.col("n_common").cast("double") / (
+        F.col("size1") + F.col("size2") - F.col("n_common")
+    )
+    return sized.select("id1", "id2", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _postings_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int,
+    persist: bool,
+    checkpoint_mode: str,
+) -> DataFrame:
+    """Shared single-pass postings plan of the set-similarity tiers:
+    (id1, id2, n_common, size1, size2) for every candidate pair —
+    Jaccard and containment differ only in the ratio they derive from
+    these five columns, so the index build, hot-key guard, lineage
+    cut, and pair generation live HERE once."""
     idx = shingle_index(df, text_col, id_col, n, max_df)
     if persist:
         idx = cut_lineage(idx, checkpoint_mode)
@@ -218,15 +241,7 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("size1") + F.col("size2") - F.col("n_common")
-    )
-    return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return inter.join(s1, "id1").join(s2, "id2")
 
 
 def ngram_containment_pairs(
@@ -247,28 +262,14 @@ def ngram_containment_pairs(
     Jaccard stays low, so this is the tier that catches boilerplate,
     quotations, and wrapped re-posts that symmetric dedup misses.
 
-    Same single-pass postings plan as ``ngram_jaccard_pairs`` (the
-    index is built/shuffled once and both sizes and intersections fold
-    out of it); the only difference is the denominator and that each
-    undirected candidate emits up to two directed rows — a map-side
-    2x on an already-bounded pair set, nothing new on an exchange.
+    Same single-pass postings plan as ``ngram_jaccard_pairs``
+    (``_postings_pair_counts`` — shared, not copied, so a guard or
+    checkpoint change there reaches both tiers); the only difference
+    is the denominator and that each undirected candidate emits up to
+    two directed rows — a map-side 2x on an already-bounded pair set,
+    nothing new on an exchange.
     """
-    idx = shingle_index(df, text_col, id_col, n, max_df)
-    if persist:
-        idx = cut_lineage(idx, checkpoint_mode)
-    sizes = idx.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
-        F.count("*").alias("set_size")
-    )
-    inter = (
-        idx.select(F.explode("ids").alias("id1"), "ids")
-        .select("id1", F.explode("ids").alias("id2"))
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
-    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
-    both = inter.join(s1, "id1").join(s2, "id2")
+    both = _postings_pair_counts(df, text_col, id_col, n, max_df, persist, checkpoint_mode)
     directed = both.select(
         F.explode(
             F.array(

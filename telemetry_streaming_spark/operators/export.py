@@ -76,6 +76,11 @@ def shard_manifest(
     h48 = F.conv(F.substring(F.col("sort_key"), 1, 12), 16, 10).cast("long")
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
+        # n_keys < n_rows exposes duplicate ids — which void the
+        # byte-identical-re-run guarantee (equal sort keys tie, and
+        # tie order follows physical arrival): the manifest makes the
+        # uniqueness contract checkable instead of assumed.
+        F.count_distinct("sort_key").alias("n_keys"),
         (F.sum(h48 % F.lit(CHECKSUM_MOD)) % F.lit(CHECKSUM_MOD)).alias("checksum"),
         F.min("sort_key").alias("first_key"),
         F.max("sort_key").alias("last_key"),
@@ -95,6 +100,12 @@ def export_shards(
 ) -> None:
     """Write ``df`` as ``path/shard=K/`` parquet, one file per shard,
     rows in deterministic pseudorandom order.
+
+    CONTRACT: ``id_col`` must be unique — duplicate ids share a sort
+    key, and the tied rows' relative order follows physical arrival,
+    which is exactly the layout-dependence this writer exists to
+    eliminate.  The manifest's ``n_keys`` column makes a violation
+    visible (n_keys < n_rows) without a separate validation job.
 
     ``repartition(n_shards, shard)`` hash-partitions on the SHARD
     VALUE (not the row), so every task owns whole shards and each

@@ -41,7 +41,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """``try_divide``: a zero-norm vector scores NULL rather than
+    raising DIVIDE_BY_ZERO under ANSI mode (one padding row must not
+    abort a corpus scan); DuckDB's double division by zero is NULL, so
+    the oracle contract is unchanged."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -70,7 +74,7 @@ def cosine_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))).alias("cos"),
+            F.try_divide(dot(F.col("query_vec"), F.col(vec_col)), F.col("_qnrm") * F.col("_nrm")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -236,7 +240,7 @@ def embedding_neardup_lsh(
         .select(
             "id1",
             "id2",
-            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+            F.try_divide(dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -280,7 +284,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))).alias("cos"),
+            F.try_divide(dot(F.col("query_vec"), F.col(vec_col)), F.col("_qnrm") * F.col("_nrm")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -341,7 +345,11 @@ def ivf_centroids(
     return centroids
 
 
-def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> Column:
+def _centroid_scores(
+    vec_col: str,
+    centroids: list[list[float]],
+    labels: list[int] | None = None,
+) -> Column:
     """(cosine, idx) struct array vs every centroid with the fold work
     HOISTED: the naive ``cosine(col, _centroid_lit(c))`` per centroid
     runs 3 interpreted folds each (dot, self-norm, centroid-norm —
@@ -353,16 +361,28 @@ def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> Column:
     naive form and to the SQL oracle.  (A fully codegen'd scalar-chain
     expansion of the dot was measured SLOWER at dim=64: ~1000 scalar
     expression nodes per row blow past the JIT's profitable-method
-    size, and the interpreted fold's tight loop wins.)"""
+    size, and the interpreted fold's tight loop wins.)
+
+    ``labels`` replaces the positional index as the emitted cluster id
+    (e.g. the seed row's actual key) — it must be sorted ascending so
+    the array_max struct tie-break ("larger i wins") keeps the same
+    direction either way.  ``try_divide``: a zero-norm vector (padding
+    row, failed encoder) scores NULL against every centroid instead of
+    aborting the job under ANSI mode — matching DuckDB, whose double
+    division by zero is NULL."""
+    if labels is None:
+        labels = list(range(len(centroids)))
+    if sorted(labels) != list(labels):
+        raise ValueError("labels must be ascending to preserve tie-break order")
     v = F.col(vec_col)
     nrm = norm(v)
     return F.array(
         *[
             F.struct(
-                (dot(v, _centroid_lit(c)) / (nrm * F.lit(_py_norm(c)))).alias("s"),
-                F.lit(i).alias("i"),
+                F.try_divide(dot(v, _centroid_lit(c)), nrm * F.lit(_py_norm(c))).alias("s"),
+                F.lit(lab).alias("i"),
             )
-            for i, c in enumerate(centroids)
+            for lab, c in zip(labels, centroids)
         ]
     )
 
@@ -417,7 +437,7 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))).alias("cos"),
+            F.try_divide(dot(F.col("query_vec"), F.col(vec_col)), F.col("_qnrm") * F.col("_nrm")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -458,8 +478,10 @@ def embedding_cross_neardup(
             "probe_id",
             F.col(id_col),
             (
-                dot(F.col("probe_vec"), F.col(vec_col))
-                / (F.col("_qnrm") * F.col("_nrm"))
+                F.try_divide(
+                    dot(F.col("probe_vec"), F.col(vec_col)),
+                    F.col("_qnrm") * F.col("_nrm"),
+                )
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)

@@ -4495,17 +4495,26 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize=False: the assignment is one fused map over the scan
     # (k+1 folds/row); the local fan-out exchange costs more than it
     # buys, and the seed probe below is a 1-task point lookup.
+    from telemetry_streaming_spark.operators.similarity import _centroid_scores
+
     emb = _t(spark, sf_dir, "embeddings", parallelize=False)
-    seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
-    centroids = [[float(x) for x in r[0]] for r in seeds]
+    seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "embedding").collect()
+    centroids = [[float(x) for x in r[1]] for r in seeds]
     if not centroids:  # empty corpus: schema-stable empty result
         return spark.createDataFrame(
             [], "vec_id long, cluster int, centroid_sim double"
         )
-    return ivf_assign_scored(emb, centroids).select(
+    # cluster ids are the seed rows' ACTUAL vec_ids (not positional
+    # list indices): the oracle labels by ci = vec_id, and relying on
+    # "seed ids happen to be 0..k-1 contiguous" would be a hidden
+    # testdata invariant.  Seeds are collected in ascending vec_id
+    # order, so the argmax tie-break direction is unchanged.
+    labels = [int(r[0]) for r in seeds]
+    best = F.array_max(_centroid_scores("embedding", centroids, labels))
+    return emb.select(
         "vec_id",
-        F.col("ivf_cluster").cast("int").alias("cluster"),
-        F.col("centroid_sim"),
+        best["i"].cast("int").alias("cluster"),
+        best["s"].alias("centroid_sim"),
     )
 
 
@@ -4544,6 +4553,8 @@ def rare_token_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # \S guard + explicit whitespace-set trim: F.trim / plain SQL trim
     # strip only spaces, so a tab-only doc would otherwise contribute
     # empty-string "tokens" to the frequency table in both engines
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
     docs = _t(spark, sf_dir, "documents").where(F.col("text").rlike(r"\S"))
     tok = docs.select(
         "doc_id",
@@ -4551,6 +4562,10 @@ def rare_token_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.expr(r"trim(BOTH ' \t\r\n' FROM lower(text))"), r"\s+")
         ).alias("token"),
     ).select("doc_id", F.xxhash64("token").alias("th"))
+    # the (doc, hash) frame feeds BOTH the frequency aggregate and the
+    # join probe side; cut the lineage so tokenize+explode runs once,
+    # not twice (same reuse contract as the dedup postings index)
+    tok = cut_lineage(tok)
     freq = tok.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
     return (
         tok.join(freq, "th")
@@ -4607,6 +4622,7 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard,
            COUNT(*) AS n_rows,
+           COUNT(DISTINCT sort_key) AS n_keys,
            CAST(SUM(n_chars) AS BIGINT) AS sum_size,
            CAST(SUM(h) % 1000003 AS BIGINT) AS checksum,
            MIN(sort_key) AS first_key,
@@ -4745,7 +4761,7 @@ def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(toks[i*3+1 : i*3+4], ' ') AS chunk,
            CAST(least(4, len(toks) - i*3) AS BIGINT) AS n_tokens
     FROM t, LATERAL (
-        SELECT unnest(range(CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS i
+        SELECT unnest(range(greatest(1, CAST(ceil((len(toks) - 1) / 3.0) AS BIGINT)))) AS i
     )
     """,
 )

@@ -71,6 +71,28 @@ def test_containment_catches_quoted_doc(spark):
     assert jac == []  # symmetric Jaccard misses the quotation entirely
 
 
+def test_text_chunks_no_redundant_tail(spark):
+    """Every chunk must contain at least one token no earlier chunk
+    covers: ceil((n-overlap)/stride) starts, not ceil(n/stride) —
+    the naive count ships a fully-contained trailing chunk whenever
+    n mod stride is in 1..overlap."""
+    from telemetry_streaming_spark.operators.contamination import text_chunks
+
+    for n_toks in range(1, 12):
+        doc = " ".join(f"t{i}" for i in range(n_toks))
+        df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+        rows = sorted(
+            text_chunks(df, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        covered = set()
+        for r in rows:
+            toks = set(r.chunk.split())
+            assert toks - covered, f"n={n_toks}: chunk {r.chunk_idx} redundant"
+            covered |= toks
+        assert covered == {f"t{i}" for i in range(n_toks)}  # full coverage
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
 
