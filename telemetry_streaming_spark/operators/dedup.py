@@ -430,6 +430,103 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket: int = MAX_LSH_BUCKET,
+    checkpoint_mode: str = "local",
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Tier 3, incremental form: near-dups of a NEW batch against an
+    already-INDEXED corpus — the nightly-crawl flow, where re-running
+    all-pairs LSH over (corpus + batch) would redo work proportional
+    to the whole corpus every night instead of to the batch.
+
+    Returns (batch_id, corpus_id, jaccard >= threshold): one row per
+    batch document near-duplicating an indexed document.  Batch-vs-
+    batch duplication is deliberately out of scope (run the regular
+    tier inside the batch); dedup against the index decides which new
+    documents are ADMITTED.
+
+    ``corpus_bands``: pass the persisted output of
+    ``banded_signatures(corpus)`` — the index a real deployment stores
+    and appends admitted documents' bands to; when omitted it is
+    computed here (corpus text still required either way for the
+    candidate-scoped Jaccard verification).  The hot-bucket guard
+    counts members across BOTH sides: a degenerate bucket is
+    degenerate no matter which side its members came from — mirrored
+    in the SQL oracle.
+
+    Plan shape: batch banding (O(batch)), equi-join against the index
+    bands, candidate-scoped verify exactly like ``minhash_lsh_pairs``
+    — corpus-side shingles are computed only for candidate docs
+    (broadcast id semi-join before the gram explode), so total cost is
+    O(batch + candidates x doc-size), never O(corpus).
+    """
+    if corpus_bands is None:
+        corpus_bands = banded_signatures(corpus, text_col, id_col, num_perm, bands)
+    batch_bands = banded_signatures(batch, text_col, id_col, num_perm, bands)
+    combined = batch_bands.withColumn("__side", F.lit("b")).unionByName(
+        corpus_bands.withColumn("__side", F.lit("c"))
+    )
+    guarded = cut_lineage(
+        _drop_hot_keys(combined, ["band", "band_key"], max_bucket), checkpoint_mode
+    )
+    b = guarded.where(F.col("__side") == "b").select(
+        "band", "band_key", F.col(id_col).alias("batch_id")
+    )
+    c = guarded.where(F.col("__side") == "c").select(
+        "band", "band_key", F.col(id_col).alias("corpus_id")
+    )
+    cand = cut_lineage(
+        b.join(c, ["band", "band_key"]).select("batch_id", "corpus_id").distinct(),
+        checkpoint_mode,
+    )
+    # candidate-scoped verify (same shape and rationale as
+    # minhash_lsh_pairs: id-only broadcast semi-joins BEFORE any gram
+    # explode, narrow (id, shingle_h) joins after)
+    bd = batch.join(
+        F.broadcast(cand.select(F.col("batch_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    cd = corpus.join(
+        F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    hb = doc_shingle_pairs(bd, text_col, id_col, n)
+    hc = doc_shingle_pairs(cd, text_col, id_col, n)
+    size_b = hb.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_b"))
+    size_c = hc.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_c"))
+    e1 = hb.select(F.col(id_col).alias("batch_id"), "shingle_h").join(
+        F.broadcast(cand), "batch_id"
+    )
+    inter = (
+        e1.join(
+            hc.select(F.col(id_col).alias("corpus_id"), "shingle_h"),
+            ["corpus_id", "shingle_h"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_b") + F.col("size_c") - F.col("n_common")
+    )
+    return (
+        inter.join(size_b.select(F.col(id_col).alias("batch_id"), "size_b"), "batch_id")
+        .join(size_c.select(F.col(id_col).alias("corpus_id"), "size_c"), "corpus_id")
+        .select("batch_id", "corpus_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -4810,6 +4810,55 @@ def dup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_incremental",
+    oracle="WITH "
+    + _SHINGLE_CTES
+    + ",\n    "
+    + _minhash_sig_sql()
+    + ",\n    "
+    + _minhash_band_sql()
+    + f""",
+    bok AS (
+        SELECT band, band_key FROM bands
+        GROUP BY band, band_key HAVING COUNT(*) <= {_MAX_LSH_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bands b
+        JOIN bands c ON b.band = c.band AND b.band_key = c.band_key
+        JOIN bok ON bok.band = b.band AND bok.band_key = b.band_key
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    )
+    SELECT cand.batch_id, cand.corpus_id,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+               AS jaccard
+    FROM cand
+    JOIN sh a ON a.doc_id = cand.batch_id
+    JOIN sh b ON b.doc_id = cand.corpus_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+              >= 0.3
+    """,
+)
+def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension tier 3, incremental form: MinHash-LSH dedup of a new
+    BATCH (doc_id % 5 == 0) against the INDEXED corpus (the rest) —
+    the nightly-crawl admission flow
+    (operators/dedup.py:incremental_minhash_dedup).  Work is
+    O(batch + candidates), never O(corpus); the hot-bucket cap counts
+    members across both sides, mirrored in the oracle."""
+    from telemetry_streaming_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_minhash_dedup(batch, corpus, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.

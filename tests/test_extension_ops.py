@@ -71,6 +71,33 @@ def test_containment_catches_quoted_doc(spark):
     assert jac == []  # symmetric Jaccard misses the quotation entirely
 
 
+def test_incremental_minhash_against_index(spark, docs):
+    """A new batch doc near-duplicating an INDEXED doc is flagged;
+    passing the persisted band index gives byte-identical results to
+    recomputing it (the index-reuse contract a nightly deployment
+    relies on); batch-vs-batch pairs are out of scope by design."""
+    from telemetry_streaming_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_dedup,
+    )
+
+    corpus = docs.where(F.col("doc_id") <= 3)  # BASE, BASE-dup, NEAR, OTHER
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, "totally novel content unlike anything indexed so far today")],
+        ["doc_id", "text"],
+    )
+    got = incremental_minhash_dedup(batch, corpus, threshold=0.5).collect()
+    flagged = {(r.batch_id, r.corpus_id) for r in got}
+    assert (10, 1) in flagged and (10, 2) in flagged  # exact copies of BASE
+    assert all(b != 11 for b, _ in flagged)  # the novel doc is admitted
+    # precomputed index path == recompute path
+    idx = banded_signatures(corpus)
+    via_index = incremental_minhash_dedup(
+        batch, corpus, threshold=0.5, corpus_bands=idx
+    ).collect()
+    assert sorted(map(str, via_index)) == sorted(map(str, got))
+
+
 def test_text_chunks_no_redundant_tail(spark):
     """Every chunk must contain at least one token no earlier chunk
     covers: ceil((n-overlap)/stride) starts, not ceil(n/stride) —
