@@ -67,6 +67,7 @@ HEADLINE = [
     "waiting_suppliers",
     "rare_token_score",
     "dedup_containment",
+    "dedup_minhash_incremental",
 ]
 
 
