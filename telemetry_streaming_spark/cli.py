@@ -169,6 +169,18 @@ def run_error_aggregator(spark, args, experiments: bool = False):
                     if guard.tripped is not None:
                         q.stop()
                         raise ParseRejectionError(guard.tripped)
+                # the listener bus is asynchronous: the final
+                # micro-batch's progress event can land after
+                # isActive flips false — drain briefly before
+                # declaring success, or a last-batch rejection
+                # exits 0
+                q.awaitTermination()
+                import time as _time
+
+                for _ in range(20):
+                    if guard.tripped is not None:
+                        raise ParseRejectionError(guard.tripped)
+                    _time.sleep(0.1)
             finally:
                 spark.streams.removeListener(guard)
         else:
@@ -263,10 +275,13 @@ def run_uptake_to_datadog(spark, args):
         _require(args, "output-path")
         m.write.mode("overwrite").parquet(args.output_path)
     if obs is not None:
-        counts = obs.get
-        if counts.get("rows_rejected"):
-            from telemetry_streaming_spark.observability import ParseRejectionError
+        from telemetry_streaming_spark.observability import (
+            ParseRejectionError,
+            observation_counts,
+        )
 
+        counts = observation_counts(obs, lambda: job.count_parse_failures(raw))
+        if counts.get("rows_rejected"):
             raise ParseRejectionError(counts)
 
 

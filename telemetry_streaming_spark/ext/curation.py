@@ -132,9 +132,13 @@ def curate(
     if config.chunk_dedup_words:
         from telemetry_streaming_spark.operators.contamination import chunk_dedup_apply
 
+        # length(text) > 0 guard in addition to the token re-gate:
+        # split('') yields [''] so token_count('') == 1, and a doc the
+        # rewrite fully emptied would pass min_tokens=1 (run_hygiene
+        # applies the same pair of predicates)
         deduped = chunk_dedup_apply(
             deduped, text_col, id_col, config.chunk_dedup_words
-        ).where(token_count(c) >= config.min_tokens)
+        ).where((F.length(c) > 0) & (token_count(c) >= config.min_tokens))
     redacted = deduped.withColumn("redacted", redact_pii(c))
     return train_eval_split(redacted, id_col, eval_rate=config.eval_rate)
 

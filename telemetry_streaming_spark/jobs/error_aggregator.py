@@ -81,10 +81,17 @@ def parse_failure() -> Column:
     tripped on an allow-listed ping.  Allow-list misses are
     intentional filtering in the reference too, so they never count."""
     allowed, rejected = validity_flags()
+    # A NULL reject rule (e.g. core ping with payload.os null) makes
+    # prepare()'s `allowed & ~rejected` filter NULL -> the row is
+    # DROPPED — so for the flag's purposes NULL must count as
+    # rejected, not as ok: ~coalesce(~rejected, False) is true for
+    # rejected TRUE *and* rejected NULL.  coalesce(rejected, False)
+    # here would map NULL->False and let --raise-on-error exit 0
+    # while input rows were silently dropped.
     return (
         F.col("__corrupt").isNotNull()
         | F.col("ping").isNull()
-        | (F.coalesce(allowed, F.lit(False)) & F.coalesce(rejected, F.lit(False)))
+        | (F.coalesce(allowed, F.lit(False)) & ~F.coalesce(~rejected, F.lit(False)))
     )
 
 
@@ -329,8 +336,29 @@ def write_batch(
         .parquet(output_path)
     )
     if obs is not None:
-        counts = obs.get
-        if counts.get("rows_rejected"):
-            from telemetry_streaming_spark.observability import ParseRejectionError
+        from telemetry_streaming_spark.observability import (
+            ParseRejectionError,
+            observation_counts,
+        )
 
+        counts = observation_counts(obs, lambda: count_parse_failures(raw))
+        if counts.get("rows_rejected"):
             raise ParseRejectionError(counts)
+
+
+def count_parse_failures(raw: DataFrame) -> dict:
+    """Explicit parse-failure recount — the fallback for the empty-
+    result path where Observation.get cannot deliver (see
+    observability.observation_counts); one scan of the parse stage
+    only, no aggregation pipeline."""
+    from telemetry_streaming_spark.functions.pings import parsed_pings_raw
+
+    row = (
+        parsed_pings_raw(raw)
+        .agg(
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(parse_failure().cast("long")).alias("rows_rejected"),
+        )
+        .first()
+    )
+    return {"rows_seen": row["rows_seen"], "rows_rejected": row["rows_rejected"] or 0}

@@ -806,6 +806,18 @@ def amplitude_payloads(
     # preserving event order.  One extra shuffle on the synthetic ping
     # id — the price of a config outside the compiled keyword set; the
     # production corpus never takes this branch.
+    if df.isStreaming:
+        # monotonically_increasing_id and the unwatermarked regroup
+        # below are unsupported on a streaming frame; fail with the
+        # actual reason instead of Spark's opaque AnalysisException.
+        raise ValueError(
+            "this config uses JSON-schema keywords outside the compiled set "
+            f"({sorted(_COMPILED_TOP_KEYWORDS | _COMPILED_PROP_KEYWORDS)}), "
+            "which routes through the "
+            "general jsonschema tier — batch-only.  Run the job in batch "
+            "mode (foreachBatch for a stream), or restrict the config's "
+            "schemas to the compiled keyword set."
+        )
     base = df.select(
         F.monotonically_increasing_id().alias("__pid"),
         F.col("ping"),

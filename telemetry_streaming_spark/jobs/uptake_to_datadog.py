@@ -67,6 +67,21 @@ def metrics_guarded(raw: DataFrame):
     )
 
 
+def count_parse_failures(raw: DataFrame) -> dict:
+    """Explicit recount fallback for the empty-result path where
+    Observation.get cannot deliver (observability.observation_counts)."""
+    bad = F.col("__corrupt").isNotNull() | F.col("ping").isNull()
+    row = (
+        P.parsed_pings_raw(raw)
+        .agg(
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(bad.cast("long")).alias("rows_rejected"),
+        )
+        .first()
+    )
+    return {"rows_seen": row["rows_seen"], "rows_rejected": row["rows_rejected"] or 0}
+
+
 def _metrics_parsed(parsed: DataFrame) -> DataFrame:
     ping = F.col("ping")
     meta = ping["meta"]

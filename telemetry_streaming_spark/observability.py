@@ -65,6 +65,23 @@ def observe_counts(df: DataFrame, name: str, streaming: bool = False, **metrics:
     return df.observe(obs, *aliased), obs
 
 
+def observation_counts(obs, fallback) -> dict:
+    """``Observation.get`` with an explicit-recount fallback.
+
+    PySpark 4.1's ``Observation.get`` raises a JVM assertion when the
+    acted-on result is EMPTY (AQE prunes the observed node out of an
+    empty-result plan, so the metrics row never materializes) — which
+    for a reject guard is precisely the all-rows-rejected case it most
+    needs to report.  ``fallback()`` recomputes the same counts with a
+    dedicated (cheap, parse-stage-only) pass; it runs ONLY on that
+    degenerate path, so the no-second-scan property of the normal path
+    is preserved."""
+    try:
+        return obs.get
+    except Exception:
+        return fallback()
+
+
 class ParseRejectionError(RuntimeError):
     """Raised by the --raise-on-error mode when a batch/micro-batch
     contained rows the parse stage would silently drop (the engine's

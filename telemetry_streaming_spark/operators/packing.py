@@ -102,12 +102,14 @@ def sequence_packing(
     )
 
 
-def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+def packing_stats(packed: DataFrame) -> DataFrame:
     """Per-sequence occupancy from a :func:`sequence_packing` result:
     (seq_id, n_docs, n_boundary_docs).  A doc counts for every
     sequence it touches; boundary docs span into the next sequence.
     One explode of the (small, per-doc) sequence range + one count
-    aggregate."""
+    aggregate.  (Everything derives from first_seq/last_seq, so the
+    packing's seq_len is not needed here — an earlier dead parameter
+    suggested otherwise.)"""
     seqs = packed.select(
         F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias("seq_id"),
         F.col("last_seq"),

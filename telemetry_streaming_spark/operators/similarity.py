@@ -345,7 +345,7 @@ def ivf_centroids(
     return centroids
 
 
-def _centroid_scores(
+def centroid_scores(
     vec_col: str,
     centroids: list[list[float]],
     labels: list[int] | None = None,
@@ -391,10 +391,10 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
     """Append ``ivf_cluster`` = argmax cosine(vec, centroid).  One
     map-side expression (array_max over (score, idx) structs) — no
     shuffle, no Python, whole-stage codegen throughout
-    (``_centroid_scores``)."""
+    (``centroid_scores``)."""
     if not centroids:
         raise ValueError("ivf_assign needs at least one centroid (empty corpus?)")
-    return df.withColumn("ivf_cluster", F.array_max(_centroid_scores(vec_col, centroids))["i"])
+    return df.withColumn("ivf_cluster", F.array_max(centroid_scores(vec_col, centroids))["i"])
 
 
 def cosine_topk_ivf(
@@ -423,7 +423,7 @@ def cosine_topk_ivf(
         )
     cand = ivf_assign(df, centroids, vec_col).withColumn("_nrm", norm(F.col(vec_col)))
     probes = F.slice(
-        F.sort_array(_centroid_scores("query_vec", centroids), asc=False), 1, nprobe
+        F.sort_array(centroid_scores("query_vec", centroids), asc=False), 1, nprobe
     )
     q = queries.select(
         "query_id",
@@ -547,7 +547,7 @@ def ivf_assign_scored(
     larger index, which the numpy test replica mirrors."""
     if not centroids:
         raise ValueError("ivf_assign_scored needs at least one centroid")
-    best = F.array_max(_centroid_scores(vec_col, centroids))
+    best = F.array_max(centroid_scores(vec_col, centroids))
     return df.withColumn("ivf_cluster", best["i"]).withColumn(
         "centroid_sim", best["s"]
     )

@@ -312,9 +312,13 @@ def dtw_pattern_match(
                 f"series of {len(pdf)} rows exceeds max_series_len="
                 f"{max_series_len}; pre-filter hot keys"
             )
-        pdf = pdf.sort_values(["__ts_s", id_col], kind="mergesort")
+        # order on FULL microseconds (then id): the euclidean tiers
+        # sort by the full timestamp, and sorting on the emitted
+        # second-truncated column would reorder same-second events
+        # with sub-second spacing relative to them
+        pdf = pdf.sort_values(["__ts_us", id_col], kind="mergesort")
         vals = pdf[value_col].to_numpy(dtype=np.float64)
-        ts_s = pdf["__ts_s"].to_numpy()
+        ts_s = (pdf["__ts_us"].to_numpy() // 1_000_000)
         key = pdf[key_col].iloc[0]
         out = []
         inf = float("inf")
@@ -345,7 +349,7 @@ def dtw_pattern_match(
     prepared = events.select(
         F.col(key_col),
         F.col(id_col),
-        F.expr(f"unix_micros({ts_col}) div 1000000").alias("__ts_s"),
+        F.expr(f"unix_micros({ts_col})").alias("__ts_us"),
         F.col(value_col).cast("double").alias(value_col),
     )
     windows = prepared.groupBy(key_col).applyInPandas(

@@ -3926,7 +3926,7 @@ def packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) sequence range + one count aggregate on seq_id."""
     from telemetry_streaming_spark.operators.packing import packing_stats, sequence_packing
 
-    return packing_stats(sequence_packing(_t(spark, sf_dir, "documents"), seq_len=2048), 2048)
+    return packing_stats(sequence_packing(_t(spark, sf_dir, "documents"), seq_len=2048))
 
 
 @query(
@@ -4486,17 +4486,15 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     as fixed centroids — argmax cosine per vector, ties to the larger
     centroid index (array_max struct semantics, mirrored by the
     oracle's ORDER BY cos DESC, ci DESC).  Centroids ride the plan as
-    literals (operators/similarity.py:ivf_assign_scored), so the whole
+    literals (operators/similarity.py:centroid_scores), so the whole
     assignment is ONE map-only stage over the corpus — no join, no
     shuffle; at 100TB this is embarrassingly parallel.  The iterative
     trainer (ivf_centroids) reuses this same expression each round."""
-    from telemetry_streaming_spark.operators.similarity import ivf_assign_scored
+    from telemetry_streaming_spark.operators.similarity import centroid_scores
 
     # parallelize=False: the assignment is one fused map over the scan
     # (k+1 folds/row); the local fan-out exchange costs more than it
     # buys, and the seed probe below is a 1-task point lookup.
-    from telemetry_streaming_spark.operators.similarity import _centroid_scores
-
     emb = _t(spark, sf_dir, "embeddings", parallelize=False)
     seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "embedding").collect()
     centroids = [[float(x) for x in r[1]] for r in seeds]
@@ -4510,7 +4508,7 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata invariant.  Seeds are collected in ascending vec_id
     # order, so the argmax tie-break direction is unchanged.
     labels = [int(r[0]) for r in seeds]
-    best = F.array_max(_centroid_scores("embedding", centroids, labels))
+    best = F.array_max(centroid_scores("embedding", centroids, labels))
     return emb.select(
         "vec_id",
         best["i"].cast("int").alias("cluster"),

@@ -304,3 +304,29 @@ def test_cli_export_end_to_end(spark, tmp_path, capsys):
     assert m.agg({"n_rows": "sum"}).collect()[0][0] == docs.count()
     printed = capsys.readouterr().out
     assert "shards: 8" in printed
+
+
+def test_raise_on_error_counts_null_reject_rule(spark, tmp_path):
+    """A core ping with payload.os NULL makes the reject rule NULL:
+    prepare() drops the row (allowed & ~NULL filters it), so
+    --raise-on-error must count it as rejected — coalescing NULL to
+    not-rejected would exit 0 while input was silently dropped."""
+    import json as _json
+
+    from telemetry_streaming_spark.observability import ParseRejectionError
+    from tests.fixtures import core_ping
+
+    ping = _json.loads(core_ping())
+    del ping["payload"]["os"]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(_json.dumps(ping) + "\n")
+
+    out1 = tmp_path / "out1"
+    main(["error_aggregator", "--input-path", str(src), "--output-path", str(out1)],
+         spark=spark)  # default: dropped silently, job green
+
+    out2 = tmp_path / "out2"
+    with pytest.raises(ParseRejectionError, match="1 of 1"):
+        main(["error_aggregator", "--input-path", str(src),
+              "--output-path", str(out2), "--raise-on-error"], spark=spark)

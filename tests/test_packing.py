@@ -59,7 +59,7 @@ def test_packing_stats_counts_boundary_docs(spark):
 
     # seq_len 10: doc0 fills 0..7, doc1 spans 8..12 (seqs 0-1), doc2 13..14
     packed = sequence_packing(_docs(spark, [8, 5, 2]), 10)
-    stats = {r.seq_id: r for r in packing_stats(packed, 10).collect()}
+    stats = {r.seq_id: r for r in packing_stats(packed).collect()}
     assert (stats[0].n_docs, stats[0].n_boundary_docs) == (2, 1)
     assert (stats[1].n_docs, stats[1].n_boundary_docs) == (2, 0)
 
