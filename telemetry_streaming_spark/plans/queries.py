@@ -4870,6 +4870,21 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the 4 late oracle-backed additions and rotate into the r4 window.
 # Query *names* are the stable interface (bench.py and entry() select
 # by name), so ordering is free to change per round.
+#
+# r4 ROTATION PLAN (do this first next round): assuming CORRECTNESS_r03
+# greens the 50 below, the still-unverified set to front-load is the
+# 18 round-3 additions (promo_revenue returned_items avg_qty_threshold
+# disjunctive_revenue waiting_suppliers sales_opportunity
+# product_profit running_order_total kmeans_assign rare_token_score
+# dedup_containment shard_manifest semantic_contamination quality_logit
+# skew_report text_chunks dup_cluster_stats dedup_minhash_incremental)
+# plus the rows-only entries never checked by any driver round
+# (approx_value_quantiles approx_heavy_hitters windowed_top_keys
+# token_entropy dtw_pattern_match pattern_match_znorm semdedup
+# embedding_prototypicality; weighted_sample and
+# incremental_distinct_merge hold the two rows-only slots of THIS
+# window) — 26 entries; fill remaining slots with double-checked
+# anchors.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     # oracle-backed queries with no driver-side CORRECTNESS row as of r2:
