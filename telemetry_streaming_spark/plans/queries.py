@@ -4857,6 +4857,117 @@ def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(batch, corpus, threshold=0.3)
 
 
+@query(
+    "event_dedup_stats",
+    oracle="""
+    WITH k AS (
+        SELECT 3600 * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) AS window_start_s,
+               md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+                   CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+                   coalesce(props, '')) AS k
+        FROM events
+    )
+    SELECT window_start_s,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT k) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT k) AS BIGINT) AS n_dups
+    FROM k GROUP BY window_start_s
+    """,
+)
+def event_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: windowed exact-duplicate EVENT detection — the batch
+    twin of streaming ``dropDuplicatesWithinWatermark`` (the
+    reference's dedup story is the Amplitude insert_id downstream
+    contract; here duplicates are measured engine-side).  Event
+    identity = md5 of (user, type, value-cents, props); dups are
+    counted per 1-hour tumbling window.  One shuffle on (window, key)
+    via the distinct-count's partial aggregation; payload strings are
+    hashed map-side."""
+    events = _t(spark, sf_dir, "events")
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            cents(F.col("value")).cast("string"),
+            F.coalesce(F.col("props"), F.lit("")),
+        )
+    )
+    return (
+        events.select(
+            F.window("ts", "1 hour").alias("w"), key.alias("k")
+        )
+        .groupBy(F.col("w.start").cast("long").alias("window_start_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("k").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count_distinct("k")).alias("n_dups"),
+        )
+    )
+
+
+@query(
+    "pareto_spend_bands",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT spend_cents // 5000000 AS band,
+               COUNT(*) AS n_cust,
+               CAST(SUM(spend_cents) AS BIGINT) AS spend_cents
+        FROM c GROUP BY 1
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           n_cust,
+           spend_cents,
+           CAST(SUM(n_cust) OVER w AS BIGINT) AS cum_cust,
+           CAST(SUM(spend_cents) OVER w AS BIGINT) AS cum_spend_cents
+    FROM b
+    WINDOW w AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pareto_spend_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: revenue-concentration (Pareto) curve over FIXED
+    $50k spend bands — top-down cumulative customers and spend per
+    band, the "what fraction of customers drive 80% of revenue" curve.
+
+    Scale shape: the exact rank-cumsum formulation needs a global
+    sort+running-sum over ALL customers through one task; instead the
+    per-customer aggregate folds into integer spend bands (exact
+    integer division, portable across engines), and the global window
+    runs over the BAND table — bounded by max-spend/band-width
+    (hundreds of rows), not by customer cardinality.  The same
+    bounded-cardinality trick as sequence packing's offset window; the
+    band width is the resolution knob."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    bands = (
+        # integer div, not double-div-then-cast: a double quotient can
+        # round across a band boundary at exact multiples
+        cust.groupBy(F.expr("spend_cents div 5000000").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("spend_cents").alias("spend_cents"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bands.select(
+        "band",
+        "n_cust",
+        "spend_cents",
+        F.sum("n_cust").over(w).alias("cum_cust"),
+        F.sum("spend_cents").over(w).alias("cum_spend_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
