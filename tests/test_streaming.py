@@ -702,3 +702,42 @@ def test_streaming_decontaminate_drops_overlapping_docs(spark, stream_dirs):
         assert kept == {2}
     finally:
         stop_quietly(query)
+
+
+def test_streaming_text_chunks_stateless(spark, stream_dirs):
+    """text_chunks is a pure map (explode + slice), so it runs on a
+    streaming frame unchanged — chunk output matches the batch tier
+    row-for-row on the same input."""
+    from telemetry_streaming_spark.operators.contamination import text_chunks
+
+    doc = " ".join(f"w{i}" for i in range(10))
+    _write_lines(stream_dirs["in"], [json.dumps({"doc_id": 1, "text": doc})])
+    raw = text_file_source(spark, stream_dirs["in"])
+    parsed = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    chunks = text_chunks(parsed, chunk_tokens=4, overlap=1)
+    assert chunks.isStreaming
+    name = f"textchunks_test_{uuid.uuid4().hex[:8]}"
+    query = (
+        chunks.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(query)
+        got = sorted(
+            (r.doc_id, r.chunk_idx, r.chunk, r.n_tokens)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+    finally:
+        stop_quietly(query)
+    batch = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    want = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk, r.n_tokens)
+        for r in text_chunks(batch, chunk_tokens=4, overlap=1).collect()
+    )
+    assert got == want and len(got) == 3
