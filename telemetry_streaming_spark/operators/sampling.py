@@ -91,6 +91,46 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col), buckets) < threshold)
 
 
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    size_col: str | None = None,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling-rate plan toward TARGET mixture weights —
+    the planning half of mixture sampling (``stratified_sample`` is
+    the execution half; feed it ``rate`` from here).
+
+    For each stratum: available size (rows, or ``size_col`` sums —
+    tokens for an LLM mix), its target share of the total budget, and
+    ``rate`` = min(1, target/available) — the downsampling fraction
+    that realizes the mix, capped at keep-everything (a stratum short
+    of its target is NOT upsampled; the shortfall is visible as
+    planned < target, which is the signal to re-weight or crawl more).
+
+    One aggregate + a 1-row total cross-joined back (broadcast) —
+    aggregate-sized work regardless of corpus scale.  All outputs are
+    exact integers plus single IEEE divisions, so the plan is
+    engine-portable."""
+    sz = F.sum(size_col) if size_col else F.count(F.lit(1))
+    per = df.groupBy(strata_col).agg(sz.cast("long").alias("available"))
+    total = per.agg(F.sum("available").alias("__total"))
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(w)
+    target = w * F.col("__total").cast("double")
+    rate = F.least(F.lit(1.0), target / F.col("available").cast("double"))
+    return per.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        "available",
+        w.alias("weight"),
+        F.floor(target).cast("long").alias("target_size"),
+        rate.alias("rate"),
+        F.floor(rate * F.col("available").cast("double")).cast("long").alias("planned_size"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key: Column | str,

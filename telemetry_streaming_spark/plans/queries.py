@@ -4968,6 +4968,46 @@ def pareto_spend_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_W = "CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.05 END"
+
+
+@query(
+    "mixture_plan",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(available) AS DOUBLE) AS t FROM per)
+    SELECT source,
+           available,
+           {_MIX_W} AS weight,
+           CAST(FLOOR(({_MIX_W}) * t) AS BIGINT) AS target_size,
+           least(1.0, (({_MIX_W}) * t) / CAST(available AS DOUBLE)) AS rate,
+           CAST(FLOOR(least(1.0, (({_MIX_W}) * t) / CAST(available AS DOUBLE))
+                      * CAST(available AS DOUBLE)) AS BIGINT) AS planned_size
+    FROM per, tot
+    """,
+)
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: data-mixture planning — per-source sampling rates
+    that realize target mixture weights over the char budget
+    (operators/sampling.py:mixture_plan); feed the rates to
+    stratified_sample to execute the mix.  Aggregate-sized work at any
+    corpus scale; a stratum short of its target shows planned <
+    target (the re-weight/crawl-more signal) rather than being
+    upsampled."""
+    from telemetry_streaming_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return mixture_plan(
+        docs, "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2},
+        size_col="n_chars",
+        default_weight=0.05,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
