@@ -171,16 +171,17 @@ def run_error_aggregator(spark, args, experiments: bool = False):
                         raise ParseRejectionError(guard.tripped)
                 # the listener bus is asynchronous: the final
                 # micro-batch's progress event can land after
-                # isActive flips false — drain briefly before
-                # declaring success, or a last-batch rejection
-                # exits 0
+                # isActive flips false.  recentProgress is read
+                # SYNCHRONOUSLY from the query handle (no bus race,
+                # no sleep), so scan it for any batch the listener
+                # missed before declaring success.
                 q.awaitTermination()
-                import time as _time
-
-                for _ in range(20):
-                    if guard.tripped is not None:
-                        raise ParseRejectionError(guard.tripped)
-                    _time.sleep(0.1)
+                if guard.tripped is not None:
+                    raise ParseRejectionError(guard.tripped)
+                for prog in q.recentProgress:
+                    row = (prog.get("observedMetrics") or {}).get("parse_guard")
+                    if row and (row.get("rows_rejected") or 0) > 0:
+                        raise ParseRejectionError(dict(row))
             finally:
                 spark.streams.removeListener(guard)
         else:

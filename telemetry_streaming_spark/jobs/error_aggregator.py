@@ -81,17 +81,14 @@ def parse_failure() -> Column:
     tripped on an allow-listed ping.  Allow-list misses are
     intentional filtering in the reference too, so they never count."""
     allowed, rejected = validity_flags()
-    # A NULL reject rule (e.g. core ping with payload.os null) makes
-    # prepare()'s `allowed & ~rejected` filter NULL -> the row is
-    # DROPPED — so for the flag's purposes NULL must count as
-    # rejected, not as ok: ~coalesce(~rejected, False) is true for
-    # rejected TRUE *and* rejected NULL.  coalesce(rejected, False)
-    # here would map NULL->False and let --raise-on-error exit 0
-    # while input rows were silently dropped.
+    # NULL counts as rejected: a NULL reject rule (e.g. core ping
+    # with payload.os null) makes prepare()'s `allowed & ~rejected`
+    # filter NULL -> the row is DROPPED, so the flag must count it
+    # too or --raise-on-error exits 0 on silently-dropped input.
     return (
         F.col("__corrupt").isNotNull()
         | F.col("ping").isNull()
-        | (F.coalesce(allowed, F.lit(False)) & ~F.coalesce(~rejected, F.lit(False)))
+        | (F.coalesce(allowed, F.lit(False)) & F.coalesce(rejected, F.lit(True)))
     )
 
 

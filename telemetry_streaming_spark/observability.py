@@ -75,10 +75,14 @@ def observation_counts(obs, fallback) -> dict:
     needs to report.  ``fallback()`` recomputes the same counts with a
     dedicated (cheap, parse-stage-only) pass; it runs ONLY on that
     degenerate path, so the no-second-scan property of the normal path
-    is preserved."""
+    is preserved.  Only the JVM-side fetch error is caught — anything
+    else (driver bugs, interrupts) propagates rather than silently
+    triggering a second scan."""
+    from py4j.protocol import Py4JJavaError
+
     try:
         return obs.get
-    except Exception:
+    except Py4JJavaError:
         return fallback()
 
 

@@ -112,15 +112,32 @@ def mixture_plan(
     One aggregate + a 1-row total cross-joined back (broadcast) —
     aggregate-sized work regardless of corpus scale.  All outputs are
     exact integers plus single IEEE divisions, so the plan is
-    engine-portable."""
+    engine-portable.
+
+    A WEIGHTED stratum absent from the corpus still gets a row
+    (available=0, planned=0 < target) — without the outer join on the
+    weight keys, an entirely-missing source would vanish from the plan
+    and its share of the budget would go silently unassigned."""
     sz = F.sum(size_col) if size_col else F.count(F.lit(1))
     per = df.groupBy(strata_col).agg(sz.cast("long").alias("available"))
+    if weights:
+        key_type = per.schema[strata_col].dataType.simpleString()
+        keys = df.sparkSession.createDataFrame(
+            [(k,) for k in sorted(weights)], f"{strata_col} {key_type}"
+        )
+        per = (
+            keys.join(per, strata_col, "full_outer")
+            .withColumn("available", F.coalesce(F.col("available"), F.lit(0)))
+        )
     total = per.agg(F.sum("available").alias("__total"))
     w = F.lit(float(default_weight))
     for k, v in sorted(weights.items()):
         w = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(w)
     target = w * F.col("__total").cast("double")
-    rate = F.least(F.lit(1.0), target / F.col("available").cast("double"))
+    rate = F.when(
+        F.col("available") > 0,
+        F.least(F.lit(1.0), target / F.col("available").cast("double")),
+    ).otherwise(F.lit(0.0))
     return per.crossJoin(F.broadcast(total)).select(
         strata_col,
         "available",

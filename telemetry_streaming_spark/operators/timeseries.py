@@ -318,7 +318,11 @@ def dtw_pattern_match(
         # with sub-second spacing relative to them
         pdf = pdf.sort_values(["__ts_us", id_col], kind="mergesort")
         vals = pdf[value_col].to_numpy(dtype=np.float64)
-        ts_s = (pdf["__ts_us"].to_numpy() // 1_000_000)
+        # truncate toward zero like Spark's `div` (the euclidean
+        # tiers' ts_s): numpy // floors, which differs by one second
+        # for pre-1970 timestamps not on a second boundary
+        us = pdf["__ts_us"].to_numpy()
+        ts_s = np.sign(us) * (np.abs(us) // 1_000_000)
         key = pdf[key_col].iloc[0]
         out = []
         inf = float("inf")

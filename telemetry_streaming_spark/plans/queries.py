@@ -4884,12 +4884,16 @@ def event_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the distinct-count's partial aggregation; payload strings are
     hashed map-side."""
     events = _t(spark, sf_dir, "events")
+    # F.concat, NOT concat_ws: the oracle's || propagates NULL (a
+    # NULL key field -> NULL key -> excluded from COUNT(DISTINCT) in
+    # both engines), while concat_ws silently DROPS null fields and
+    # their separator — two NULL-user rows would dedup against each
+    # other and could collide with a real user's key.
     key = F.md5(
-        F.concat_ws(
-            "|",
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            cents(F.col("value")).cast("string"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("|"),
+            F.col("event_type"), F.lit("|"),
+            cents(F.col("value")).cast("string"), F.lit("|"),
             F.coalesce(F.col("props"), F.lit("")),
         )
     )
