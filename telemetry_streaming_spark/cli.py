@@ -180,8 +180,11 @@ def run_error_aggregator(spark, args, experiments: bool = False):
                     raise ParseRejectionError(guard.tripped)
                 for prog in q.recentProgress:
                     row = (prog.get("observedMetrics") or {}).get("parse_guard")
-                    if row and (row.get("rows_rejected") or 0) > 0:
-                        raise ParseRejectionError(dict(row))
+                    if row is None:
+                        continue
+                    d = row.asDict()  # observedMetrics values are Rows
+                    if (d.get("rows_rejected") or 0) > 0:
+                        raise ParseRejectionError(d)
             finally:
                 spark.streams.removeListener(guard)
         else:
