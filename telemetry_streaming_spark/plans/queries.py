@@ -2108,8 +2108,8 @@ def asof_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id,
            p.user_id,
            COUNT(b.event_id) AS n_follow,
-           COALESCE(SUM(CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT)), 0)
-               AS follow_value_cents
+           CAST(COALESCE(SUM(CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS follow_value_cents
     FROM p LEFT JOIN events b
       ON b.user_id = p.user_id
      AND b.ts > p.ts AND b.ts <= p.ts + INTERVAL 1 HOUR
@@ -2208,8 +2208,9 @@ _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
     oracle="""
     SELECT user_id,
            {counts},
-           COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                    FILTER (WHERE event_type = 'purchase'), 0) AS purchase_value_cents
+           CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+               AS purchase_value_cents
     FROM events
     GROUP BY user_id
     """.format(
@@ -5026,46 +5027,35 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Query *names* are the stable interface (bench.py and entry() select
 # by name), so ordering is free to change per round.
 #
-# r4 ROTATION PLAN (do this first next round): assuming CORRECTNESS_r03
-# greens the 50 below, the still-unverified set to front-load is the
-# 18 round-3 additions (promo_revenue returned_items avg_qty_threshold
-# disjunctive_revenue waiting_suppliers sales_opportunity
-# product_profit running_order_total kmeans_assign rare_token_score
-# dedup_containment shard_manifest semantic_contamination quality_logit
-# skew_report text_chunks dup_cluster_stats dedup_minhash_incremental)
-# plus the rows-only entries never checked by any driver round
-# (approx_value_quantiles approx_heavy_hitters windowed_top_keys
-# token_entropy dtw_pattern_match pattern_match_znorm semdedup
-# embedding_prototypicality; weighted_sample and
-# incremental_distinct_merge hold the two rows-only slots of THIS
-# window) — 26 entries; fill remaining slots with double-checked
-# anchors.
+# r4 WINDOW: the 23 oracle-backed queries with no hash-green driver row in
+# any round (incl. range_join/event_type_pivot whose oracles got the
+# CAST(AS BIGINT) HUGEINT fix this round), then the 8 rows-only entries
+# never seen by any driver window, then r4's new queries as they land.
+# Remaining slots: double-green anchors.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    # oracle-backed queries with no driver-side CORRECTNESS row as of r2:
-    "value_quantiles", "priority_rollup", "dedup_components",
-    "embedding_quantize", "asof_join", "asof_enrich", "range_join",
-    "top_orders_per_customer", "event_type_pivot", "event_cube",
-    "dedup_incremental", "resample_ffill", "scd2_intervals",
-    "heavy_hitters",
-    "distinctive_terms", "value_histogram", "winsorized_stats",
-    "latest_snapshot", "conversion_funnel",
-    "cohort_retention", "inter_event_gaps", "robust_stats",
-    "mode_per_group", "customer_distribution", "large_orders",
-    "min_cost_supplier", "multimodal_audio_chunks",
-    "incremental_merge", "fuzzy_token_match", "time_weighted_avg",
-    "segment_overlap", "value_trend",
-    "equidepth_histogram", "diversified_topk", "share_of_total",
-    "snapshot_diff", "profile_columns",
-    "session_stats", "time_rollup",
-    "chunk_dedup", "chunk_dedup_apply", "contamination_report",
-    "dup_window_fraction", "sequence_packing",
-    "nation_trade_volume", "market_share", "packing_stats",
-    "pattern_match_topk",
-    # two rows-only entries fill the remaining slots (rows-only checks
-    # still confirm the query runs and its cardinality in the driver
-    # env); the other rows-only entries rotate into the r4 window:
-    "weighted_sample", "incremental_distinct_merge",
+    # oracle-backed, never hash-green in r1-r3:
+    "range_join", "event_type_pivot",
+    "promo_revenue", "returned_items", "avg_qty_threshold",
+    "disjunctive_revenue", "waiting_suppliers", "sales_opportunity",
+    "product_profit", "running_order_total",
+    "kmeans_assign", "rare_token_score", "dedup_containment",
+    "shard_manifest", "semantic_contamination", "quality_logit",
+    "skew_report", "text_chunks", "dup_cluster_stats",
+    "dedup_minhash_incremental", "event_dedup_stats",
+    "pareto_spend_bands", "mixture_plan",
+    # rows-only, never in any driver window:
+    "approx_value_quantiles", "approx_heavy_hitters",
+    "windowed_top_keys", "token_entropy", "dtw_pattern_match",
+    "pattern_match_znorm", "semdedup", "embedding_prototypicality",
+    # r4 additions land here (swap anchors out as they arrive):
+    # anchors (already double-green):
+    "pricing_summary", "windowed_sum", "conditional_counts",
+    "avg_count", "distinct_users", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_bands", "similarity_topk",
+    "sessionize", "text_quality", "lang_id", "token_stats",
+    "doc_fingerprint", "curation_funnel", "dedup_components",
+    "asof_join", "heavy_hitters", "chunk_dedup",
 ]
 
 
