@@ -275,6 +275,44 @@ def _general_schema_predicate(ev: Column, schema: dict) -> Column:
     return valid_udf(F.to_json(ev))
 
 
+def _first_match_indices(events_col: Column, schemas: list[dict]) -> Column:
+    """General-tier matcher over the whole events array: serialize the
+    reshaped event structs to a JSON array (null fields omitted, so
+    presence lines up with ``required``) and return, per event, the
+    index of the first schema it satisfies (-1 = drop).  Every spec —
+    compiled-keyword or not — goes through the real jsonschema
+    validator here, mirroring the reference's uniform everit validation
+    (Ping.scala:354-377).  Validators build once per Arrow batch; the
+    UDF is a stateless projection, so the plan streams."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    schemas_json = json.dumps(schemas)  # closure ships a string, not dict trees
+
+    def _match(ev_json):
+        import jsonschema
+
+        specs = json.loads(schemas_json)
+        validators = [jsonschema.validators.validator_for(s)(s) for s in specs]
+
+        def per_ping(s):
+            if s is None:
+                return None
+            out = []
+            for ev in json.loads(s):
+                idx = -1
+                for j, v in enumerate(validators):
+                    if v.is_valid(ev):
+                        idx = j
+                        break
+                out.append(idx)
+            return out
+
+        return ev_json.map(per_ping)
+
+    match_udf = pandas_udf(_match, "array<int>", PandasUDFType.SCALAR)
+    return match_udf(F.to_json(events_col))
+
+
 def event_predicate(ev: Column, schema: dict) -> Column:
     """One event JSON-schema -> boolean Column over the reshaped event
     struct.  Compiled tier when the keyword set allows (the whole
@@ -801,45 +839,29 @@ def amplitude_payloads(
         )
 
     # General tier: a pandas UDF cannot run inside a higher-order
-    # lambda, so explode events to rows, validate/serialize as a plain
-    # projection, and regroup to the same (client_id, events[]) shape
-    # preserving event order.  One extra shuffle on the synthetic ping
-    # id — the price of a config outside the compiled keyword set; the
-    # production corpus never takes this branch.
-    if df.isStreaming:
-        # monotonically_increasing_id and the unwatermarked regroup
-        # below are unsupported on a streaming frame; fail with the
-        # actual reason instead of Spark's opaque AnalysisException.
-        raise ValueError(
-            "this config uses JSON-schema keywords outside the compiled set "
-            f"({sorted(_COMPILED_TOP_KEYWORDS | _COMPILED_PROP_KEYWORDS)}), "
-            "which routes through the "
-            "general jsonschema tier — batch-only.  Run the job in batch "
-            "mode (foreachBatch for a stream), or restrict the config's "
-            "schemas to the compiled keyword set."
-        )
-    base = df.select(
-        F.monotonically_increasing_id().alias("__pid"),
-        F.col("ping"),
-        F.coalesce(ctx.client_id, F.lit("")).alias("client_id"),
-        events.alias("__events"),
-    )
-    ev_rows = base.select(
-        "__pid", "client_id", "ping", F.posexplode("__events").alias("__pos", "__ev")
-    )
-    matched = matched_event_json(F.col("ping"), ctx, F.col("__ev"), config)
+    # lambda, so the per-event jsonschema validation runs OVER THE
+    # WHOLE ARRAY instead — one Arrow batch maps the serialized events
+    # array to the first-matching spec index per event, then a
+    # zip_with picks that spec's serializer column-side.  Pure map, no
+    # explode, no regroup shuffle, so the same plan streams like the
+    # reference's in-stream validator (Ping.scala:354-377).
+    specs = config.flat_specs()
+    midx = _first_match_indices(events, [spec.schema for _, spec in specs])
+
+    def _pick(ev: Column, j: Column) -> Column:
+        branches = [
+            F.when(j == F.lit(k), amplitude_event_json(ping, ctx, ev, g, spec))
+            for k, (g, spec) in enumerate(specs)
+        ]
+        return F.coalesce(*branches, F.lit(None).cast("string"))
+
+    matched = F.array_compact(F.zip_with(events, midx, _pick))
     return (
-        ev_rows.withColumn("__m", matched)
-        .where(F.col("__m").isNotNull())
-        .groupBy("__pid")
-        .agg(
-            F.any_value("client_id").alias("client_id"),
-            F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"),
+        df.select(
+            F.coalesce(ctx.client_id, F.lit("")).alias("client_id"),
+            matched.alias("events"),
         )
-        .select(
-            "client_id",
-            F.transform("__pm", lambda s: s["__m"]).alias("events"),
-        )
+        .filter(F.size("events") > 0)
     )
 
 

@@ -741,3 +741,53 @@ def test_streaming_text_chunks_stateless(spark, stream_dirs):
         for r in text_chunks(batch, chunk_tokens=4, overlap=1).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_general_schema_tier_streams(spark, stream_dirs):
+    """P19 general tier IN-STREAM (Ping.scala:354-377): a config with a
+    non-compiled keyword (maxLength) must validate inside writeStream —
+    no foreachBatch workaround — because the jsonschema match is a
+    stateless Arrow projection over the events array.  Golden values
+    mirror test_general_fallback_maxlength_golden's batch run: of the
+    four fixture methods only 'click' survives maxLength 6."""
+    from telemetry_streaming_spark.jobs import events_to_amplitude as amp_mod
+    from tests.fixtures import focus_event_ping
+    from tests.test_events_to_amplitude import MAXLEN_SCHEMA
+
+    config = amp_mod.parse_config(
+        {
+            "source": "telemetry",
+            "filters": {"docType": ["focus-event"], "appName": ["Focus"]},
+            "eventGroups": [
+                {
+                    "eventGroupName": "m_foc",
+                    "events": [
+                        {"name": "Short", "description": "", "schema": MAXLEN_SCHEMA}
+                    ],
+                }
+            ],
+        }
+    )
+    assert not all(
+        amp_mod.schema_is_compiled(spec.schema) for _, spec in config.flat_specs()
+    ), "test must exercise the general tier"
+    _write_lines(stream_dirs["in"], [focus_event_ping()])
+    raw = text_file_source(spark, stream_dirs["in"])
+    payloads = amp_mod.amplitude_payloads(raw, config)
+    name = f"general_tier_{uuid.uuid4().hex[:8]}"
+    q = (
+        payloads.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(q)
+    finally:
+        stop_quietly(q)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == 1
+    payload_events = [json.loads(e) for e in rows[0].events]
+    assert [p["event_type"] for p in payload_events] == ["m_foc - Short"]
+    assert "click" in payload_events[0]["insert_id"]
+    assert rows[0].client_id == "client1"
