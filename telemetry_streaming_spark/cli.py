@@ -382,6 +382,12 @@ def run_curate(spark, args):
     from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
     _require(args, "input-path", "output-path")
+    if args.checkpoint_mode == "reliable":
+        # W10-adjacent: durable lineage cuts for the iterative dedup
+        # stages, so a 100 TB run survives executor loss without
+        # recomputing the postings/banding stages from the scan.
+        _require(args, "checkpoint-dir")
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = spark.read.parquet(args.input_path)
     cfg = CurationConfig(
         min_tokens=args.min_tokens,
@@ -394,7 +400,11 @@ def run_curate(spark, args):
     bench = spark.read.parquet(args.benchmark_path) if args.benchmark_path else None
     pairs = None
     if args.near_dup == "minhash":
-        pairs = minhash_lsh_pairs(docs, threshold=args.near_dup_threshold)
+        pairs = minhash_lsh_pairs(
+            docs,
+            threshold=args.near_dup_threshold,
+            checkpoint_mode=args.checkpoint_mode,
+        )
     elif args.near_dup == "simhash":
         pairs = simhash_pairs(docs)
     out = curate(docs, cfg, near_dup_pairs=pairs, benchmark=bench)
@@ -538,6 +548,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--benchmark-path", help="decontaminate against this parquet")
     p.add_argument("--chunk-dedup-words", type=int, help="chunk-dedup rewrite width")
+    p.add_argument(
+        "--checkpoint-mode",
+        choices=("local", "reliable"),
+        default="local",
+        help="lineage-cut durability for iterative dedup stages",
+    )
+    p.add_argument("--checkpoint-dir", help="durable dir for --checkpoint-mode reliable")
     p.add_argument("--explain", action="store_true")
 
     p = sub.add_parser("hygiene", help="chunk dedup + decontamination pass")

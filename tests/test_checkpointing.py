@@ -84,3 +84,29 @@ def test_repeated_calls_leave_cache_manager_empty(spark):
         minhash_lsh_pairs(docs, threshold=0.3).collect()
         distinctive_terms(docs, top_k=3).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_minhash_dedup_identical_across_modes(spark, reliable_dir):
+    """The incremental index-probe path cuts lineage on the combined
+    band table; reliable mode must not change which batch docs are
+    flagged against the corpus index."""
+    from telemetry_streaming_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = _docs(spark)
+    batch = spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy dog again and again 1"),
+         (201, "completely unrelated fresh text with novel vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    local = {
+        (r.batch_id, r.corpus_id)
+        for r in incremental_minhash_dedup(batch, corpus, threshold=0.5).collect()
+    }
+    reliable = {
+        (r.batch_id, r.corpus_id)
+        for r in incremental_minhash_dedup(
+            batch, corpus, threshold=0.5, checkpoint_mode="reliable"
+        ).collect()
+    }
+    assert local == reliable
+    assert 200 in {b for b, _ in local} and 201 not in {b for b, _ in local}

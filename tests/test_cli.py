@@ -330,3 +330,47 @@ def test_raise_on_error_counts_null_reject_rule(spark, tmp_path):
     with pytest.raises(ParseRejectionError, match="1 of 1"):
         main(["error_aggregator", "--input-path", str(src),
               "--output-path", str(out2), "--raise-on-error"], spark=spark)
+
+
+def test_cli_curate_reliable_checkpoint(spark, tmp_path):
+    """`curate --near-dup minhash --checkpoint-mode reliable` must set
+    the session checkpoint dir, write RDD checkpoints there, and
+    produce the same curated corpus as local mode."""
+    from telemetry_streaming_spark.cli import main
+
+    ckpt = tmp_path / "reliable_ckpt"
+    outs = {}
+    for mode, extra in (
+        ("local", []),
+        ("reliable", ["--checkpoint-mode", "reliable", "--checkpoint-dir", str(ckpt)]),
+    ):
+        out = str(tmp_path / f"curated_{mode}")
+        main(
+            [
+                "curate",
+                "--input-path", "/root/testdata/sf0.001/documents.parquet",
+                "--output-path", out,
+                "--num-parquet-files", "2",
+                "--min-tokens", "3",
+                "--min-quality", "0.0",
+                "--keep-langs", "en,es,fr,de,zh,und",
+                "--near-dup", "minhash",
+            ] + extra,
+            spark=spark,
+        )
+        outs[mode] = {
+            r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+    assert outs["local"] == outs["reliable"]
+    # the reliable run actually materialized checkpoints in the dir
+    assert any(ckpt.rglob("*")), "no RDD checkpoint files written"
+
+
+def test_cli_curate_reliable_requires_dir():
+    from telemetry_streaming_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "curate", "--input-path", "/x", "--output-path", "/y",
+            "--checkpoint-mode", "reliable",
+        ])
