@@ -71,6 +71,71 @@ HEADLINE = [
 ]
 
 
+# Queries whose sf0.1 Spark/DuckDB ratio is dominated by Spark's fixed
+# per-stage scheduling+codegen floor (~0.2-0.5 s) rather than by plan
+# quality.  The floor thesis makes a testable prediction: the ratio
+# must FALL as SF rises, because the floor is constant while real work
+# scales.  `--trend` measures exactly that at sf0.01 vs sf0.1.
+TREND = ["product_profit", "sessionize", "waiting_suppliers", "asof_join"]
+
+
+def _median_time(fn, runs: int = 3) -> float:
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def trend_main() -> None:
+    import duckdb
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    from telemetry_streaming_spark.session import get_spark
+    from telemetry_streaming_spark.sources.registry import TABLES
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench-trend", shuffle_partitions=min(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    # warm both engines + JIT outside the timed region
+    for name in TREND:
+        QUERIES[name].fn(spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
+
+    out: dict = {"metric": "floor_thesis_trend", "unit": "ratio", "queries": {}}
+    for name in TREND:
+        spec = QUERIES[name]
+        entry: dict = {}
+        for sf_dir in sf_dirs:
+            sf = sf_dir.rsplit("sf", 1)[1]
+            spark_t = _median_time(lambda: spec.fn(spark, sf_dir).collect())
+            spark.catalog.clearCache()
+            con = duckdb.connect()
+            for t in TABLES:
+                path = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.exists(path):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                    )
+            duck_t = _median_time(lambda: con.execute(spec.oracle).fetchall())
+            con.close()
+            entry[sf] = {
+                "spark_sec": round(spark_t, 4),
+                "duckdb_sec": round(duck_t, 4),
+                "ratio": round(spark_t / duck_t, 2) if duck_t > 0 else None,
+            }
+        entry["ratio_falls_with_sf"] = entry["0.1"]["ratio"] < entry["0.01"]["ratio"]
+        out["queries"][name] = entry
+    out["value"] = sum(
+        1 for q in out["queries"].values() if q["ratio_falls_with_sf"]
+    ) / len(TREND)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -136,4 +201,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--trend" in sys.argv:
+        trend_main()
+    else:
+        main()
