@@ -121,6 +121,45 @@ def _require(args, *names) -> None:
         raise SystemExit(f"missing required option(s): {', '.join('--' + n for n in missing)}")
 
 
+def _await_stream_with_reject_guard(spark, start):
+    """Run a streaming query under the parse-rejection guard: start()
+    returns the query; any micro-batch whose observed ``parse_guard``
+    metrics report rows_rejected > 0 stops the query and raises
+    ParseRejectionError (ErrorAggregatorBase.scala:220 /
+    UptakeEventsToDatadog.scala:117-118 raiseOnError parity)."""
+    from telemetry_streaming_spark.observability import (
+        ParseRejectionError,
+        make_reject_guard_listener,
+    )
+
+    guard = make_reject_guard_listener()
+    spark.streams.addListener(guard)
+    try:
+        q = start()
+        while q.isActive:
+            q.awaitTermination(1)
+            if guard.tripped is not None:
+                q.stop()
+                raise ParseRejectionError(guard.tripped)
+        # the listener bus is asynchronous: the final micro-batch's
+        # progress event can land after isActive flips false.
+        # recentProgress is read SYNCHRONOUSLY from the query handle
+        # (no bus race, no sleep), so scan it for any batch the
+        # listener missed before declaring success.
+        q.awaitTermination()
+        if guard.tripped is not None:
+            raise ParseRejectionError(guard.tripped)
+        for prog in q.recentProgress:
+            row = (prog.get("observedMetrics") or {}).get("parse_guard")
+            if row is None:
+                continue
+            d = row.asDict()  # observedMetrics values are Rows
+            if (d.get("rows_rejected") or 0) > 0:
+                raise ParseRejectionError(d)
+    finally:
+        spark.streams.removeListener(guard)
+
+
 def run_error_aggregator(spark, args, experiments: bool = False):
     raw, streaming = _source(spark, args)
     if experiments:
@@ -153,40 +192,12 @@ def run_error_aggregator(spark, args, experiments: bool = False):
     if streaming:
         _require(args, "checkpoint-path")
         if raise_on_error:
-            from telemetry_streaming_spark.observability import (
-                ParseRejectionError,
-                make_reject_guard_listener,
+            _await_stream_with_reject_guard(
+                spark,
+                lambda: job.write_streaming(
+                    raw, args.output_path, args.checkpoint_path, raise_on_error=True
+                ),
             )
-
-            guard = make_reject_guard_listener()
-            spark.streams.addListener(guard)
-            q = job.write_streaming(
-                raw, args.output_path, args.checkpoint_path, raise_on_error=True
-            )
-            try:
-                while q.isActive:
-                    q.awaitTermination(1)
-                    if guard.tripped is not None:
-                        q.stop()
-                        raise ParseRejectionError(guard.tripped)
-                # the listener bus is asynchronous: the final
-                # micro-batch's progress event can land after
-                # isActive flips false.  recentProgress is read
-                # SYNCHRONOUSLY from the query handle (no bus race,
-                # no sleep), so scan it for any batch the listener
-                # missed before declaring success.
-                q.awaitTermination()
-                if guard.tripped is not None:
-                    raise ParseRejectionError(guard.tripped)
-                for prog in q.recentProgress:
-                    row = (prog.get("observedMetrics") or {}).get("parse_guard")
-                    if row is None:
-                        continue
-                    d = row.asDict()  # observedMetrics values are Rows
-                    if (d.get("rows_rejected") or 0) > 0:
-                        raise ParseRejectionError(d)
-            finally:
-                spark.streams.removeListener(guard)
         else:
             job.write_streaming(raw, args.output_path, args.checkpoint_path).awaitTermination()
     else:
@@ -251,14 +262,43 @@ def run_enrollments_to_testtube(spark, args):
 def run_uptake_to_datadog(spark, args):
     from telemetry_streaming_spark.jobs import uptake_to_datadog as job
 
-    raw, _ = _source(spark, args)
+    raw, streaming = _source(spark, args)
+    raise_on_error = getattr(args, "raise_on_error", False)
     obs = None
-    if getattr(args, "raise_on_error", False):
-        m, obs = job.metrics_guarded(raw)
+    if raise_on_error:
+        m, obs = job.metrics_guarded(raw, streaming=streaming)
     else:
         m = job.metrics(raw)
     if args.explain:
         m.explain("formatted")
+        return
+    if streaming:
+        # The reference runs this job as a Kafka->DogStatsD stream
+        # (UptakeEventsToDatadog.scala:103-118); foreach(writer) is the
+        # ForeachWriter sink, parquet append is the offline fallback.
+        _require(args, "checkpoint-path")
+
+        def start():
+            if args.statsd_host:
+                from telemetry_streaming_spark.sinks.dogstatsd import DogStatsDMetricSink
+
+                writer = m.writeStream.foreach(
+                    DogStatsDMetricSink(args.statsd_host, args.statsd_port)
+                )
+            else:
+                _require(args, "output-path")
+                writer = m.writeStream.format("parquet").option("path", args.output_path)
+            return (
+                writer.queryName("uptake_to_datadog")
+                .option("checkpointLocation", args.checkpoint_path)
+                .outputMode("append")
+                .start()
+            )
+
+        if raise_on_error:
+            _await_stream_with_reject_guard(spark, start)
+        else:
+            start().awaitTermination()
         return
     if args.statsd_host:
         from telemetry_streaming_spark.sinks.dogstatsd import DogStatsDMetricSink

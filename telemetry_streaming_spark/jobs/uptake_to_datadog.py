@@ -42,13 +42,17 @@ def metrics(raw: DataFrame) -> DataFrame:
     return _metrics_parsed(P.parse_pings(raw))
 
 
-def metrics_guarded(raw: DataFrame):
+def metrics_guarded(raw: DataFrame, streaming: bool = False):
     """``metrics()`` with the parse-rejection observation attached
     BEFORE the null-filter: returns ``(df, observation)``.  The
     --raise-on-error surface (UptakeEventsToDatadog.scala:117-118):
     undecodable envelopes are counted in the same pass and the caller
     raises when the count is nonzero (the only throw-path this job has
-    — event filtering/docType misses are intentional drops)."""
+    — event filtering/docType misses are intentional drops).
+    ``streaming=True`` attaches the observation by name (observation
+    comes back None; per-batch values surface via
+    QueryProgressEvent.observedMetrics, read by the CLI's guard
+    listener exactly like error_aggregator's)."""
     from telemetry_streaming_spark.observability import observe_counts
 
     parsed = P.parsed_pings_raw(raw)
@@ -56,6 +60,7 @@ def metrics_guarded(raw: DataFrame):
     parsed, obs = observe_counts(
         parsed,
         "parse_guard",
+        streaming=streaming,
         rows_seen=F.count(F.lit(1)),
         rows_rejected=F.sum(bad.cast("long")),
     )

@@ -374,3 +374,60 @@ def test_cli_curate_reliable_requires_dir():
             "curate", "--input-path", "/x", "--output-path", "/y",
             "--checkpoint-mode", "reliable",
         ])
+
+
+def test_raise_on_error_uptake_streaming_trips(spark, tmp_path):
+    """Streaming UptakeEventsToDatadog under --raise-on-error
+    (UptakeEventsToDatadog.scala:117-118): a malformed envelope in the
+    stream trips the parse_guard listener, stops the query, and raises
+    — same guard machinery as error_aggregator's streaming mode."""
+    from telemetry_streaming_spark.observability import ParseRejectionError
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(main_ping() + "\nnot-json\n")
+    with pytest.raises(ParseRejectionError):
+        main([
+            "uptake_to_datadog", "--stream-input", str(src),
+            "--output-path", str(tmp_path / "m"),
+            "--checkpoint-path", str(tmp_path / "ckpt"),
+            "--raise-on-error",
+        ], spark=spark)
+
+
+def test_uptake_streaming_parquet_metrics(spark, tmp_path):
+    """Streaming uptake metrics land in the append parquet sink with
+    the same rows the batch path produces (the query is stopped via
+    the handle once the first micro-batch commits)."""
+    import time as _time
+
+    from telemetry_streaming_spark.jobs import uptake_to_datadog as job
+    from telemetry_streaming_spark.streaming.core import (
+        drain,
+        stop_quietly,
+        text_file_source,
+    )
+    from tests.fixtures import event_ping
+
+    ev = [5, "normandy", "enroll", "preference_study", "exp1", {"branch": "b1"}]
+    ping = event_ping(events={"dynamic": [ev]})
+    src = tmp_path / "in2"
+    src.mkdir()
+    (src / "pings.jsonl").write_text(ping + "\n")
+    m = job.metrics(text_file_source(spark, str(src)))
+    q = (
+        m.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        drain(q)
+    finally:
+        stop_quietly(q)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = job.metrics(spark.createDataFrame([(ping,)], "value string"))
+    assert sorted(r.name for r in got.collect()) == sorted(
+        r.name for r in batch.collect()
+    )
