@@ -5013,6 +5013,201 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# r4: remaining TPC-H query shapes, adapted to the driver's column set
+# (no partsupp/commitdate/shipmode in the testdata) — each picked for a
+# distinct physical plan: pure scan-agg (Q6), agg + global-threshold
+# decorrelation (Q11), big-big join + conditional agg (Q12), agg +
+# 1-row max broadcast (Q15), window decorrelation + semi-join (Q20).
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+aggregate, zero joins.  All three
+    predicates push to the parquet scan (min/max row-group pruning on
+    l_shipdate); the aggregate is a map-side partial -> single final
+    row, so shuffle volume is O(partitions) regardless of SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"), 10000))
+            .alias("revenue_e4"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS value_e4
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_e4
+    FROM pv
+    WHERE CAST(value_e4 AS DOUBLE)
+          > (SELECT CAST(SUM(value_e4) AS DOUBLE) FROM pv) * 0.001
+    """,
+)
+def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free): per-part value vs a global
+    threshold.  The correlated scalar subquery decorrelates into ONE
+    aggregation reused twice: per-part sums, then a 1-row global total
+    broadcast-cross-joined back — the fact table is scanned once and
+    the threshold comparison costs one broadcast of 8 bytes."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000))
+        .alias("value_e4")
+    )
+    total = pv.agg(F.sum("value_e4").cast("double").alias("__t"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("value_e4").cast("double") > F.col("__t") * 0.001)
+        .select("l_partkey", "value_e4")
+    )
+
+
+@query(
+    "shipping_delay_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(COALESCE(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def shipping_delay_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on the available columns: big-big equi-join on
+    the order key + conditional aggregation per priority class.  Both
+    sides shuffle on l_orderkey/o_orderkey once; the CASE sums ride
+    the same hash aggregate (no second pass, no pivot)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("long")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), F.coalesce(F.sum(late), F.lit(0)).alias("n_late"))
+    )
+
+
+@query(
+    "top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS total_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_e4
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_e4 = (SELECT MAX(total_e4) FROM rev)
+    """,
+)
+def top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    max-revenue supplier(s).  The MAX scalar subquery is a 1-row
+    aggregate broadcast back over the already-reduced revenue frame
+    (supplier-cardinality, not lineitem-cardinality); exact integer
+    revenue makes the equality tie-safe across engines.  The supplier
+    join stays unhinted — it scales with SF, AQE picks the strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000))
+            .alias("total_e4")
+        )
+    )
+    mx = rev.agg(F.max("total_e4").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_e4") == F.col("__mx"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    flagged AS (
+        SELECT l_suppkey
+        FROM (
+            SELECT l_suppkey, qty,
+                   AVG(CAST(qty AS DOUBLE)) OVER (PARTITION BY l_partkey) AS avg_qty
+            FROM ps
+        )
+        WHERE CAST(qty AS DOUBLE) > 2.0 * avg_qty
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN flagged ON l_suppkey = s_suppkey
+    """,
+)
+def dominant_part_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty-free): suppliers shipping >2x the
+    per-part average.  The correlated per-part average decorrelates
+    into a window over the ALREADY-REDUCED (part, supplier) frame —
+    the window exchange re-partitions group-cardinality rows, never
+    raw lineitems — then a distinct semi-join against supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        ps.withColumn("avg_qty", F.avg(F.col("qty").cast("double")).over(w))
+        .where(F.col("qty").cast("double") > 2.0 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(flagged, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -5054,8 +5249,10 @@ _FRONT_WINDOW = [
     "avg_count", "distinct_users", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_bands", "similarity_topk",
     "sessionize", "text_quality", "lang_id", "token_stats",
-    "doc_fingerprint", "curation_funnel", "dedup_components",
-    "asof_join", "heavy_hitters", "chunk_dedup",
+    "doc_fingerprint",
+    # r4 additions:
+    "forecast_revenue", "important_parts", "shipping_delay_priority",
+    "top_supplier", "dominant_part_suppliers",
 ]
 
 
