@@ -199,3 +199,60 @@ def weighted_sample(
             "__rn", "__priority"
         )
     return out.orderBy(F.col("__priority").asc(), kc.cast("string").asc()).limit(k).drop("__priority")
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    key hash (the C4-style per-host document cap: bound any single
+    domain's contribution to the corpus without order bias).
+
+    Membership is a pure function of (group, key): rows rank by
+    ``md5(key)`` with the key itself as tie-break, so re-runs, engine
+    changes, and corpus growth OUTSIDE a group never change which of
+    that group's rows survive — adding rows to a group can only evict
+    hash-later rows.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY group)``
+    sorts every group in ONE task — a hot domain becomes a straggler.
+    Instead rows are split into 256 sub-buckets by their md5 hash's
+    first byte (a PREFIX of the sort key, so ordering by (bucket, md5,
+    key) equals ordering by (md5, key)); the window ranks within
+    (group, bucket) — tasks are ~1/256 of a group — and a
+    groups-x-256-row offset table (cumulative counts of earlier
+    buckets, aggregate-sized at any corpus scale) is broadcast back to
+    reconstruct the exact global-within-group rank."""
+    from pyspark.sql import Window
+
+    key_s = F.col(key_col).cast("string")
+    bucketed = df.withColumn("__h", F.md5(key_s)).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    )
+    counts = bucketed.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    cum = Window.partitionBy(group_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        F.col(group_col).alias("__g"),
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias("__off"),
+    ).where(F.col("__off") < cap)  # buckets past the cap can never contribute
+    within = Window.partitionBy(group_col, "__b").orderBy("__h", F.col(key_col))
+    out = (
+        bucketed.withColumn("__wrk", F.row_number().over(within))
+        # inner join: rows in offset-pruned buckets are dropped here
+        # without ever consulting their rank
+        .join(
+            F.broadcast(offsets),
+            (F.col(group_col) == F.col("__g")) & (F.col("__b") == F.col("__ob")),
+        )
+        .withColumn("__rk", (F.col("__off") + F.col("__wrk")).cast("int"))
+        .where(F.col("__rk") <= cap)
+        .drop("__h", "__b", "__wrk", "__g", "__ob", "__off")
+    )
+    return out if keep_rank else out.drop("__rk")

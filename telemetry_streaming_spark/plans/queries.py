@@ -5208,6 +5208,170 @@ def dominant_part_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# r4: training-data pipeline additions — cross-source leakage audit,
+# C4-style per-domain cap, sequence-length histogram, last-touch
+# attribution.
+# ---------------------------------------------------------------------------
+@query(
+    "cross_source_leakage",
+    oracle="""
+    SELECT fp, n_docs, n_sources, min_source, max_source
+    FROM (
+        SELECT md5(text) AS fp,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               MIN(source) AS min_source,
+               MAX(source) AS max_source
+        FROM documents GROUP BY 1
+    )
+    WHERE n_sources > 1
+    """,
+)
+def cross_source_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: cross-source exact-duplicate audit — the
+    train/eval-leakage question ("does any document appear under more
+    than one source?") as one hash aggregation on the md5 fingerprint.
+    Shuffles 16-byte fingerprints, never text; count-distinct rides
+    the same aggregate (Expand on 2 grouping sets), no self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("source").alias("min_source"),
+            F.max("source").alias("max_source"),
+        )
+        .where(F.col("n_sources") > 1)
+    )
+
+
+@query(
+    "domain_cap_sample",
+    oracle="""
+    SELECT doc_id, source, rk
+    FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    WHERE rk <= 100
+    """,
+)
+def domain_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: deterministic per-domain document cap (the C4/CCNet
+    per-host bound) — operators/sampling.py:per_group_cap.  The oracle
+    states the semantics as one PARTITION BY window; the engine
+    computes the identical rank with a 256-way salted two-level rank
+    so no single hot domain ever sorts in one task."""
+    from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_cap(docs, "source", "doc_id", cap=100, keep_rank=True).select(
+        "doc_id", "source", F.col("__rk").alias("rk")
+    )
+
+
+@query(
+    "doc_length_buckets",
+    oracle=r"""
+    SELECT source, bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM (
+        SELECT source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               length(bin(len(string_split_regex(trim(text), '\s+')))) AS bucket
+        FROM documents
+    )
+    GROUP BY source, bucket
+    """,
+)
+def doc_length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: sequence-length histogram per source in power-of-two
+    buckets (bucket = bit-length of the token count) — the packing
+    planner's input distribution.  Bit-length instead of floor(log2):
+    pure integer/string ops, so the bucket id is bit-identical across
+    engines (log2's libm rounding is not a portable hash surface)."""
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            n_tok.alias("n_tok"),
+            F.length(F.bin(n_tok)).cast("long").alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, MAX(event_id) AS id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts, c.id
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+    )
+    SELECT event_id, user_id,
+           epoch_us(pts) // 1000000 AS ts_s,
+           CASE WHEN cts IS NOT NULL
+                 AND epoch_us(pts) - epoch_us(cts) <= 604800000000
+                THEN epoch_us(cts) // 1000000 END AS click_ts_s,
+           CASE WHEN cts IS NOT NULL
+                 AND epoch_us(pts) - epoch_us(cts) <= 604800000000
+                THEN id END AS click_id
+    FROM j
+    """,
+)
+def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: last-touch attribution — every purchase attributed to
+    the user's most recent STRICTLY-earlier click within a 7-day
+    window, as a strict backward as-of join with tolerance
+    (operators/joins.py:asof_join).  Same single-shuffle union+sort+
+    running-last plan as asof_join: zero join nodes, no BNL."""
+    from telemetry_streaming_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("id"))
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        strict=True,
+        tolerance_seconds=7 * 86400,
+        right_prefix="click_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        F.unix_seconds(F.col("click_ts")).alias("click_ts_s"),
+        F.col("click_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -5248,8 +5412,8 @@ _FRONT_WINDOW = [
     "pricing_summary", "windowed_sum", "conditional_counts",
     "avg_count", "distinct_users", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_bands", "similarity_topk",
-    "sessionize", "text_quality", "lang_id", "token_stats",
-    "doc_fingerprint",
+    "cross_source_leakage", "domain_cap_sample", "doc_length_buckets",
+    "attribution_last_touch",
     # r4 additions:
     "forecast_revenue", "important_parts", "shipping_delay_priority",
     "top_supplier", "dominant_part_suppliers",

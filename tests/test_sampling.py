@@ -107,3 +107,79 @@ def test_weighted_sample_grouped_quota(spark):
     assert per_group == {"g0": 2, "g1": 2, "g2": 2}
     with pytest.raises(ValueError):
         weighted_sample(df, "id", "w", 0)
+
+
+class TestPerGroupCap:
+    def _docs(self, spark, n=500, groups=3):
+        return spark.createDataFrame(
+            [(i, f"g{i % groups}") for i in range(n)], "doc_id long, source string"
+        )
+
+    def test_cap_enforced_and_deterministic(self, spark):
+        from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+        docs = self._docs(spark)
+        out = per_group_cap(docs, "source", "doc_id", cap=40)
+        counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 40 for v in counts.values())
+        again = {tuple(r) for r in per_group_cap(docs, "source", "doc_id", cap=40).collect()}
+        assert {tuple(r) for r in out.collect()} == again
+
+    def test_growth_outside_group_stable(self, spark):
+        """Adding documents to OTHER groups never changes a group's
+        surviving set (the contamination-stability contract)."""
+        from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+        docs = self._docs(spark, n=300)
+        before = {
+            r.doc_id
+            for r in per_group_cap(docs, "source", "doc_id", cap=25).collect()
+            if r.source == "g0"
+        }
+        grown = docs.union(
+            spark.createDataFrame(
+                [(10_000 + i, "g1") for i in range(200)], "doc_id long, source string"
+            )
+        )
+        after = {
+            r.doc_id
+            for r in per_group_cap(grown, "source", "doc_id", cap=25).collect()
+            if r.source == "g0"
+        }
+        assert before == after
+
+    def test_matches_single_window_reference(self, spark):
+        """The salted two-level rank must equal the naive one-window
+        ranking exactly (same survivors, same ranks)."""
+        from pyspark.sql import Window
+
+        from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+        docs = self._docs(spark, n=400, groups=2)
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        naive = {
+            (r.doc_id, r.source, r.rk)
+            for r in docs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 33)
+            .collect()
+        }
+        got = {
+            (r.doc_id, r.source, r["__rk"])
+            for r in per_group_cap(docs, "source", "doc_id", cap=33, keep_rank=True).collect()
+        }
+        assert naive == got
+
+    def test_plan_has_no_group_only_window(self, spark):
+        """Scale gate: every Window node must partition by the salt
+        bucket too — a group-only window is the hot-domain straggler
+        this operator exists to avoid."""
+        import re
+
+        from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+        docs = self._docs(spark)
+        plan = per_group_cap(docs, "source", "doc_id", cap=10)._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+            assert "__b" in m.group(1), plan[:2000]
