@@ -645,3 +645,55 @@ def semdedup(
         )
 
     return assigned.groupBy("ivf_cluster").applyInPandas(prune, schema=out_schema)
+
+
+def kmeans_update(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    labels: list[int] | None = None,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Lloyd's M-step, distributed: assign every vector to its argmax-
+    cosine centroid (the same map-only expression as the assignment
+    query — centroid_scores), then compute per-(cluster, dimension)
+    member counts and coordinate sums.
+
+    Returns (cluster, pos, n_members, sum_e4, mean_e4): the long-form
+    new centroid matrix.  Coordinates are scaled to integers
+    (floor(x*scale+0.5)) BEFORE summing, so the sums are exact in any
+    aggregation order and bit-identical across engines; mean_e4 is the
+    one final IEEE division.  Shape: one fused map (assignment) ->
+    posexplode to (cluster, pos, val) triples -> hash aggregate with
+    map-side partial combine, so the exchange carries
+    O(k x dim x partitions) partial rows, never O(n x dim).
+    The E-step/M-step pair makes the full Lloyd iteration runnable as
+    two registry ops; the driver loop feeds the returned means back in
+    as the next round's literals (aggregate-sized: k x dim doubles).
+    """
+    if labels is None:
+        labels = list(range(len(centroids)))
+    best = F.array_max(centroid_scores(vec_col, centroids, labels))
+    e4 = lambda c: F.floor(c.cast("double") * scale + F.lit(0.5)).cast("long")  # noqa: E731
+    # two selects: Spark's Generate analysis drops the (s, i) struct
+    # field names when the argmax field access shares a projection with
+    # posexplode, so resolve the cluster id first
+    assigned = df.select(best["i"].cast("int").alias("cluster"), F.col(vec_col))
+    return (
+        assigned.select(
+            "cluster",
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(e4(F.col("val"))).alias("sum_e4"),
+        )
+        .select(
+            "cluster",
+            F.col("pos").cast("int").alias("pos"),
+            "n_members",
+            "sum_e4",
+            (F.col("sum_e4").cast("double") / F.col("n_members")).alias("mean_e4"),
+        )
+    )

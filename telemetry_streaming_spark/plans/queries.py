@@ -5372,6 +5372,167 @@ def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "kmeans_update",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS ci, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+        SELECT vec_id, ci,
+               list_dot_product(vv, cv) /
+                   (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM v, cent
+    ),
+    assign AS (
+        SELECT vec_id, ci AS cluster
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, ci DESC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    unz AS (
+        SELECT a.cluster,
+               unnest(generate_series(1, len(e.embedding))) AS i,
+               unnest(CAST(e.embedding AS DOUBLE[])) AS x
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+    ),
+    triples AS (
+        SELECT cluster, i - 1 AS pos,
+               CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS val_e4
+        FROM unz
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(pos AS INT) AS pos,
+           COUNT(*) AS n_members,
+           CAST(SUM(val_e4) AS BIGINT) AS sum_e4,
+           CAST(SUM(val_e4) AS DOUBLE) / COUNT(*) AS mean_e4
+    FROM triples
+    GROUP BY cluster, pos
+    """,
+)
+def kmeans_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: k-means UPDATE step (Lloyd's M-step) with the same 8
+    fixed seed centroids as kmeans_assign — together they make a full
+    distributed Lloyd iteration runnable from the registry
+    (operators/similarity.py:kmeans_update).  Exact integer coordinate
+    sums (scale-and-floor) so the new centroids hash identically
+    across engines; the exchange carries only per-partition partial
+    (cluster, pos) sums."""
+    from telemetry_streaming_spark.operators.similarity import kmeans_update
+
+    emb = _t(spark, sf_dir, "embeddings", parallelize=False)
+    seeds = emb.where(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "embedding").collect()
+    if not seeds:
+        return spark.createDataFrame(
+            [], "cluster int, pos int, n_members long, sum_e4 long, mean_e4 double"
+        )
+    centroids = [[float(x) for x in r[1]] for r in seeds]
+    labels = [int(r[0]) for r in seeds]
+    return kmeans_update(emb, "embedding", centroids, labels)
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH per AS (
+        SELECT label,
+               CAST(list_sum(list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)
+               )) AS BIGINT) AS norm_sq_e8
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(norm_sq_e8) AS min_norm_sq_e8,
+           MAX(norm_sq_e8) AS max_norm_sq_e8,
+           CAST(SUM(norm_sq_e8) AS BIGINT) AS sum_norm_sq_e8
+    FROM per
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: embedding-health audit — squared-L2-norm range per
+    label (collapsed/zero vectors and exploding norms are the classic
+    broken-encoder signals).  Norms are exact integers (scaled
+    coordinates squared, summed in a fold), so min/max/sum are
+    hash-portable; the per-row fold is one interpreted HOF pass, the
+    aggregate is map-side combined."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5)).cast("long")
+    norm_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"))
+        * (F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long")),
+    )
+    return (
+        emb.select("label", norm_sq.alias("norm_sq_e8"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_sq_e8").alias("min_norm_sq_e8"),
+            F.max("norm_sq_e8").alias("max_norm_sq_e8"),
+            F.sum("norm_sq_e8").alias("sum_norm_sq_e8"),
+        )
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    idx AS (
+        SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks
+    ),
+    g AS (
+        SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram FROM idx
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: corpus-wide top-k word trigrams (boilerplate /
+    template detection scan).  Grams generate map-side from the token
+    array; the count aggregate map-side-combines before one shuffle on
+    the gram; top-k is TakeOrderedAndProject (per-partition heaps, a
+    k-row merge on the driver — no global sort), deterministic via the
+    (count DESC, gram ASC) total order."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -5407,16 +5568,16 @@ _FRONT_WINDOW = [
     "approx_value_quantiles", "approx_heavy_hitters",
     "windowed_top_keys", "token_entropy", "dtw_pattern_match",
     "pattern_match_znorm", "semdedup", "embedding_prototypicality",
-    # r4 additions land here (swap anchors out as they arrive):
-    # anchors (already double-green):
-    "pricing_summary", "windowed_sum", "conditional_counts",
-    "avg_count", "distinct_users", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_bands", "similarity_topk",
-    "cross_source_leakage", "domain_cap_sample", "doc_length_buckets",
-    "attribution_last_touch",
-    # r4 additions:
+    # r4 additions (all parity-checked at sf0.001 + sf0.01):
     "forecast_revenue", "important_parts", "shipping_delay_priority",
     "top_supplier", "dominant_part_suppliers",
+    "cross_source_leakage", "domain_cap_sample", "doc_length_buckets",
+    "attribution_last_touch",
+    "kmeans_update", "embedding_norm_stats", "text_ngram_topk",
+    # double-green anchors fill the remaining slots:
+    "pricing_summary", "windowed_sum", "conditional_counts",
+    "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
+    "sessionize",
 ]
 
 

@@ -492,3 +492,47 @@ def test_no_corpus_rows_on_single_partition_exchanges(spark):
             inp = next((l for l in block.splitlines() if l.startswith("Input")), "")
             for c in row_cols:
                 assert c not in inp, f"{name}: corpus rows on SinglePartition: {inp}"
+
+
+def test_kmeans_update_numpy_replica(spark):
+    """M-step sums must equal a numpy replica of assign-then-average
+    over the same seed centroids, exactly (integer-scaled sums)."""
+    import numpy as np
+
+    from telemetry_streaming_spark.operators.similarity import kmeans_update
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype("float32")
+    cents = [vecs[i].astype("float64").tolist() for i in range(3)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.cluster, r.pos): (r.n_members, r.sum_e4)
+        for r in kmeans_update(df, "embedding", cents, [0, 1, 2]).collect()
+    }
+    # numpy replica: argmax cosine (ties to larger label), scaled sums
+    C = np.array(cents)
+    Vd = vecs.astype("float64")
+    sims = (Vd @ C.T) / (
+        np.linalg.norm(Vd, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+    )
+    assign = np.array([max(range(3), key=lambda j: (sims[i, j], j)) for i in range(60)])
+    for c in range(3):
+        members = Vd[assign == c]
+        scaled = np.floor(members * 10000 + 0.5).astype("int64")
+        for pos in range(8):
+            n, s = got[(c, pos)]
+            assert n == len(members) and s == int(scaled[:, pos].sum()), (c, pos)
+
+
+def test_kmeans_update_exchange_is_reduced(spark):
+    """The M-step's only wide exchange must carry (cluster, pos)
+    partial aggregates — hashpartitioning on the group keys after a
+    partial HashAggregate — never raw vectors."""
+    plan = explain_str(q(spark, "kmeans_update"), "formatted")
+    wide = [b for b in plan.split("\n\n") if "Exchange" in b and "hashpartitioning" in b]
+    assert wide, "expected one aggregate exchange"
+    for block in wide:
+        assert "cluster" in block and "pos" in block, block
