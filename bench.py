@@ -68,6 +68,18 @@ HEADLINE = [
     "rare_token_score",
     "dedup_containment",
     "dedup_minhash_incremental",
+    # r4 additions with real work at sf0.1 (>=0.4 s; the sub-0.3s
+    # forecast_revenue / doc_length_buckets / embedding_norm_stats
+    # shapes only measure the scheduling floor)
+    "important_parts",
+    "shipping_delay_priority",
+    "top_supplier",
+    "dominant_part_suppliers",
+    "cross_source_leakage",
+    "domain_cap_sample",
+    "attribution_last_touch",
+    "kmeans_update",
+    "text_ngram_topk",
 ]
 
 
