@@ -415,6 +415,58 @@ def run_federated_optimizer(spark, args):
     job.write_updates_streaming(agg, sink, args.checkpoint_path).awaitTermination()
 
 
+def run_minhash_index(spark, args):
+    """The nightly-admission dedup flow as an operable job
+    (operators/dedup.py:incremental_minhash_dedup).
+
+    --mode build: corpus documents parquet in -> persisted MinHash band
+    index parquet out (partitioned by band; the table a deployment
+    stores and appends to instead of re-banding the corpus nightly).
+
+    --mode admit: batch documents + corpus documents + band index in;
+    near-dups of the batch against the index are REJECTED, the rest
+    written to --output-path; --update-index appends the admitted
+    documents' bands so night N+1 probes them too.  Work is
+    O(batch + candidates), never O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_dedup,
+    )
+
+    _require(args, "input-path", "index-path")
+    docs = spark.read.parquet(args.input_path)
+    if args.mode == "build":
+        bands = banded_signatures(docs, num_perm=args.num_perm, bands=args.bands)
+        bands.write.mode("overwrite").partitionBy("band").parquet(args.index_path)
+        print(f"index_bands: {spark.read.parquet(args.index_path).count()}")
+        return
+    _require(args, "corpus-path", "output-path")
+    corpus = spark.read.parquet(args.corpus_path)
+    index = spark.read.parquet(args.index_path)
+    pairs = incremental_minhash_dedup(
+        docs,
+        corpus,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        threshold=args.near_dup_threshold,
+        corpus_bands=index,
+    )
+    dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
+    admitted = docs.join(dup_ids, "doc_id", "left_anti")
+    admitted.write.mode("overwrite").parquet(args.output_path)
+    admitted_out = spark.read.parquet(args.output_path)
+    if args.update_index:
+        banded_signatures(
+            admitted_out, num_perm=args.num_perm, bands=args.bands
+        ).write.mode("append").partitionBy("band").parquet(args.index_path)
+    n_in, n_adm = docs.count(), admitted_out.count()
+    print(f"batch_docs: {n_in}")
+    print(f"admitted: {n_adm}")
+    print(f"rejected: {n_in - n_adm}")
+
+
 def run_curate(spark, args):
     """Training-data curation as an operable job: documents parquet in,
     split-partitioned curated corpus + stage-funnel report out."""
@@ -617,6 +669,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--salt", default="", help="epoch seed: a new salt is a fresh global shuffle")
     p.add_argument("--size-col", default="", help="payload size column for the manifest")
+
+    p = sub.add_parser("minhash_index", help="nightly near-dup admission index")
+    p.add_argument("--mode", choices=("build", "admit"), default="build")
+    p.add_argument("--input-path", help="corpus (build) / nightly batch (admit) parquet")
+    p.add_argument("--index-path", help="persisted band-index parquet dir")
+    p.add_argument("--corpus-path", help="corpus documents parquet (admit)")
+    p.add_argument("--output-path", help="admitted documents parquet (admit)")
+    p.add_argument("--update-index", action="store_true",
+                   help="append admitted documents' bands to the index")
+    p.add_argument("--num-perm", type=int, default=8)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
     return top
 
 
@@ -634,6 +698,7 @@ RUNNERS = {
     "curate": run_curate,
     "hygiene": run_hygiene,
     "export": run_export,
+    "minhash_index": run_minhash_index,
 }
 
 

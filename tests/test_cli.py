@@ -19,6 +19,7 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
+        "minhash_index",
     }
 
 
@@ -431,3 +432,57 @@ def test_uptake_streaming_parquet_metrics(spark, tmp_path):
     assert sorted(r.name for r in got.collect()) == sorted(
         r.name for r in batch.collect()
     )
+
+
+def test_cli_minhash_index_two_night_flow(spark, tmp_path, capsys):
+    """Nightly admission e2e: night 0 builds the band index from the
+    corpus; night 1 admits a batch (planted near-dup rejected, novel
+    doc admitted) and appends the admitted bands; re-running the same
+    batch on night 2 then rejects the night-1 admit as a dup of the
+    now-indexed copy."""
+    from telemetry_streaming_spark.cli import main
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    corpus = spark.createDataFrame(
+        [(i, base % (i % 7)) for i in range(30)], "doc_id long, text string"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    idx = str(tmp_path / "idx")
+    main(["minhash_index", "--mode", "build",
+          "--input-path", corpus_path, "--index-path", idx], spark=spark)
+    index = spark.read.parquet(idx)
+    assert index.columns == ["doc_id", "band_key", "band"] or set(index.columns) == {
+        "doc_id", "band", "band_key"
+    }
+    assert index.count() == 30 * 4  # one row per (doc, band)
+
+    batch = spark.createDataFrame(
+        [(200, base % 1),  # near-dup of corpus doc 1
+         (201, "completely unrelated fresh text with novel vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    batch_path = str(tmp_path / "batch")
+    batch.write.parquet(batch_path)
+    out1 = str(tmp_path / "admitted1")
+    main(["minhash_index", "--mode", "admit",
+          "--input-path", batch_path, "--corpus-path", corpus_path,
+          "--index-path", idx, "--output-path", out1, "--update-index"],
+         spark=spark)
+    admitted = {r.doc_id for r in spark.read.parquet(out1).collect()}
+    assert admitted == {201}
+    printed = capsys.readouterr().out
+    assert "admitted: 1" in printed and "rejected: 1" in printed
+    # the admitted doc's bands landed in the index
+    assert spark.read.parquet(idx).count() == 31 * 4
+
+    # night 2: same batch vs grown corpus+index -> 201 is now a dup of
+    # its own indexed copy (id 201 in the corpus would be itself; use
+    # the grown corpus = corpus + admitted docs, as a deployment would)
+    grown = str(tmp_path / "grown")
+    corpus.union(spark.read.parquet(out1)).write.parquet(grown)
+    out2 = str(tmp_path / "admitted2")
+    main(["minhash_index", "--mode", "admit",
+          "--input-path", batch_path, "--corpus-path", grown,
+          "--index-path", idx, "--output-path", out2], spark=spark)
+    assert spark.read.parquet(out2).count() == 0
