@@ -1,0 +1,141 @@
+"""Property pins for round-4 additions — edge behaviors established in
+the verification drives, held here so CI keeps them."""
+
+import pyspark.sql.functions as F
+
+
+def test_attribution_is_latest_strict_within_tolerance(spark):
+    """The attributed click must be (a) strictly earlier, (b) within
+    tolerance, and (c) the LATEST such click — pinned against a
+    brute-force python replica on adversarial timestamps (same-instant
+    click+purchase, just-inside / just-outside the tolerance edge)."""
+    from datetime import datetime, timedelta
+
+    from telemetry_streaming_spark.operators.joins import asof_join
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # (event_id, user, ts, type)
+        (1, 1, t0, "click"),
+        (2, 1, t0, "purchase"),                      # same instant: strict -> no match
+        (3, 1, t0 + timedelta(seconds=1), "purchase"),  # matches click 1
+        (4, 2, t0 - timedelta(days=7), "click"),
+        (5, 2, t0, "purchase"),                      # exactly 7d: inside (<=)
+        (6, 3, t0 - timedelta(days=7, seconds=1), "click"),
+        (7, 3, t0, "purchase"),                      # 7d+1s: outside
+        (8, 4, t0 - timedelta(hours=2), "click"),
+        (9, 4, t0 - timedelta(hours=1), "click"),
+        (10, 4, t0, "purchase"),                     # latest wins: click 9
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("id"))
+    )
+    got = {
+        r.event_id: r.click_id
+        for r in asof_join(
+            purchases, clicks, left_on="user_id", left_ts="ts", right_ts="ts",
+            strict=True, tolerance_seconds=7 * 86400, right_prefix="click_",
+        ).collect()
+    }
+    assert got == {2: None, 3: 1, 5: 4, 7: None, 10: 9}
+
+
+def test_doc_length_bucket_is_bit_length(spark):
+    """bucket == bit_length(token_count), including the 0-token edge
+    (bin(0)='0' -> bucket 1 in both engines)."""
+    docs = spark.createDataFrame(
+        [(1, "", "s"), (2, "one", "s"), (3, "a b c d e f g h", "s")],
+        "doc_id long, text string, source string",
+    )
+    from telemetry_streaming_spark.functions import text as T
+
+    n_tok = T.token_count(F.col("text"))
+    got = {
+        r.doc_id: (r.n, r.b)
+        for r in docs.select(
+            "doc_id", n_tok.alias("n"), F.length(F.bin(n_tok)).alias("b")
+        ).collect()
+    }
+    for doc_id, (n, b) in got.items():
+        assert b == max(int(n).bit_length(), 1), (doc_id, n, b)
+
+
+def test_cross_source_leakage_ignores_within_source_dups(spark):
+    """Duplicates confined to ONE source are not leakage; only texts
+    spanning sources are flagged."""
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "same text", "a"), (2, "same text", "a"),   # within-source dup
+         (3, "leaky", "a"), (4, "leaky", "b"),           # cross-source
+         (5, "unique", "c")],
+        "doc_id long, text string, lang string, source string"[:0] or
+        "doc_id long, text string, source string",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["cross_source_leakage"].fn(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_sources == 2
+    assert (out[0].min_source, out[0].max_source) == ("a", "b")
+
+
+def test_trigram_counts_match_python_replica(spark):
+    """Gram generation must agree with a brute-force python count,
+    including docs shorter than 3 tokens (zero grams, no crash)."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+
+    texts = ["a b c d", "a b c", "a b", "", "  x  y  z  "]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    expect = Counter()
+    for t in texts:
+        toks = t.strip().split()
+        for i in range(len(toks) - 2):
+            expect[" ".join(toks[i : i + 3])] += 1
+    got = {r.gram: r.n for r in QUERIES["text_ngram_topk"].fn(spark, d).collect()}
+    assert got == dict(expect)
+
+
+def test_kmeans_update_membership_is_total(spark):
+    """Every vector lands in exactly one cluster: per-pos member counts
+    sum to the corpus size for every dimension."""
+    from telemetry_streaming_spark.operators.similarity import kmeans_update
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 + 1), float((i * 7) % 3 + 1)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[0.0, 1.0], [4.0, 0.0]]
+    rows = kmeans_update(df, "embedding", cents).collect()
+    by_pos = {}
+    for r in rows:
+        by_pos.setdefault(r.pos, 0)
+        by_pos[r.pos] += r.n_members
+    assert set(by_pos) == {0, 1}
+    assert all(v == 40 for v in by_pos.values()), by_pos
+
+
+def test_per_group_cap_smaller_groups_untouched(spark):
+    """Groups at or under the cap keep every row."""
+    from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(5)],
+        "doc_id long, source string",
+    )
+    out = per_group_cap(docs, "source", "doc_id", cap=10)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 5}
