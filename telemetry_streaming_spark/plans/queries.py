@@ -5533,6 +5533,111 @@ def text_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "dedup_normalized",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: normalization-tier exact dedup (C4's case/whitespace
+    fold) — the tier between byte-exact and n-gram fuzzy: lower,
+    collapse runs of whitespace, trim, then the same min-id-keeper
+    hash aggregate as dedup_exact.  Only 16-byte fingerprints cross
+    the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.groupBy(F.md5(norm).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "conversion_delay_buckets",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(epoch_us(MIN(ts) FILTER (WHERE event_type = 'click'))
+                    // 1000000 AS BIGINT) AS first_click_s,
+               CAST(epoch_us(MIN(ts) FILTER (WHERE event_type = 'purchase'))
+                    // 1000000 AS BIGINT) AS first_purchase_s
+        FROM events GROUP BY user_id
+    ),
+    delays AS (
+        SELECT first_purchase_s - first_click_s AS delay_s
+        FROM per_user
+        WHERE first_click_s IS NOT NULL AND first_purchase_s IS NOT NULL
+          AND first_purchase_s >= first_click_s
+    )
+    SELECT length(bin(delay_s)) AS bucket,
+           COUNT(*) AS n_users,
+           MIN(delay_s) AS min_delay_s,
+           MAX(delay_s) AS max_delay_s
+    FROM delays GROUP BY 1
+    """,
+)
+def conversion_delay_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: time-to-convert distribution — first click to first
+    purchase per user, histogrammed in power-of-two-second buckets
+    (same libm-free bit-length trick as doc_length_buckets).  One
+    exchange on user_id (conditional MINs ride a single aggregate),
+    then an aggregate-sized bucket rollup."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.unix_seconds(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("first_click_s"),
+        F.unix_seconds(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("first_purchase_s"),
+    )
+    delays = per_user.where(
+        F.col("first_click_s").isNotNull()
+        & F.col("first_purchase_s").isNotNull()
+        & (F.col("first_purchase_s") >= F.col("first_click_s"))
+    ).select((F.col("first_purchase_s") - F.col("first_click_s")).alias("delay_s"))
+    return (
+        delays.groupBy(F.length(F.bin(F.col("delay_s"))).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("delay_s").alias("min_delay_s"),
+            F.max("delay_s").alias("max_delay_s"),
+        )
+    )
+
+
+@query(
+    "source_length_quantiles",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           quantile_cont(n_chars, 0.99) AS p99_chars
+    FROM documents GROUP BY source
+    """,
+)
+def source_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-source document-size quantiles (the mixture
+    planner's length priors).  Exact sort-based percentiles —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    interpolation formula, so the doubles hash identically; swap to
+    approx_percentile at 100TB when tolerance permits."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -5552,6 +5657,12 @@ def text_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CAST(AS BIGINT) HUGEINT fix this round), then the 8 rows-only entries
 # never seen by any driver window, then r4's new queries as they land.
 # Remaining slots: double-green anchors.
+#
+# r5 ROTATION PLAN (do this first next round): assuming CORRECTNESS_r04
+# greens the 50 below, front-load the late-r4 additions that missed
+# this window (dedup_normalized, conversion_delay_buckets,
+# source_length_quantiles, + anything added after this comment) and
+# fill with anchors.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     # oracle-backed, never hash-green in r1-r3:
