@@ -536,3 +536,32 @@ def test_kmeans_update_exchange_is_reduced(spark):
     assert wide, "expected one aggregate exchange"
     for block in wide:
         assert "cluster" in block and "pos" in block, block
+
+
+def test_forecast_revenue_predicates_reach_scan(spark):
+    """Q6's whole point is pushdown: all three predicate families must
+    appear in the parquet scan's PushedFilters."""
+    plan = explain_str(q(spark, "forecast_revenue"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan[:1500]
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in line, line
+
+
+def test_dedup_normalized_ships_fingerprints_not_text(spark):
+    """The normalization fold happens map-side; only the 16-byte md5
+    crosses the exchange."""
+    plan = explain_str(q(spark, "dedup_normalized"), "formatted")
+    for block in plan.split("\n\n"):
+        if "Exchange" in block and "hashpartitioning" in block:
+            inp = next((l for l in block.splitlines() if l.startswith("Input")), "")
+            assert "text#" not in inp, inp
+
+
+def test_domain_cap_offsets_are_broadcast(spark):
+    """The offset table joins back via broadcast — the row side must
+    never shuffle a second time for the offset join."""
+    plan = explain_str(q(spark, "domain_cap_sample"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
