@@ -467,6 +467,68 @@ def run_minhash_index(spark, args):
     print(f"rejected: {n_in - n_adm}")
 
 
+def run_ann_index(spark, args):
+    """Persisted IVF approximate-nearest-neighbor index
+    (operators/similarity.py:ivf_centroids/cosine_topk_ivf_index).
+
+    --mode build: embeddings parquet in -> <index>/assignments parquet
+    PARTITIONED BY ivf_cluster + <index>/centroids parquet out.  The
+    cluster partitioning is the scale lever: a query batch probing
+    nprobe of nlist lists dynamic-partition-prunes the scan to
+    ~nprobe/nlist of the corpus files.
+
+    --mode query: queries parquet (query_id, query_vec) + index in ->
+    top-k neighbors parquet out."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.similarity import (
+        cosine_topk_ivf_index,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    _require(args, "input-path", "index-path")
+    if args.mode == "build":
+        emb = spark.read.parquet(args.input_path)
+        centroids = ivf_centroids(
+            emb, nlist=args.nlist, iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        if not centroids:
+            raise SystemExit("empty embeddings input — nothing to index")
+        ivf_assign(emb, centroids, args.vec_col).write.mode("overwrite").partitionBy(
+            "ivf_cluster"
+        ).parquet(os.path.join(args.index_path, "assignments"))
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "ivf_cluster int, centroid array<double>",
+        ).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(args.index_path, "centroids")
+        )
+        print(f"clusters: {len(centroids)}")
+        print(f"indexed: {spark.read.parquet(os.path.join(args.index_path, 'assignments')).count()}")
+        return
+    _require(args, "output-path")
+    index = spark.read.parquet(os.path.join(args.index_path, "assignments"))
+    cent_rows = (
+        spark.read.parquet(os.path.join(args.index_path, "centroids"))
+        .orderBy("ivf_cluster")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    queries = spark.read.parquet(args.input_path)
+    topk = cosine_topk_ivf_index(
+        index, centroids, queries, k=args.k, nprobe=args.nprobe,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    if args.explain:
+        topk.explain("formatted")
+        return
+    topk.write.mode("overwrite").parquet(args.output_path)
+    print(f"queries: {queries.count()}")
+    print(f"results: {spark.read.parquet(args.output_path).count()}")
+
+
 def run_curate(spark, args):
     """Training-data curation as an operable job: documents parquet in,
     split-partitioned curated corpus + stage-funnel report out."""
@@ -681,6 +743,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-perm", type=int, default=8)
     p.add_argument("--bands", type=int, default=4)
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
+
+    p = sub.add_parser("ann_index", help="persisted IVF ANN index build/query")
+    p.add_argument("--mode", choices=("build", "query"), default="build")
+    p.add_argument("--input-path", help="embeddings (build) / queries (query) parquet")
+    p.add_argument("--index-path", help="index root dir (assignments/ + centroids/)")
+    p.add_argument("--output-path", help="top-k results parquet (query)")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--nlist", type=int, default=16)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument("--explain", action="store_true")
     return top
 
 
@@ -699,6 +774,7 @@ RUNNERS = {
     "hygiene": run_hygiene,
     "export": run_export,
     "minhash_index": run_minhash_index,
+    "ann_index": run_ann_index,
 }
 
 

@@ -421,7 +421,45 @@ def cosine_topk_ivf(
         return df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
-    cand = ivf_assign(df, centroids, vec_col).withColumn("_nrm", norm(F.col(vec_col)))
+    cand = ivf_assign(df, centroids, vec_col)
+    return cosine_topk_ivf_index(cand, centroids, queries, k, nprobe, id_col, vec_col)
+
+
+def cosine_topk_ivf_index(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against a PREBUILT index: ``index_df`` is
+    (id, vec, ivf_cluster) — typically the persisted output of the
+    ``ann_index`` CLI build, a parquet table partitioned by
+    ivf_cluster.
+
+    The union of probed cluster ids is computed first and pushed as a
+    STATIC ``isin`` partition filter on the index scan (the set is at
+    most nlist ints — a bounded-by-contract collect), so a query batch
+    probing p of nlist lists reads ~p/nlist of the corpus files.
+    Explicit rather than DPP: Spark's dynamic pruning does not trigger
+    for a broadcast probe side built in memory, and the static filter
+    is strictly more predictable."""
+    probe_lists = F.slice(
+        F.sort_array(centroid_scores("query_vec", centroids), asc=False), 1, nprobe
+    )
+    probed = sorted(
+        r[0]
+        for r in queries.select(
+            F.explode(F.transform(probe_lists, lambda p: p["i"])).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    cand = index_df.where(F.col("ivf_cluster").isin(probed)).withColumn(
+        "_nrm", norm(F.col(vec_col))
+    )
     probes = F.slice(
         F.sort_array(centroid_scores("query_vec", centroids), asc=False), 1, nprobe
     )

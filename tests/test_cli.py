@@ -19,7 +19,7 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index",
+        "minhash_index", "ann_index",
     }
 
 
@@ -486,3 +486,62 @@ def test_cli_minhash_index_two_night_flow(spark, tmp_path, capsys):
           "--input-path", batch_path, "--corpus-path", grown,
           "--index-path", idx, "--output-path", out2], spark=spark)
     assert spark.read.parquet(out2).count() == 0
+
+
+def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
+    """Persisted IVF index e2e: build partitions the corpus by
+    ivf_cluster; query against the persisted index returns exactly the
+    same neighbors as the in-memory cosine_topk_ivf with the same
+    seeds/params, and the assignments land cluster-partitioned."""
+    import os
+
+    from telemetry_streaming_spark.cli import main
+    from telemetry_streaming_spark.operators.similarity import cosine_topk_ivf
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann")
+    main(["ann_index", "--mode", "build",
+          "--input-path", emb_path, "--index-path", idx,
+          "--nlist", "8", "--iters", "2"], spark=spark)
+    assign_dir = os.path.join(idx, "assignments")
+    assert any(d.startswith("ivf_cluster=") for d in os.listdir(assign_dir))
+    printed = capsys.readouterr().out
+    assert "clusters: 8" in printed
+
+    emb = spark.read.parquet(emb_path)
+    queries = (
+        emb.orderBy("vec_id").limit(5)
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    qpath = str(tmp_path / "queries")
+    queries.write.parquet(qpath)
+    out = str(tmp_path / "topk")
+    main(["ann_index", "--mode", "query",
+          "--input-path", qpath, "--index-path", idx,
+          "--output-path", out, "--k", "3", "--nprobe", "4"], spark=spark)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_ivf(emb, queries, k=3, nlist=8, nprobe=4, iters=2).collect()
+    }
+    assert got == expect and len(got) == 15
+    # the probed-cluster set lands as a STATIC partition filter on the
+    # persisted index scan — the read-less-than-the-corpus contract
+    from telemetry_streaming_spark.operators.similarity import cosine_topk_ivf_index
+
+    index = spark.read.parquet(assign_dir)
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(os.path.join(idx, "centroids"))
+        .orderBy("ivf_cluster").collect()
+    ]
+    probe = cosine_topk_ivf_index(index, cents, queries, k=3, nprobe=2)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [ivf_cluster" in l and " IN " in l
+        for l in plan.splitlines()
+    ), plan[:1200]
