@@ -496,6 +496,11 @@ def run_ann_index(spark, args):
         )
         if not centroids:
             raise SystemExit("empty embeddings input — nothing to index")
+        if args.explain:
+            # centroid training above already ran (it IS collection by
+            # nature); the explain covers the big write-side plan
+            ivf_assign(emb, centroids, args.vec_col).explain("formatted")
+            return
         ivf_assign(emb, centroids, args.vec_col).write.mode("overwrite").partitionBy(
             "ivf_cluster"
         ).parquet(os.path.join(args.index_path, "assignments"))
@@ -522,6 +527,9 @@ def run_ann_index(spark, args):
         id_col=args.id_col, vec_col=args.vec_col,
     )
     if args.explain:
+        # note: the probed-cluster prefilter is computed eagerly (one
+        # small job over the query batch) so the printed plan shows the
+        # real static partition filter the run would use
         topk.explain("formatted")
         return
     topk.write.mode("overwrite").parquet(args.output_path)

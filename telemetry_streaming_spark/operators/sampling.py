@@ -226,12 +226,20 @@ def per_group_cap(
     (group, bucket) — tasks are ~1/256 of a group — and a
     groups-x-256-row offset table (cumulative counts of earlier
     buckets, aggregate-sized at any corpus scale) is broadcast back to
-    reconstruct the exact global-within-group rank."""
+    reconstruct the exact global-within-group rank.
+
+    NULLs: a NULL group is a group of its own (null-safe join), and a
+    NULL key ranks after every hashed key (bucket 256, nulls-last
+    ordering — matching a SQL ``ORDER BY md5(key)`` with NULLS LAST);
+    multiple NULL-key rows in one group have no hash to order by, so
+    which of THEM survive is arbitrary (still capped) — give rows real
+    keys if that matters."""
     from pyspark.sql import Window
 
     key_s = F.col(key_col).cast("string")
     bucketed = df.withColumn("__h", F.md5(key_s)).withColumn(
-        "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+        "__b",
+        F.coalesce(F.conv(F.substring("__h", 1, 2), 16, 10).cast("int"), F.lit(256)),
     )
     counts = bucketed.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
     cum = Window.partitionBy(group_col).orderBy("__b").rowsBetween(
@@ -242,14 +250,16 @@ def per_group_cap(
         F.col("__b").alias("__ob"),
         F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias("__off"),
     ).where(F.col("__off") < cap)  # buckets past the cap can never contribute
-    within = Window.partitionBy(group_col, "__b").orderBy("__h", F.col(key_col))
+    within = Window.partitionBy(group_col, "__b").orderBy(
+        F.col("__h").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
     out = (
         bucketed.withColumn("__wrk", F.row_number().over(within))
         # inner join: rows in offset-pruned buckets are dropped here
         # without ever consulting their rank
         .join(
             F.broadcast(offsets),
-            (F.col(group_col) == F.col("__g")) & (F.col("__b") == F.col("__ob")),
+            F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("__b") == F.col("__ob")),
         )
         .withColumn("__rk", (F.col("__off") + F.col("__wrk")).cast("int"))
         .where(F.col("__rk") <= cap)

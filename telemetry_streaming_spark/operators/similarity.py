@@ -460,13 +460,12 @@ def cosine_topk_ivf_index(
     cand = index_df.where(F.col("ivf_cluster").isin(probed)).withColumn(
         "_nrm", norm(F.col(vec_col))
     )
-    probes = F.slice(
-        F.sort_array(centroid_scores("query_vec", centroids), asc=False), 1, nprobe
-    )
+    # the join fan-out reuses probe_lists verbatim: the partition
+    # prefilter above MUST stay a superset of the per-query probes
     q = queries.select(
         "query_id",
         "query_vec",
-        F.explode(F.transform(probes, lambda p: p["i"])).alias("ivf_cluster"),
+        F.explode(F.transform(probe_lists, lambda p: p["i"])).alias("ivf_cluster"),
     )
     q = q.withColumn("_qnrm", norm(F.col("query_vec")))
     scored = (

@@ -5039,7 +5039,10 @@ def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates push to the parquet scan (min/max row-group pruning on
     l_shipdate); the aggregate is a map-side partial -> single final
     row, so shuffle volume is O(partitions) regardless of SF."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(
+        spark, sf_dir, "lineitem",
+        ts_bounds={"l_shipdate": ("1994-01-01 00:00:00", "1995-01-01 00:00:00")},
+    )
     return (
         li.where(
             (F.col("l_shipdate") >= "1994-01-01")
@@ -5068,12 +5071,14 @@ def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, value_e4
     FROM pv
     WHERE CAST(value_e4 AS DOUBLE)
-          > (SELECT CAST(SUM(value_e4) AS DOUBLE) FROM pv) * 0.001
+          > (SELECT CAST(SUM(value_e4) AS DOUBLE) * 1.5 / COUNT(*) FROM pv)
     """,
 )
 def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp-free): per-part value vs a global
-    threshold.  The correlated scalar subquery decorrelates into ONE
+    threshold (1.5x the mean part value, so the predicate keeps a
+    proper nonempty subset at every scale factor — a fixed share
+    threshold degenerates to all-or-nothing as part count scales).  The correlated scalar subquery decorrelates into ONE
     aggregation reused twice: per-part sums, then a 1-row global total
     broadcast-cross-joined back — the fact table is scanned once and
     the threshold comparison costs one broadcast of 8 bytes."""
@@ -5082,10 +5087,13 @@ def important_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000))
         .alias("value_e4")
     )
-    total = pv.agg(F.sum("value_e4").cast("double").alias("__t"))
+    total = pv.agg(
+        F.sum("value_e4").cast("double").alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
     return (
         pv.join(F.broadcast(total))
-        .where(F.col("value_e4").cast("double") > F.col("__t") * 0.001)
+        .where(F.col("value_e4").cast("double") > F.col("__s") * 1.5 / F.col("__c"))
         .select("l_partkey", "value_e4")
     )
 
@@ -5140,7 +5148,10 @@ def top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (supplier-cardinality, not lineitem-cardinality); exact integer
     revenue makes the equality tie-safe across engines.  The supplier
     join stays unhinted — it scales with SF, AQE picks the strategy."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(
+        spark, sf_dir, "lineitem",
+        ts_bounds={"l_shipdate": ("1996-01-01 00:00:00", "1996-04-01 00:00:00")},
+    )
     sup = _t(spark, sf_dir, "supplier")
     rev = (
         li.where(
@@ -5465,13 +5476,17 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-portable; the per-row fold is one interpreted HOF pass, the
     aggregate is map-side combined."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5)).cast("long")
-    norm_sq = F.aggregate(
-        F.col("embedding"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + (F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"))
-        * (F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long")),
+
+    def e4(x):
+        return F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long")
+
+    fold = F.aggregate(
+        F.col("embedding"), F.lit(0).cast("long"), lambda acc, x: acc + e4(x) * e4(x)
     )
+    # empty array: DuckDB's list_sum([]) is NULL while the fold returns
+    # its 0 seed — NULL the fold so both engines skip the row in
+    # min/max/sum identically
+    norm_sq = F.when(F.size("embedding") > 0, fold)
     return (
         emb.select("label", norm_sq.alias("norm_sq_e8"))
         .groupBy("label")

@@ -76,7 +76,6 @@ def test_cross_source_leakage_ignores_within_source_dups(spark):
         [(1, "same text", "a"), (2, "same text", "a"),   # within-source dup
          (3, "leaky", "a"), (4, "leaky", "b"),           # cross-source
          (5, "unique", "c")],
-        "doc_id long, text string, lang string, source string"[:0] or
         "doc_id long, text string, source string",
     ).write.parquet(os.path.join(d, "documents.parquet"))
     out = QUERIES["cross_source_leakage"].fn(spark, d).collect()

@@ -183,3 +183,23 @@ class TestPerGroupCap:
         plan = per_group_cap(docs, "source", "doc_id", cap=10)._jdf.queryExecution().executedPlan().toString()
         for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
             assert "__b" in m.group(1), plan[:2000]
+
+
+def test_per_group_cap_keeps_null_group_and_null_keys(spark):
+    """NULL group is a group of its own; NULL-key rows rank last but
+    are kept when the group is under cap (the review-found silent-drop
+    bug)."""
+    from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (None, "b")],
+        "doc_id long, source string",
+    )
+    out = {(r.doc_id, r.source) for r in per_group_cap(docs, "source", "doc_id", 10).collect()}
+    assert out == {(1, "a"), (2, "a"), (3, None), (4, None), (None, "b")}
+    # under a tight cap, NULL keys are the first evicted (rank last)
+    mixed = spark.createDataFrame(
+        [(1, "g"), (2, "g"), (None, "g")], "doc_id long, source string"
+    )
+    kept = {r.doc_id for r in per_group_cap(mixed, "source", "doc_id", 2).collect()}
+    assert kept == {1, 2}
