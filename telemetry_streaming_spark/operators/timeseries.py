@@ -360,3 +360,106 @@ def dtw_pattern_match(
         score, schema=f"{key_col} long, ts_s long, dtw_dist double"
     )
     return windows.orderBy(F.col("dtw_dist"), F.col(key_col), F.col("ts_s")).limit(k)
+
+
+def trailing_window_stats(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 29,
+    slice_col: str | None = None,
+) -> DataFrame:
+    """Trailing-frame rolling stats (n, s1, s2 over the ``lookback``
+    PRECEDING rows, current row excluded) per ``part_col`` — the
+    engine behind rolling_anomaly_flags.
+
+    ``slice_col=None`` is the semantic reference: one window per
+    partition value.  For a LOW-CARDINALITY part_col that form sorts
+    each partition's entire history in one task — the classic
+    straggler.  Passing a ``slice_col`` (e.g. a day column) activates
+    the time-sliced rewrite: rows window within (part, slice) after
+    each slice's last ``lookback`` rows are copied into the next slice
+    as non-emitting carry rows, so every trailing frame is
+    reconstructed EXACTLY while no task ever sorts more than one
+    slice (+ lookback carries).
+
+    Correctness contract of the sliced form: each (part, slice) must
+    have >= ``lookback`` native rows, except a partition's FIRST slice
+    (carries chain only one slice back; a sparser slice would need
+    multi-slice carry chaining, which is sequential).  The contract is
+    CHECKED — a violating slice raises instead of silently emitting
+    wrong frames.  At the scale where slicing matters the contract
+    holds by construction (that is why you slice).
+    """
+    order_exprs = [F.col(c) for c in order_cols]
+    val = F.col(value_col)
+    if slice_col is None:
+        win = (
+            Window.partitionBy(part_col).orderBy(*order_exprs).rowsBetween(-lookback, -1)
+        )
+        return df.select(
+            "*",
+            F.count(F.lit(1)).over(win).alias("n"),
+            F.sum(val).over(win).alias("s1"),
+            F.sum(val * val).over(win).alias("s2"),
+        )
+    # ---- sliced form -----------------------------------------------------
+    sl = F.col(slice_col)
+    # contract check (one aggregate-sized job): every non-first slice
+    # has enough native history to carry, and slices are consecutive
+    # integers per partition (a gap would strand the carry)
+    counts = df.groupBy(part_col, slice_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.withColumn(
+        "__first", F.min(sl).over(Window.partitionBy(part_col))
+    )
+    summary = counts.groupBy(part_col).agg(
+        F.min(sl).alias("__lo"),
+        F.max(sl).alias("__hi"),
+        F.count(F.lit(1)).alias("__nslices"),
+        F.min(F.when(sl != F.col("__first"), F.col("__cnt"))).alias("__min_tail_cnt"),
+    )
+    bad = summary.where(
+        (F.col("__hi") - F.col("__lo") + 1 != F.col("__nslices"))
+        | (F.col("__min_tail_cnt") < lookback)
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"sliced trailing window needs consecutive {slice_col} values and "
+            f">= {lookback} rows per non-first ({part_col}, {slice_col}) "
+            f"slice; violated for {part_col}={r[part_col]!r} — widen the "
+            "slice or use slice_col=None"
+        )
+    # rank from the slice END (bounded per-slice window task)
+    tail_w = Window.partitionBy(part_col, slice_col).orderBy(
+        *[e.desc() for e in order_exprs]
+    )
+    with_tail = df.withColumn("__from_end", F.row_number().over(tail_w))
+    carries = (
+        with_tail.where(F.col("__from_end") <= lookback)
+        .drop("__from_end")
+        .withColumn(slice_col, sl + F.lit(1))
+        .withColumn("__carry", F.lit(1))
+    )
+    native = with_tail.drop("__from_end").withColumn("__carry", F.lit(0))
+    unioned = native.unionByName(carries)
+    # carries keep their original order keys, which precede every
+    # native key of the next slice, so plain order_cols ordering puts
+    # them first; order keys must be unique per partition (same
+    # requirement as any deterministic ROWS frame)
+    win = (
+        Window.partitionBy(part_col, slice_col)
+        .orderBy(*order_exprs)
+        .rowsBetween(-lookback, -1)
+    )
+    return (
+        unioned.select(
+            "*",
+            F.count(F.lit(1)).over(win).alias("n"),
+            F.sum(val).over(win).alias("s1"),
+            F.sum(val * val).over(win).alias("s2"),
+        )
+        .where(F.col("__carry") == 0)
+        .drop("__carry")
+    )

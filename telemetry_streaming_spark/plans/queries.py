@@ -5653,6 +5653,81 @@ def source_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "rolling_anomaly_flags",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) // 1000000 AS ts_s,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, event_type, ts_s, cents,
+               COUNT(*) OVER win AS n,
+               CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) OVER win AS BIGINT) AS s2
+        FROM c
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts_s, event_id
+                       ROWS BETWEEN 29 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts_s, cents, n, s1, s2
+    FROM w
+    WHERE n >= 10
+      AND (n * cents - s1) * (n * cents - s1) > 9 * (n * s2 - s1 * s1)
+    """,
+)
+def rolling_anomaly_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: rolling z-score anomaly flags with EXACT integer
+    arithmetic — |x - mean| > 3*sigma over the trailing 30 events per
+    type, algebraically cleared of divisions:
+    (n*x - S1)^2 > 9*(n*S2 - S1^2).  Every operand is a BIGINT sum of
+    scaled cents, so the flag set is bit-identical across engines
+    (rolling stddev via floating Welford would not hash).  One
+    exchange on event_type; the frame is a ROWS window over each
+    type's sorted partition.
+
+    SCALE HAZARD, stated plainly: event_type is low-cardinality, so
+    each type's full history sorts in ONE task — fine at bench scale,
+    a straggler at 100TB.  The implemented lever is
+    ``operators/timeseries.py:trailing_window_stats(slice_col=...)``:
+    window over (event_type, day) after carrying each day's last 29
+    rows into the next day, reconstructing every trailing frame
+    exactly while no task sorts more than one slice (equality with
+    this single-window form is pinned in
+    tests/test_timeseries.py::TestTrailingWindowStats).  The
+    single-window form is kept here because it IS the oracle-checkable
+    semantics; the sliced form is the deployment rewrite."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        cents(F.col("value")).alias("cents"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(-29, -1)
+    )
+    w = c.select(
+        "event_id",
+        "event_type",
+        "ts_s",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return w.where((F.col("n") >= 10) & (dev * dev > 9 * var_n2))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.

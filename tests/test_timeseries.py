@@ -453,3 +453,74 @@ def test_dtw_series_cap_raises(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
     with _pytest.raises(Exception, match="max_series_len"):
         dtw_pattern_match(df, [1.0, 2.0], max_series_len=10).collect()
+
+
+class TestTrailingWindowStats:
+    def _dense(self, spark, days=4, per_day=40, parts=2):
+        rows = []
+        for p in range(parts):
+            i = 0
+            for d in range(days):
+                for _ in range(per_day):
+                    rows.append((f"t{p}", d, i, (i * 13 + p) % 97))
+                    i += 1
+        return spark.createDataFrame(rows, "part string, day int, seq long, v long")
+
+    def test_sliced_equals_reference(self, spark):
+        """The day-sliced rewrite must reproduce every (n, s1, s2)
+        triple of the single-window reference exactly — including
+        frames that span a day boundary through carried rows."""
+        from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+        df = self._dense(spark)
+        ref = {
+            (r.part, r.seq): (r.n, r.s1, r.s2)
+            for r in trailing_window_stats(df, "part", ["seq"], "v", lookback=29).collect()
+        }
+        sliced = {
+            (r.part, r.seq): (r.n, r.s1, r.s2)
+            for r in trailing_window_stats(
+                df, "part", ["seq"], "v", lookback=29, slice_col="day"
+            ).collect()
+        }
+        assert ref == sliced and len(ref) == 320
+
+    def test_sliced_tasks_are_bounded(self, spark):
+        """Scale gate: every window in the sliced plan partitions by
+        (part, day) — no window ever sorts a whole partition."""
+        import re
+
+        from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+        df = self._dense(spark)
+        plan = (
+            trailing_window_stats(df, "part", ["seq"], "v", lookback=29, slice_col="day")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            if "specifiedwindowframe" in spec and "RowFrame" in spec:
+                assert "day" in spec, spec
+
+    def test_sparse_slice_raises(self, spark):
+        """A non-first slice with < lookback rows violates the carry
+        contract and must fail loudly, not emit wrong frames."""
+        import pytest
+
+        from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+        df = self._dense(spark, days=2, per_day=10)  # 10 < lookback 29
+        with pytest.raises(ValueError, match="consecutive|>= 29"):
+            trailing_window_stats(df, "part", ["seq"], "v", lookback=29, slice_col="day")
+
+    def test_slice_gap_raises(self, spark):
+        import pytest
+        import pyspark.sql.functions as F
+
+        from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+        df = self._dense(spark).withColumn(
+            "day", F.when(F.col("day") >= 2, F.col("day") + 1).otherwise(F.col("day"))
+        )
+        with pytest.raises(ValueError, match="consecutive"):
+            trailing_window_stats(df, "part", ["seq"], "v", lookback=29, slice_col="day")
