@@ -100,6 +100,45 @@ def _median_time(fn, runs: int = 3) -> float:
     return sorted(ts)[len(ts) // 2]
 
 
+def duckdb_main() -> None:
+    """--duckdb: time the SAME oracle SQL the headline queries are
+    hash-checked against, in DuckDB, over the same parquet — the
+    judge's 2x-gate comparison, reproducible in one command.  Prints
+    one JSON line with both totals and per-query ratios.  Run AFTER
+    (not concurrently with) bench/pytest: contention skews timings."""
+    import duckdb
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    from telemetry_streaming_spark.sources.registry import TABLES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None or spec.oracle is None:
+            continue
+        timings[name] = round(
+            _median_time(lambda: con.execute(spec.oracle).fetchall(), runs), 4
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_oracle_duckdb_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(re.search(r"sf([0-9.]+)", sf_dir).group(1).rstrip(".")),
+            }
+        )
+    )
+
+
 def trend_main() -> None:
     import duckdb
 
@@ -215,5 +254,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--trend" in sys.argv:
         trend_main()
+    elif "--duckdb" in sys.argv:
+        duckdb_main()
     else:
         main()
