@@ -593,6 +593,7 @@ def run_hygiene(spark, args):
         chunk_dedup_apply,
         decontaminate,
         dup_window_fraction,
+        remove_duplicated_spans,
     )
 
     _require(args, "input-path", "output-path")
@@ -602,6 +603,8 @@ def run_hygiene(spark, args):
     if args.benchmark_path:
         bench = spark.read.parquet(args.benchmark_path)
         out = decontaminate(out, bench, n=args.contamination_ngram)
+    if args.span_dedup_ngram:
+        out = remove_duplicated_spans(out, n=args.span_dedup_ngram)
     out = chunk_dedup_apply(out, words_per_chunk=args.chunk_words)
     if args.min_tokens > 0:
         from telemetry_streaming_spark.functions.text import token_count
@@ -725,6 +728,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark-path", help="eval/benchmark parquet to decontaminate against")
     p.add_argument("--chunk-words", type=int, default=10)
     p.add_argument("--contamination-ngram", type=int, default=4)
+    p.add_argument(
+        "--span-dedup-ngram", type=int,
+        help="cut corpus-duplicated n-token spans before chunk dedup",
+    )
     p.add_argument("--min-tokens", type=int, default=1)
     p.add_argument("--dup-report-path", help="write dup-window fractions here")
     p.add_argument("--dup-window-ngram", type=int, default=8)

@@ -389,3 +389,142 @@ def decontaminate_stream(
     return df.withColumn("__grams", gram_hashes).where(
         ~contaminated(F.col("__grams"))
     ).drop("__grams")
+
+
+def _dup_window_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_count: int
+) -> DataFrame:
+    """(id, pos) of every n-token window whose exact token sequence
+    occurs >= min_count times corpus-wide (within-doc repeats count).
+    Same single-scan analytic-count shape as dup_window_fraction; the
+    exchange carries (id, pos, 8-byte window hash)."""
+    toks = tokenize(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    e = df.select(F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("pos"))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("__toks"), F.col("pos") + F.lit(j)) for j in range(n)]
+    )
+    wins = e.select(F.col(id_col), F.col("pos"), F.xxhash64(gram).alias("win_h"))
+    occ = F.count("*").over(Window.partitionBy("win_h"))
+    return wins.withColumn("__occ", occ).where(F.col("__occ") >= min_count).select(
+        id_col, "pos"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document maximal duplicated token spans: merge every
+    corpus-duplicated n-token window [pos, pos+n-1] into disjoint
+    islands (the window-granular approximation of Lee et al.'s
+    suffix-array substring dedup).
+
+    Returns (id, span_start, span_end) with 1-based inclusive token
+    positions.  The merge is the gaps-and-islands running-max pattern
+    over (id, pos) — duplicated-window rows only, never a per-token
+    position explode — so the heavy frames carry one row per
+    duplicated WINDOW, not per covered token."""
+    dup = _dup_window_positions(df, text_col, id_col, n, min_count)
+    order = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "__new", F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "__isl", F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+    ).drop("__isl")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans cut out
+    (chunk_dedup_apply's cousin at window granularity).  Cleaned text
+    is the single-space join of surviving tokens in order — canonical
+    whitespace, like every rebuild in this module.
+
+    The spans come back to the document row as ONE sorted array per
+    id (bounded by doc length; in practice by the few merged spans),
+    and the text is re-sliced map-side from the doc's own token array
+    by walking the gaps BETWEEN spans — O(len + spans) per doc, never
+    O(len x covered) membership tests."""
+    spans = duplicated_spans(df, text_col, id_col, n, min_count).groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
+        ).alias("__spans")
+    )
+    toks = tokenize(F.col(text_col))
+    L = F.size(toks)
+    span_arr = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    heads = F.concat(
+        F.array(F.struct(F.lit(0).cast("int").alias("s"), F.lit(0).cast("int").alias("e"))),
+        span_arr,
+    )
+    tails = F.concat(
+        span_arr,
+        F.array(F.struct((L + 1).cast("int").alias("s"), L.cast("int").alias("e"))),
+    )
+    gaps = F.zip_with(
+        heads,
+        tails,
+        lambda prev, nxt: F.slice(
+            toks, prev["e"] + 1, F.greatest(nxt["s"] - prev["e"] - 1, F.lit(0))
+        ),
+    )
+    rebuilt = F.concat_ws(" ", F.flatten(gaps))
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    return df.join(spans, id_col, "left").select(
+        F.col(id_col), rebuilt.alias(text_col), *[F.col(c) for c in others]
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-group duplicated-span accounting: how many documents carry
+    duplicated spans and what share of tokens they cover — the
+    go/no-go report before running remove_duplicated_spans over a
+    corpus.  Span frames are aggregate-sized (one row per merged span)
+    before the group rollup."""
+    per_doc = (
+        duplicated_spans(df, text_col, id_col, n, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("covered_tokens"),
+        )
+    )
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(group_col), F.size(toks).cast("long").alias("n_tokens"))
+    joined = base.join(per_doc, id_col, "left")
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum((F.col("n_spans") > 0).cast("long")), F.lit(0)).cast("long").alias(
+            "affected_docs"
+        ),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.coalesce(F.sum("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+    )

@@ -143,3 +143,77 @@ def test_decontaminate_stream_filter_matches_batch_join_tier(spark):
     a = {r.doc_id for r in decontaminate(train, bench, n=4).collect()}
     b = {r.doc_id for r in decontaminate_stream(train, bench, n=4).collect()}
     assert a == b
+
+
+class TestDupSpanRemoval:
+    def _corpus(self, spark):
+        boiler = "all rights reserved contact us at example dot com today"  # 10 toks
+        rows = [
+            (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+            (2, f"one two three four {boiler} five six seven eight"),
+            (3, boiler),                      # fully duplicated -> empty
+            (4, "totally unique sentence with nothing repeated anywhere at all ok"),
+            (5, "short doc"),                 # < n tokens -> untouched
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_removal_matches_python_replica(self, spark):
+        from telemetry_streaming_spark.operators.contamination import (
+            remove_duplicated_spans,
+        )
+
+        docs = self._corpus(spark)
+        n, mc = 8, 2
+        toks = {r.doc_id: r.text.strip().split() for r in docs.collect()}
+        from collections import Counter
+
+        counts = Counter()
+        for t in toks.values():
+            for i in range(len(t) - n + 1):
+                counts[" ".join(t[i : i + n])] += 1
+        expect = {}
+        for d, t in toks.items():
+            covered = set()
+            for i in range(len(t) - n + 1):
+                if counts[" ".join(t[i : i + n])] >= mc:
+                    covered.update(range(i, i + n))
+            expect[d] = " ".join(tok for j, tok in enumerate(t) if j not in covered)
+        got = {
+            r.doc_id: r.text
+            for r in remove_duplicated_spans(docs, n=n, min_count=mc).collect()
+        }
+        assert got == expect
+        assert got[3] == ""                      # fully-covered doc survives empty
+        assert got[4] == " ".join(toks[4]) and got[5] == " ".join(toks[5])
+
+    def test_no_per_token_explode_in_plan(self, spark):
+        """The engine merges windows into spans and re-slices gaps —
+        the only Generate in the plan is the WINDOW-position explode,
+        never a covered-token-position explode."""
+        from telemetry_streaming_spark.operators.contamination import (
+            remove_duplicated_spans,
+        )
+
+        docs = self._corpus(spark)
+        plan = (
+            remove_duplicated_spans(docs)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("Generate explode") == 1, plan
+
+    def test_stats_consistent_with_removal(self, spark):
+        import pyspark.sql.functions as F
+
+        from telemetry_streaming_spark.operators.contamination import (
+            dup_span_stats,
+            remove_duplicated_spans,
+        )
+
+        docs = self._corpus(spark).withColumn("source", F.lit("s"))
+        stats = dup_span_stats(docs).collect()[0]
+        cleaned = remove_duplicated_spans(docs.select("doc_id", "text"))
+        kept_tokens = sum(
+            len(r.text.split()) if r.text else 0 for r in cleaned.collect()
+        )
+        assert stats.total_tokens - stats.covered_tokens == kept_tokens
+        assert stats.affected_docs == 3
