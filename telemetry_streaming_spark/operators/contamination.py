@@ -398,15 +398,9 @@ def _dup_window_positions(
     occurs >= min_count times corpus-wide (within-doc repeats count).
     Same single-scan analytic-count shape as dup_window_fraction; the
     exchange carries (id, pos, 8-byte window hash)."""
-    toks = tokenize(F.col(text_col))
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    e = df.select(F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("pos"))
-    gram = F.concat_ws(
-        " ", *[F.element_at(F.col("__toks"), F.col("pos") + F.lit(j)) for j in range(n)]
+    wins = _exploded_grams(df, text_col, id_col, n, with_pos=True).select(
+        F.col(id_col), F.col("pos"), F.xxhash64("gram").alias("win_h")
     )
-    wins = e.select(F.col(id_col), F.col("pos"), F.xxhash64(gram).alias("win_h"))
     occ = F.count("*").over(Window.partitionBy("win_h"))
     return wins.withColumn("__occ", occ).where(F.col("__occ") >= min_count).select(
         id_col, "pos"
@@ -435,8 +429,11 @@ def duplicated_spans(
     prev_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
         order.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # strict "+ 1": windows whose covered ranges merely TOUCH
+    # ([p, p+n-1] then [p+n, ...]) form one contiguous maximal span
     marked = dup.withColumn(
-        "__new", F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0)
+        "__new",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-2)) + F.lit(1), 1).otherwise(0),
     )
     islands = marked.withColumn(
         "__isl", F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, 0))

@@ -130,8 +130,11 @@ def capped_doc_shingles(
     return _drop_hot_keys(pairs, ["shingle_h"], max_df)
 
 
-def _exploded_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, gram) rows via explode-position-then-scalar-concat.
+def _exploded_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int, with_pos: bool = False
+) -> DataFrame:
+    """(id, gram) rows — plus the 1-based window position as ``pos``
+    when ``with_pos`` — via explode-position-then-scalar-concat.
 
     Deliberately NOT transform()-based: Spark's higher-order array
     functions run interpreted (no whole-stage codegen), and the
@@ -147,6 +150,8 @@ def _exploded_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     gram = F.concat_ws(
         " ", *[F.element_at(F.col("__toks"), F.col("__i") + F.lit(j)) for j in range(n)]
     )
+    if with_pos:
+        return e.select(F.col(id_col), F.col("__i").alias("pos"), gram.alias("gram"))
     return e.select(F.col(id_col), gram.alias("gram"))
 
 

@@ -384,13 +384,22 @@ def trailing_window_stats(
     reconstructed EXACTLY while no task ever sorts more than one
     slice (+ lookback carries).
 
-    Correctness contract of the sliced form: each (part, slice) must
-    have >= ``lookback`` native rows, except a partition's FIRST slice
-    (carries chain only one slice back; a sparser slice would need
-    multi-slice carry chaining, which is sequential).  The contract is
-    CHECKED — a violating slice raises instead of silently emitting
-    wrong frames.  At the scale where slicing matters the contract
-    holds by construction (that is why you slice).
+    Correctness contract of the sliced form, CHECKED in one
+    aggregate-sized job (a violation raises instead of silently
+    emitting wrong frames):
+
+    - slices are consecutive integers per partition (a gap would
+      strand the carry);
+    - every slice with BOTH a predecessor and a successor has
+      >= ``lookback`` native rows (carries chain only one slice back;
+      the first slice's carry is complete history regardless of size,
+      and the last slice never feeds carries);
+    - order keys are monotone across slices: each slice's max order
+      tuple sorts before the next slice's min (carries rely on their
+      original keys sorting ahead of the next slice's natives).
+
+    At the scale where slicing matters the contract holds by
+    construction (that is why you slice).
     """
     order_exprs = [F.col(c) for c in order_cols]
     val = F.col(value_col)
@@ -406,36 +415,56 @@ def trailing_window_stats(
         )
     # ---- sliced form -----------------------------------------------------
     sl = F.col(slice_col)
-    # contract check (one aggregate-sized job): every non-first slice
-    # has enough native history to carry, and slices are consecutive
-    # integers per partition (a gap would strand the carry)
-    counts = df.groupBy(part_col, slice_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    counts = counts.withColumn(
-        "__first", F.min(sl).over(Window.partitionBy(part_col))
+    order_tuple = F.struct(*order_exprs)
+    counts = df.groupBy(part_col, slice_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(order_tuple).alias("__omin"),
+        F.max(order_tuple).alias("__omax"),
+    )
+    per_part = Window.partitionBy(part_col)
+    by_slice = Window.partitionBy(part_col).orderBy(slice_col)
+    counts = (
+        counts.withColumn("__first", F.min(sl).over(per_part))
+        .withColumn("__last", F.max(sl).over(per_part))
+        .withColumn("__prev_omax", F.lag("__omax").over(by_slice))
     )
     summary = counts.groupBy(part_col).agg(
         F.min(sl).alias("__lo"),
         F.max(sl).alias("__hi"),
         F.count(F.lit(1)).alias("__nslices"),
-        F.min(F.when(sl != F.col("__first"), F.col("__cnt"))).alias("__min_tail_cnt"),
+        F.min(
+            F.when((sl != F.col("__first")) & (sl != F.col("__last")), F.col("__cnt"))
+        ).alias("__min_mid_cnt"),
+        F.max(
+            (F.col("__prev_omax").isNotNull() & (F.col("__prev_omax") >= F.col("__omin")))
+            .cast("int")
+        ).alias("__order_overlap"),
     )
     bad = summary.where(
         (F.col("__hi") - F.col("__lo") + 1 != F.col("__nslices"))
-        | (F.col("__min_tail_cnt") < lookback)
+        | (F.col("__min_mid_cnt") < lookback)
+        | (F.col("__order_overlap") == 1)
     ).limit(1).collect()
     if bad:
         r = bad[0]
         raise ValueError(
-            f"sliced trailing window needs consecutive {slice_col} values and "
-            f">= {lookback} rows per non-first ({part_col}, {slice_col}) "
-            f"slice; violated for {part_col}={r[part_col]!r} — widen the "
-            "slice or use slice_col=None"
+            f"sliced trailing window needs consecutive {slice_col} values, "
+            f">= {lookback} rows per interior ({part_col}, {slice_col}) "
+            "slice, and order keys monotone across slices; violated for "
+            f"{part_col}={r[part_col]!r} — widen the slice or use "
+            "slice_col=None"
         )
-    # rank from the slice END (bounded per-slice window task)
+    # rank from the slice END (bounded per-slice window task); cut
+    # lineage so the ranked frame is computed ONCE for both the native
+    # and carry branches instead of re-scanning and re-sorting
     tail_w = Window.partitionBy(part_col, slice_col).orderBy(
         *[e.desc() for e in order_exprs]
     )
-    with_tail = df.withColumn("__from_end", F.row_number().over(tail_w))
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
+    with_tail = cut_lineage(
+        df.withColumn("__from_end", F.row_number().over(tail_w))
+    )
     carries = (
         with_tail.where(F.col("__from_end") <= lookback)
         .drop("__from_end")

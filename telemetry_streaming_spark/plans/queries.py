@@ -5699,30 +5699,16 @@ def rolling_anomaly_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_timeseries.py::TestTrailingWindowStats).  The
     single-window form is kept here because it IS the oracle-checkable
     semantics; the sliced form is the deployment rewrite."""
-    from pyspark.sql import Window
+    from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
 
     ev = _t(spark, sf_dir, "events")
     c = ev.select(
         "event_id",
-        "user_id",
         "event_type",
         F.unix_seconds(F.col("ts")).alias("ts_s"),
         cents(F.col("value")).alias("cents"),
     )
-    win = (
-        Window.partitionBy("event_type")
-        .orderBy("ts_s", "event_id")
-        .rowsBetween(-29, -1)
-    )
-    w = c.select(
-        "event_id",
-        "event_type",
-        "ts_s",
-        "cents",
-        F.count(F.lit(1)).over(win).alias("n"),
-        F.sum("cents").over(win).alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
-    )
+    w = trailing_window_stats(c, "event_type", ["ts_s", "event_id"], "cents", lookback=29)
     dev = F.col("n") * F.col("cents") - F.col("s1")
     var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     return w.where((F.col("n") >= 10) & (dev * dev > 9 * var_n2))

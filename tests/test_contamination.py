@@ -217,3 +217,27 @@ class TestDupSpanRemoval:
         )
         assert stats.total_tokens - stats.covered_tokens == kept_tokens
         assert stats.affected_docs == 3
+
+
+def test_adjacent_duplicated_windows_merge_to_one_span(spark):
+    """Windows whose covered ranges touch ([p, p+n-1] then [p+n, ...])
+    must merge into one maximal span (review finding: strict > left
+    adjacent coverage split into two spans)."""
+    from telemetry_streaming_spark.operators.contamination import duplicated_spans
+
+    n = 3
+    # doc 1 & 2 share tokens 1-3 AND tokens 4-6, but the boundary
+    # window (2 3 4 / 3 4 5) differs between them -> windows at pos 1
+    # and pos 4 are duplicated, boundary windows are not; coverage
+    # 1..6 is contiguous
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f tail1 x1"), (2, "a b c q d e f tail2 x2")],
+        "doc_id long, text string",
+    )
+    # in doc1: "a b c" (pos1) and "d e f" (pos4) both appear in doc2
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs, n=n, min_count=2).collect()
+    }
+    doc1 = sorted(s for s in spans if s[0] == 1)
+    assert doc1 == [(1, 1, 6)], spans

@@ -502,15 +502,56 @@ class TestTrailingWindowStats:
             if "specifiedwindowframe" in spec and "RowFrame" in spec:
                 assert "day" in spec, spec
 
-    def test_sparse_slice_raises(self, spark):
-        """A non-first slice with < lookback rows violates the carry
+    def test_sparse_interior_slice_raises(self, spark):
+        """An INTERIOR slice with < lookback rows violates the carry
         contract and must fail loudly, not emit wrong frames."""
         import pytest
 
         from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
 
-        df = self._dense(spark, days=2, per_day=10)  # 10 < lookback 29
-        with pytest.raises(ValueError, match="consecutive|>= 29"):
+        df = self._dense(spark, days=3, per_day=10)  # 10 < lookback 29
+        with pytest.raises(ValueError, match="interior"):
+            trailing_window_stats(df, "part", ["seq"], "v", lookback=29, slice_col="day")
+
+    def test_partial_first_and_last_slices_allowed(self, spark):
+        """The first slice's carry is complete history regardless of
+        size and the last slice never feeds carries — both may be
+        partial, and the frames still match the reference exactly."""
+        import pyspark.sql.functions as F
+
+        from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+        dense = self._dense(spark, days=4, per_day=40, parts=1)
+        # keep only 7 rows of day 0 and 5 rows of day 3
+        df = dense.where(
+            ((F.col("day") != 0) | (F.col("seq") < 7))
+            & ((F.col("day") != 3) | (F.col("seq") < 127))
+        )
+        ref = {
+            r.seq: (r.n, r.s1, r.s2)
+            for r in trailing_window_stats(df, "part", ["seq"], "v", lookback=29).collect()
+        }
+        sliced = {
+            r.seq: (r.n, r.s1, r.s2)
+            for r in trailing_window_stats(
+                df, "part", ["seq"], "v", lookback=29, slice_col="day"
+            ).collect()
+        }
+        assert ref == sliced
+
+    def test_nonmonotone_order_across_slices_raises(self, spark):
+        """Order keys that reset per slice would sort carries after the
+        next slice's natives and silently wreck frames — the contract
+        check must catch it (review finding)."""
+        import pyspark.sql.functions as F
+        import pytest
+
+        from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+        df = self._dense(spark, days=3, per_day=40, parts=1).withColumn(
+            "seq", F.col("seq") % 40  # per-day reset
+        )
+        with pytest.raises(ValueError, match="monotone"):
             trailing_window_stats(df, "part", ["seq"], "v", lookback=29, slice_col="day")
 
     def test_slice_gap_raises(self, spark):
