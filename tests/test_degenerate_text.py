@@ -97,3 +97,37 @@ def test_rare_token_and_repetition_survive(spark, weird_docs):
         ).alias("t"),
     )
     assert tok.where(F.col("t") == "").count() == 0
+
+
+def test_span_removal_survives_degenerate_docs(weird_docs):
+    """NULL / empty / whitespace-only docs pass through span removal
+    without raising; NULL text stays NULL-or-empty, never a crash."""
+    from telemetry_streaming_spark.operators.contamination import (
+        dup_span_stats,
+        remove_duplicated_spans,
+    )
+
+    out = remove_duplicated_spans(weird_docs.select("doc_id", "text")).collect()
+    assert len(out) == 6
+    by_id = {r.doc_id: r.text for r in out}
+    assert by_id[5].startswith("a normal")
+    stats = dup_span_stats(weird_docs.select("doc_id", "text", "source")).collect()
+    assert sum(r.n_docs for r in stats) == 6
+
+
+def test_r4_text_queries_survive_degenerate_docs(spark, weird_docs, tmp_path):
+    """The r4 text-path registry queries run over a degenerate corpus
+    without raising (ANSI edge hardening)."""
+    import os
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    weird_docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    for name in (
+        "cross_source_leakage", "domain_cap_sample", "doc_length_buckets",
+        "text_ngram_topk", "dedup_normalized", "source_length_quantiles",
+        "dup_span_removal", "dup_span_stats",
+    ):
+        assert QUERIES[name].fn(spark, d).count() >= 0, name
