@@ -427,7 +427,12 @@ def run_minhash_index(spark, args):
     near-dups of the batch against the index are REJECTED, the rest
     written to --output-path; --update-index appends the admitted
     documents' bands so night N+1 probes them too.  Work is
-    O(batch + candidates), never O(corpus)."""
+    O(batch + candidates), never O(corpus).
+
+    --mode admit --stream-input <dir>: continuous admission — a
+    checkpointed file stream of document parquet; each micro-batch
+    admits against the index as grown by every previous batch
+    (requires --update-index to be meaningful across batches)."""
     from pyspark.sql import functions as F
 
     from telemetry_streaming_spark.operators.dedup import (
@@ -435,36 +440,79 @@ def run_minhash_index(spark, args):
         incremental_minhash_dedup,
     )
 
-    _require(args, "input-path", "index-path")
-    docs = spark.read.parquet(args.input_path)
+    _require(args, "index-path")
+    if args.mode == "build" or not args.stream_input:
+        _require(args, "input-path")
+        docs = spark.read.parquet(args.input_path)
+    else:
+        docs = None
     if args.mode == "build":
         bands = banded_signatures(docs, num_perm=args.num_perm, bands=args.bands)
         bands.write.mode("overwrite").partitionBy("band").parquet(args.index_path)
         print(f"index_bands: {spark.read.parquet(args.index_path).count()}")
         return
     _require(args, "corpus-path", "output-path")
-    corpus = spark.read.parquet(args.corpus_path)
-    index = spark.read.parquet(args.index_path)
-    pairs = incremental_minhash_dedup(
-        docs,
-        corpus,
-        num_perm=args.num_perm,
-        bands=args.bands,
-        threshold=args.near_dup_threshold,
-        corpus_bands=index,
-    )
-    dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
-    admitted = docs.join(dup_ids, "doc_id", "left_anti")
-    admitted.write.mode("overwrite").parquet(args.output_path)
-    admitted_out = spark.read.parquet(args.output_path)
-    if args.update_index:
-        banded_signatures(
-            admitted_out, num_perm=args.num_perm, bands=args.bands
-        ).write.mode("append").partitionBy("band").parquet(args.index_path)
-    n_in, n_adm = docs.count(), admitted_out.count()
-    print(f"batch_docs: {n_in}")
-    print(f"admitted: {n_adm}")
-    print(f"rejected: {n_in - n_adm}")
+
+    def admit_batch(batch_docs, tag):
+        """One admission round: probe the CURRENT index/corpus, write
+        the survivors, grow the stores."""
+        corpus = spark.read.parquet(args.corpus_path)
+        index = spark.read.parquet(args.index_path)
+        pairs = incremental_minhash_dedup(
+            batch_docs,
+            corpus,
+            num_perm=args.num_perm,
+            bands=args.bands,
+            threshold=args.near_dup_threshold,
+            corpus_bands=index,
+        )
+        dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
+        admitted = batch_docs.join(dup_ids, "doc_id", "left_anti")
+        mode = "append" if args.stream_input else "overwrite"
+        admitted.write.mode(mode).parquet(args.output_path)
+        if args.update_index:
+            # re-read what was just written so the banding runs over
+            # the materialized rows, not a recomputation of the probe
+            written = spark.read.parquet(args.output_path)
+            if args.stream_input:
+                written = written.join(
+                    batch_docs.select("doc_id"), "doc_id", "left_semi"
+                )
+            banded_signatures(
+                written, num_perm=args.num_perm, bands=args.bands
+            ).write.mode("append").partitionBy("band").parquet(args.index_path)
+            if args.stream_input:
+                # continuous mode also grows the corpus text store so
+                # the NEXT batch's candidate verification can read it
+                written.write.mode("append").parquet(args.corpus_path)
+        n_in = batch_docs.count()
+        n_adm = n_in - dup_ids.count()
+        print(f"{tag}batch_docs: {n_in}")
+        print(f"{tag}admitted: {n_adm}")
+        print(f"{tag}rejected: {n_in - n_adm}")
+
+    if args.stream_input:
+        # Continuous admission: a checkpointed file stream of document
+        # parquet dropped into the watched dir; each micro-batch
+        # admits against the index AS GROWN by every previous batch
+        # (foreachBatch — the probe is an index join, not stream
+        # state).  availableNow drains what is present and stops, so
+        # the job runs as a checkpointed periodic drain: re-invoking
+        # processes only files the checkpoint has not seen.
+        _require(args, "checkpoint-path")
+        schema = spark.read.parquet(args.corpus_path).schema
+        stream = spark.readStream.schema(schema).parquet(args.stream_input)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, epoch: admit_batch(b, f"epoch_{epoch}_")
+            )
+            .option("checkpointLocation", args.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return
+    admit_batch(docs, "")
 
 
 def run_ann_index(spark, args):
@@ -758,6 +806,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-perm", type=int, default=8)
     p.add_argument("--bands", type=int, default=4)
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--stream-input", help="continuous admission: watched parquet dir")
+    p.add_argument("--checkpoint-path", help="stream checkpoint dir (stream mode)")
 
     p = sub.add_parser("ann_index", help="persisted IVF ANN index build/query")
     p.add_argument("--mode", choices=("build", "query"), default="build")

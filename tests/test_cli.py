@@ -545,3 +545,51 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
         "PartitionFilters: [ivf_cluster" in l and " IN " in l
         for l in plan.splitlines()
     ), plan[:1200]
+
+
+def test_cli_minhash_index_streaming_admission(spark, tmp_path, capsys):
+    """Continuous admission: a checkpointed parquet stream drains with
+    availableNow; batch 2 (a later invocation, same checkpoint) sees
+    batch 1's admitted docs in the grown index and rejects their
+    near-dups, and the checkpoint prevents reprocessing batch 1's
+    file."""
+    import os
+
+    from telemetry_streaming_spark.cli import main
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    corpus = spark.createDataFrame(
+        [(i, base % (i % 7)) for i in range(30)], "doc_id long, text string"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    idx = str(tmp_path / "idx")
+    main(["minhash_index", "--mode", "build",
+          "--input-path", corpus_path, "--index-path", idx], spark=spark)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "stream_ckpt")
+    novel = "a genuinely novel document about distributed execution engines"
+    spark.createDataFrame(
+        [(200, base % 1), (201, novel)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(watch / "night1"))
+    args = ["minhash_index", "--mode", "admit",
+            "--stream-input", str(watch) + "/*", "--corpus-path", corpus_path,
+            "--index-path", idx, "--output-path", out,
+            "--checkpoint-path", ckpt, "--update-index"]
+    main(args, spark=spark)
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {201}
+
+    # night 2: near-dup of the night-1 admit + one new novel doc
+    spark.createDataFrame(
+        [(300, novel + " again and again"), (301, "completely different fresh words entirely")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(watch / "night2"))
+    main(args, spark=spark)
+    admitted2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 301 in admitted2 and 300 not in admitted2
+    # night-1 rows were not reprocessed (checkpoint) and survive once
+    assert admitted2 == {201, 301}
