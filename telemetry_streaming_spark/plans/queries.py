@@ -5946,6 +5946,155 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(docs, n=_SPAN_N, min_count=2)
 
 
+
+@query(
+    "source_drift",
+    oracle=r"""
+    WITH h AS (
+        SELECT source,
+               length(bin(len(string_split_regex(trim(text), '\s+')))) AS bucket,
+               COUNT(*) AS n
+        FROM documents GROUP BY source, bucket
+    ),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM h GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COALESCE(ha.n, 0) * tb.t AS cross_a,
+               COALESCE(hb.n, 0) * ta.t AS cross_b
+        FROM tot a
+        JOIN tot b ON a.source < b.source
+        CROSS JOIN (SELECT DISTINCT bucket FROM h) bk
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        LEFT JOIN h ha ON ha.source = a.source AND ha.bucket = bk.bucket
+        LEFT JOIN h hb ON hb.source = b.source AND hb.bucket = bk.bucket
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(ABS(cross_a - cross_b)) AS BIGINT) AS l1_scaled
+    FROM pairs
+    GROUP BY source_a, source_b
+    """,
+)
+def source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: distribution drift between sources — pairwise L1
+    distance of token-bit-length histograms, integer-exact: instead of
+    comparing float shares n_a/t_a the comparison is cross-multiplied
+    to |n_a*t_b - n_b*t_a| (the same ordering, zero rounding), so the
+    drift matrix hashes identically across engines.  Histograms are
+    aggregate-sized (sources x ~20 buckets); every join below the
+    corpus scan runs on those tiny frames."""
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        docs.select(
+            "source",
+            F.length(F.bin(T.token_count(F.col("text")))).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = h.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    buckets = h.select("bucket").distinct()
+    a = tot.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+    b = tot.select(F.col("source").alias("source_b"), F.col("t").alias("tb"))
+    grid = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .crossJoin(buckets)
+    )
+    ha = h.select(F.col("source").alias("sa2"), F.col("bucket").alias("ba"), F.col("n").alias("na"))
+    hb = h.select(F.col("source").alias("sb2"), F.col("bucket").alias("bb"), F.col("n").alias("nb"))
+    joined = (
+        grid.join(ha, (F.col("source_a") == F.col("sa2")) & (F.col("bucket") == F.col("ba")), "left")
+        .drop("sa2", "ba")
+        .join(hb, (F.col("source_b") == F.col("sb2")) & (F.col("bucket") == F.col("bb")), "left")
+        .drop("sb2", "bb")
+    )
+    diff = F.abs(
+        F.coalesce(F.col("na"), F.lit(0)) * F.col("tb")
+        - F.coalesce(F.col("nb"), F.lit(0)) * F.col("ta")
+    )
+    return joined.groupBy("source_a", "source_b").agg(
+        F.sum(diff).cast("long").alias("l1_scaled")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: first-order Markov transition counts between
+    consecutive event types per user (behavior-sequence modeling
+    prep).  One exchange on user_id for the lead window, then the
+    transition aggregate collapses map-side to |types|^2 cells."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "repeat_purchase_rate",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS next_date,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_first_orders,
+           CAST(COALESCE(SUM(CASE WHEN next_date IS NOT NULL
+                               AND next_date <= o_orderdate + INTERVAL 30 DAY
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS repeat_within_30d
+    FROM ranked WHERE rn = 1
+    """,
+)
+def repeat_purchase_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: 30-day repeat rate — of each customer's FIRST order,
+    how many were followed by a second within 30 days.  One exchange
+    on the customer key serves both window functions and the filter;
+    the final aggregate is a 1-row reduce."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") == 1)
+    repeat = (
+        F.col("next_date").isNotNull()
+        & (F.col("next_date") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    ).cast("long")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_first_orders"),
+        F.coalesce(F.sum(repeat), F.lit(0)).alias("repeat_within_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
