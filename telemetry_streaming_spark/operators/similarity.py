@@ -734,3 +734,76 @@ def kmeans_update(
             (F.col("sum_e4").cast("double") / F.col("n_members")).alias("mean_e4"),
         )
     )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 10_000
+) -> DataFrame:
+    """Exact second-moment matrix of an embedding column: per (i, j)
+    dimension pair, n, sum of cross products of integer-scaled
+    coordinates, and the two coordinate sums — everything covariance /
+    PCA needs (cov = cross/n - (si/n)(sj/n)), all BIGINT-exact so the
+    matrix hashes identically across engines and aggregation orders.
+
+    Shape: two chained posexplodes emit dim^2 (i, j, xi*xj) cells per
+    vector, map-side combined before one exchange carrying
+    O(dim^2 x partitions) partial rows — the classic distributed
+    X^T X.  dim^2 cells is the budget knob: at dim=1024 that is ~1M
+    aggregate cells, still executor-trivial; beyond that, block the
+    matrix."""
+    e4 = lambda c: F.floor(c.cast("double") * scale + F.lit(0.5)).cast("long")  # noqa: E731
+    a = df.select(F.col(vec_col).alias("__v"), F.posexplode(F.col(vec_col)).alias("i", "xi"))
+    b = a.select("i", "xi", F.posexplode(F.col("__v")).alias("j", "xj"))
+    return (
+        b.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(e4(F.col("xi")) * e4(F.col("xj"))).alias("sum_cross_e8"),
+            F.sum(e4(F.col("xi"))).alias("sum_i_e4"),
+            F.sum(e4(F.col("xj"))).alias("sum_j_e4"),
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "n", "sum_cross_e8", "sum_i_e4", "sum_j_e4",
+        )
+    )
+
+
+def top_principal_component(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 50
+) -> tuple[float, list[float]]:
+    """First principal component of the embedding cloud: the heavy
+    O(n x dim^2) covariance accumulation runs distributed
+    (gram_matrix); the dim x dim eigen-solve is a driver-side power
+    iteration on the collected matrix (bounded by dim^2 cells — the
+    same driver/executor split as the k-means and RProp trainers).
+
+    Returns (eigenvalue, component) with the component sign-normalized
+    so its largest-|coordinate| entry is positive (eigenvectors are
+    sign-ambiguous; pick deterministically)."""
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col).collect()
+    if not rows:
+        return 0.0, []
+    dim = max(r["i"] for r in rows) + 1
+    n = rows[0]["n"]
+    cross = np.zeros((dim, dim))
+    si = np.zeros(dim)
+    for r in rows:
+        cross[r["i"], r["j"]] = r["sum_cross_e8"] / 1e8
+        si[r["i"]] = r["sum_i_e4"] / 1e4
+    mu = si / n
+    cov = cross / n - np.outer(mu, mu)
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        w = cov @ v
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            break
+        v = w / nw
+    lam = float(v @ cov @ v)
+    if abs(v[int(np.argmax(np.abs(v)))]) != v[int(np.argmax(np.abs(v)))]:
+        v = -v
+    return lam, [float(x) for x in v]

@@ -6095,6 +6095,62 @@ def repeat_purchase_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    )
+    SELECT CAST(a.i - 1 AS INT) AS i,
+           CAST(b.i - 1 AS INT) AS j,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(a.x * 10000 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(b.x * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cross_e8,
+           CAST(SUM(CAST(FLOOR(a.x * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_i_e4,
+           CAST(SUM(CAST(FLOOR(b.x * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_j_e4
+    FROM flat a JOIN flat b USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: distributed X^T X — the exact second-moment matrix
+    behind covariance/PCA (operators/similarity.py:gram_matrix).
+    Integer-scaled cross products, so every cell is BIGINT-exact in
+    any aggregation order; the exchange carries O(dim^2 x partitions)
+    partial cells, never vectors.  The oracle states the same
+    semantics as a flat self-join per vector."""
+    from telemetry_streaming_spark.operators.similarity import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings", parallelize=False)
+    return gram_matrix(emb)
+
+
+@query("pca_top_component", oracle=None)
+def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (rows-only): first principal component of the
+    embedding cloud — the O(n x dim^2) covariance accumulates
+    distributed (embedding_gram_matrix), the dim x dim power iteration
+    runs on the driver over the collected matrix (bounded by dim^2
+    cells, same split as the k-means / RProp trainers).  Sign
+    normalized (largest-|loading| positive); pinned against
+    numpy.linalg.eigh in tests/test_semdedup.py."""
+    from telemetry_streaming_spark.operators.similarity import top_principal_component
+
+    emb = _t(spark, sf_dir, "embeddings", parallelize=False)
+    lam, v = top_principal_component(emb)
+    if not v:
+        return spark.createDataFrame([], "pos int, loading double, eigenvalue double")
+    return spark.createDataFrame(
+        [(i, float(x), float(lam)) for i, x in enumerate(v)],
+        "pos int, loading double, eigenvalue double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.

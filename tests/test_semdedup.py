@@ -134,3 +134,38 @@ def test_semdedup_cluster_cap_raises(spark):
             sim.semdedup(df, nlist=1, iters=0).collect()
     finally:
         sim.MAX_SEMDEDUP_CLUSTER = old
+
+
+def test_top_principal_component_matches_eigh(spark):
+    """Power iteration over the distributed gram matrix must find the
+    same leading eigenpair as numpy.linalg.eigh on the same data
+    (|cos| > 0.999, eigenvalue within 1%), including the
+    mean-centering step."""
+    import numpy as np
+
+    from telemetry_streaming_spark.operators.similarity import top_principal_component
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: a dominant direction plus noise
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    X = (
+        np.outer(rng.randn(300) * 5.0, direction)
+        + rng.randn(300, 16) * 0.3
+        + rng.randn(16) * 2.0  # nonzero mean: centering matters
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    lam, v = top_principal_component(df, iters=100)
+    # numpy reference on the QUANTIZED data (the operator scales to e4
+    # ints by contract)
+    Xq = np.floor(X.astype("float64") * 10000 + 0.5) / 10000
+    C = np.cov(Xq, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    ref_lam, ref_v = w[-1], V[:, -1]
+    assert abs(abs(np.dot(v, ref_v)) - 1.0) < 1e-3
+    assert abs(lam - ref_lam) / ref_lam < 0.01
+    # deterministic sign: largest-|loading| entry is positive
+    assert v[int(np.argmax(np.abs(v)))] > 0
