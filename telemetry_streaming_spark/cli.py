@@ -585,6 +585,28 @@ def run_ann_index(spark, args):
     print(f"results: {spark.read.parquet(args.output_path).count()}")
 
 
+def run_sql(spark, args):
+    """Ad-hoc SQL over the registered tables — the query-engine face
+    of the repo: every parquet table in --sf-dir becomes a temp view
+    (region nation customer supplier part orders lineitem events
+    documents embeddings), the statement plans through the same
+    Catalyst session defaults as the registry queries, and the result
+    goes to parquet (--output-path) or stdout (first --limit rows)."""
+    from telemetry_streaming_spark.sources.registry import register_views
+
+    _require(args, "query")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.output_path:
+        df.write.mode("overwrite").parquet(args.output_path)
+        print(f"rows: {spark.read.parquet(args.output_path).count()}")
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def run_curate(spark, args):
     """Training-data curation as an operable job: documents parquet in,
     split-partitioned curated corpus + stage-funnel report out."""
@@ -821,6 +843,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--nprobe", type=int, default=4)
     p.add_argument("--explain", action="store_true")
+
+    p = sub.add_parser("sql", help="ad-hoc SQL over the registered tables")
+    p.add_argument("--query", help="the SQL statement")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--output-path", help="write result parquet here (default: show)")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--explain", action="store_true")
     return top
 
 
@@ -840,6 +869,7 @@ RUNNERS = {
     "export": run_export,
     "minhash_index": run_minhash_index,
     "ann_index": run_ann_index,
+    "sql": run_sql,
 }
 
 

@@ -19,7 +19,7 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "ann_index",
+        "minhash_index", "ann_index", "sql",
     }
 
 
@@ -593,3 +593,29 @@ def test_cli_minhash_index_streaming_admission(spark, tmp_path, capsys):
     assert 301 in admitted2 and 300 not in admitted2
     # night-1 rows were not reprocessed (checkpoint) and survive once
     assert admitted2 == {201, 301}
+
+
+def test_cli_sql_adhoc(spark, tmp_path, capsys):
+    """The sql job registers every testdata table as a view and runs
+    an arbitrary statement through the engine session."""
+    from telemetry_streaming_spark.cli import main
+
+    out = str(tmp_path / "res")
+    main([
+        "sql", "--sf-dir", "/root/testdata/sf0.001",
+        "--query",
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1",
+        "--output-path", out,
+    ], spark=spark)
+    got = spark.read.parquet(out)
+    assert got.count() == 5 and set(got.columns) == {"o_orderpriority", "n"}
+    main([
+        "sql", "--sf-dir", "/root/testdata/sf0.001",
+        "--query", "SELECT COUNT(*) AS n FROM documents",
+    ], spark=spark)
+    assert "500" in capsys.readouterr().out
+    main([
+        "sql", "--sf-dir", "/root/testdata/sf0.001",
+        "--query", "SELECT COUNT(*) AS n FROM lineitem", "--explain",
+    ], spark=spark)
+    assert "Physical Plan" in capsys.readouterr().out
