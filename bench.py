@@ -88,7 +88,13 @@ HEADLINE = [
 # quality.  The floor thesis makes a testable prediction: the ratio
 # must FALL as SF rises, because the floor is constant while real work
 # scales.  `--trend` measures exactly that at sf0.01 vs sf0.1.
-TREND = ["product_profit", "sessionize", "waiting_suppliers", "asof_join"]
+TREND = [
+    "product_profit", "sessionize", "waiting_suppliers", "asof_join",
+    # r4 floor-dominated additions: kmeans_update pays a fixed ~0.6s
+    # centroid-literal analysis cost, domain_cap_sample and
+    # text_ngram_topk a fixed multi-stage scheduling floor
+    "kmeans_update", "domain_cap_sample", "text_ngram_topk",
+]
 
 
 def _median_time(fn, runs: int = 3) -> float:
