@@ -1,0 +1,74 @@
+"""PIPELINE.md executes: the documented end-to-end curation flow runs
+verbatim (profile -> curate -> hygiene -> index build -> export), so
+the walkthrough cannot rot.  Uses sf0.001 for speed; the doc shows
+sf0.01 paths but the commands are identical."""
+
+import os
+
+from telemetry_streaming_spark.cli import main
+
+RAW = "/root/testdata/sf0.001/documents.parquet"
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_walkthrough(spark, tmp_path, capsys):
+    work = str(tmp_path)
+
+    # 1. profile
+    main([
+        "sql", "--sf-dir", SF,
+        "--query",
+        "SELECT source, COUNT(*) n_docs, SUM(n_chars) chars "
+        "FROM documents GROUP BY source ORDER BY chars DESC",
+        "--output-path", f"{work}/profile",
+    ], spark=spark)
+    assert spark.read.parquet(f"{work}/profile").count() > 0
+
+    # 2. curate with reliable checkpointing + minhash near-dup
+    main([
+        "curate", "--input-path", RAW, "--output-path", f"{work}/curated",
+        "--min-tokens", "3", "--min-quality", "0.0",
+        "--keep-langs", "en,es,fr,de,zh,und",
+        "--near-dup", "minhash", "--checkpoint-mode", "reliable",
+        "--checkpoint-dir", f"{work}/ckpt", "--num-parquet-files", "4",
+    ], spark=spark)
+    curated = spark.read.parquet(f"{work}/curated")
+    assert curated.count() > 0
+    train_dir = f"{work}/curated/split=train"
+    assert os.path.isdir(train_dir)
+
+    # 3. hygiene: span dedup + chunk dedup
+    main([
+        "hygiene", "--input-path", train_dir,
+        "--output-path", f"{work}/clean", "--span-dedup-ngram", "8",
+        "--chunk-words", "10", "--min-tokens", "3",
+        "--num-parquet-files", "4",
+    ], spark=spark)
+    clean = spark.read.parquet(f"{work}/clean")
+    n_clean = clean.count()
+    assert 0 < n_clean <= curated.where("split = 'train'").count()
+
+    # 4. admission index over the clean corpus
+    main([
+        "minhash_index", "--mode", "build",
+        "--input-path", f"{work}/clean", "--index-path", f"{work}/idx",
+    ], spark=spark)
+    assert spark.read.parquet(f"{work}/idx").count() == n_clean * 4  # 4 bands/doc
+
+    # 5. deterministic export + manifest
+    main([
+        "export", "--input-path", f"{work}/clean",
+        "--output-path", f"{work}/shards",
+        "--manifest-path", f"{work}/manifest",
+        "--num-shards", "8", "--salt", "epoch0",
+    ], spark=spark)
+    manifest = spark.read.parquet(f"{work}/manifest")
+    assert manifest.count() == 8
+    assert manifest.agg({"n_rows": "sum"}).first()[0] == n_clean
+
+    # 6. plan review prints without executing
+    main([
+        "sql", "--sf-dir", SF,
+        "--query", "SELECT COUNT(*) AS n FROM documents", "--explain",
+    ], spark=spark)
+    assert "Physical Plan" in capsys.readouterr().out
