@@ -6273,9 +6273,14 @@ def ttr_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # r5 ROTATION PLAN (do this first next round): assuming CORRECTNESS_r04
 # greens the 50 below, front-load the late-r4 additions that missed
-# this window (dedup_normalized, conversion_delay_buckets,
-# source_length_quantiles, + anything added after this comment) and
-# fill with anchors.
+# this window — oracle-backed: dedup_normalized,
+# conversion_delay_buckets, source_length_quantiles,
+# rolling_anomaly_flags, interval_coverage, cumulative_unique_users,
+# dup_span_removal, dup_span_stats, source_drift,
+# event_transition_matrix, repeat_purchase_rate,
+# embedding_gram_matrix, vocab_coverage, ttr_by_source; rows-only:
+# pca_top_component — then fill with anchors (and any r4 rows that
+# did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     # oracle-backed, never hash-green in r1-r3:
