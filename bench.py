@@ -80,6 +80,16 @@ HEADLINE = [
     "attribution_last_touch",
     "kmeans_update",
     "text_ngram_topk",
+    # late-r4 additions with real work at sf0.1 (>=0.4 s)
+    "dedup_normalized",
+    "rolling_anomaly_flags",
+    "interval_coverage",
+    "dup_span_removal",
+    "dup_span_stats",
+    "source_drift",
+    "embedding_gram_matrix",
+    "vocab_coverage",
+    "ttr_by_source",
 ]
 
 
