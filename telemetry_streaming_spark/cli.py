@@ -453,9 +453,10 @@ def run_minhash_index(spark, args):
         return
     _require(args, "corpus-path", "output-path")
 
-    def admit_batch(batch_docs, tag):
+    def admit_batch(batch_docs, epoch=None):
         """One admission round: probe the CURRENT index/corpus, write
         the survivors, grow the stores."""
+        tag = f"epoch_{epoch}_" if epoch is not None else ""
         corpus = spark.read.parquet(args.corpus_path)
         index = spark.read.parquet(args.index_path)
         pairs = incremental_minhash_dedup(
@@ -468,16 +469,23 @@ def run_minhash_index(spark, args):
         )
         dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
         admitted = batch_docs.join(dup_ids, "doc_id", "left_anti")
-        mode = "append" if args.stream_input else "overwrite"
-        admitted.write.mode(mode).parquet(args.output_path)
-        if args.update_index:
-            # re-read what was just written so the banding runs over
-            # the materialized rows, not a recomputation of the probe
+        if args.stream_input:
+            # per-epoch overwrite: replaying a micro-batch after a
+            # crash (foreachBatch is at-least-once) rewrites the same
+            # subdir instead of appending duplicates
+            out_dir = os.path.join(args.output_path, f"epoch={epoch}")
+            admitted.write.mode("overwrite").parquet(out_dir)
+            written = spark.read.parquet(out_dir)
+        else:
+            admitted.write.mode("overwrite").parquet(args.output_path)
             written = spark.read.parquet(args.output_path)
-            if args.stream_input:
-                written = written.join(
-                    batch_docs.select("doc_id"), "doc_id", "left_semi"
-                )
+        if args.update_index:
+            # bands/corpus run over the materialized ADMITTED rows
+            # (a re-delivered already-admitted id is rejected above
+            # and must not re-append its bands).  These appends are
+            # at-least-once on replay; duplicate band/corpus rows are
+            # cost, not correctness — candidate pairs collapse through
+            # dup_ids.distinct() either way.
             banded_signatures(
                 written, num_perm=args.num_perm, bands=args.bands
             ).write.mode("append").partitionBy("band").parquet(args.index_path)
@@ -501,10 +509,19 @@ def run_minhash_index(spark, args):
         # processes only files the checkpoint has not seen.
         _require(args, "checkpoint-path")
         schema = spark.read.parquet(args.corpus_path).schema
-        stream = spark.readStream.schema(schema).parquet(args.stream_input)
+        stream = (
+            spark.readStream.schema(schema)
+            # one file per micro-batch: the admission contract is that
+            # each batch probes the index AS GROWN by every previous
+            # one; a multi-file mega-batch would admit mutual
+            # near-dups across files (batch-vs-batch is out of scope
+            # for the incremental prober)
+            .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+            .parquet(args.stream_input)
+        )
         q = (
             stream.writeStream.foreachBatch(
-                lambda b, epoch: admit_batch(b, f"epoch_{epoch}_")
+                lambda b, epoch: admit_batch(b, epoch)
             )
             .option("checkpointLocation", args.checkpoint_path)
             .trigger(availableNow=True)
@@ -512,7 +529,7 @@ def run_minhash_index(spark, args):
         )
         q.awaitTermination()
         return
-    admit_batch(docs, "")
+    admit_batch(docs)
 
 
 def run_ann_index(spark, args):
@@ -625,14 +642,16 @@ def run_report(spark, args):
         n=args.span_ngram,
     ).collect()
     report = {
+        # NULL-text sources aggregate to NULL sums/percentiles —
+        # report them as zeros instead of dying on the bad source
         "n_docs": int(sum(r["n_docs"] for r in per_source_rows)),
-        "n_tokens": int(sum(r["n_tokens"] for r in per_source_rows)),
+        "n_tokens": int(sum(r["n_tokens"] or 0 for r in per_source_rows)),
         "per_source": {
-            r["source"]: {
+            str(r["source"]): {
                 "n_docs": int(r["n_docs"]),
-                "n_tokens": int(r["n_tokens"]),
-                "p50_tokens": float(r["p50_tokens"]),
-                "p99_tokens": float(r["p99_tokens"]),
+                "n_tokens": int(r["n_tokens"] or 0),
+                "p50_tokens": float(r["p50_tokens"] or 0.0),
+                "p99_tokens": float(r["p99_tokens"] or 0.0),
             }
             for r in per_source_rows
         },
@@ -641,7 +660,7 @@ def run_report(spark, args):
             "docs_involved": int(leakage[1]),
         },
         "duplicated_spans": {
-            r["source"]: {
+            str(r["source"]): {
                 "affected_docs": int(r["affected_docs"]),
                 "covered_tokens": int(r["covered_tokens"]),
                 "total_tokens": int(r["total_tokens"]),
@@ -901,6 +920,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--stream-input", help="continuous admission: watched parquet dir")
     p.add_argument("--checkpoint-path", help="stream checkpoint dir (stream mode)")
+    p.add_argument("--max-files-per-trigger", type=int, default=1,
+                   help="files per admission micro-batch (1 honors per-drop admission)")
 
     p = sub.add_parser("ann_index", help="persisted IVF ANN index build/query")
     p.add_argument("--mode", choices=("build", "query"), default="build")

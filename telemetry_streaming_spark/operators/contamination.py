@@ -522,6 +522,7 @@ def dup_span_stats(
         F.coalesce(F.sum((F.col("n_spans") > 0).cast("long")), F.lit(0)).cast("long").alias(
             "affected_docs"
         ),
-        F.sum("n_tokens").alias("total_tokens"),
+        # all-NULL-text groups sum to NULL; report 0 tokens, not None
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
         F.coalesce(F.sum("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
     )

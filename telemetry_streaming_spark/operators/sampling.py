@@ -284,7 +284,13 @@ def apply_mixture(
     randomness); strata absent from the plan are dropped (rate 0),
     which is the plan's explicit contract — every stratum the mix
     wants has a row."""
-    rates = {r[strata_col]: float(r["rate"]) for r in plan.select(strata_col, "rate").collect()}
+    rates = {
+        r[strata_col]: float(r["rate"])
+        for r in plan.select(strata_col, "rate").collect()
+        # a NULL stratum (unsourced rows) cannot key a rate; it falls
+        # to default_rate 0 like any unplanned stratum
+        if r[strata_col] is not None
+    }
     return stratified_sample(
         df, key_col, strata_col, rates, default_rate=0.0, buckets=buckets
     )

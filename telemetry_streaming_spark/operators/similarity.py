@@ -40,6 +40,14 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _scaled_int(c: Column, scale: int) -> Column:
+    """The exact-quantization contract shared by the k-means and
+    gram/PCA tiers (and mirrored by plans/queries.py:cents):
+    floor(x*scale + 0.5) as BIGINT — one definition, so the engines'
+    exactness guarantees cannot desynchronize."""
+    return F.floor(c.cast("double") * scale + F.lit(0.5)).cast("long")
+
+
 def cosine(a: Column, b: Column) -> Column:
     """``try_divide``: a zero-norm vector scores NULL rather than
     raising DIVIDE_BY_ZERO under ANSI mode (one padding row must not
@@ -711,7 +719,7 @@ def kmeans_update(
     if labels is None:
         labels = list(range(len(centroids)))
     best = F.array_max(centroid_scores(vec_col, centroids, labels))
-    e4 = lambda c: F.floor(c.cast("double") * scale + F.lit(0.5)).cast("long")  # noqa: E731
+    e4 = lambda c: _scaled_int(c, scale)  # noqa: E731
     # two selects: Spark's Generate analysis drops the (s, i) struct
     # field names when the argmax field access shares a projection with
     # posexplode, so resolve the cluster id first
@@ -751,7 +759,7 @@ def gram_matrix(
     X^T X.  dim^2 cells is the budget knob: at dim=1024 that is ~1M
     aggregate cells, still executor-trivial; beyond that, block the
     matrix."""
-    e4 = lambda c: F.floor(c.cast("double") * scale + F.lit(0.5)).cast("long")  # noqa: E731
+    e4 = lambda c: _scaled_int(c, scale)  # noqa: E731
     a = df.select(F.col(vec_col).alias("__v"), F.posexplode(F.col(vec_col)).alias("i", "xi"))
     b = a.select("i", "xi", F.posexplode(F.col("__v")).alias("j", "xj"))
     return (
@@ -787,8 +795,16 @@ def top_principal_component(
     rows = gram_matrix(df, vec_col).collect()
     if not rows:
         return 0.0, []
+    ns = {r["n"] for r in rows}
+    if len(ns) > 1:
+        # ragged embeddings (mixed lengths / NULL elements) would make
+        # per-cell n differ and the covariance silently wrong
+        raise ValueError(
+            f"gram cells disagree on n ({sorted(ns)[:4]}...): embeddings "
+            "must all have the same length and no NULL elements"
+        )
     dim = max(r["i"] for r in rows) + 1
-    n = rows[0]["n"]
+    n = ns.pop()
     cross = np.zeros((dim, dim))
     si = np.zeros(dim)
     for r in rows:
@@ -796,14 +812,35 @@ def top_principal_component(
         si[r["i"]] = r["sum_i_e4"] / 1e4
     mu = si / n
     cov = cross / n - np.outer(mu, mu)
-    v = np.ones(dim) / np.sqrt(dim)
-    for _ in range(iters):
-        w = cov @ v
-        nw = np.linalg.norm(w)
-        if nw == 0:
-            break
-        v = w / nw
-    lam = float(v @ cov @ v)
-    if abs(v[int(np.argmax(np.abs(v)))]) != v[int(np.argmax(np.abs(v)))]:
+
+    def iterate(v0):
+        v = v0 / np.linalg.norm(v0)
+        for _ in range(iters):
+            w = cov @ v
+            nw = np.linalg.norm(w)
+            if nw == 0:
+                return None  # v0 lies in the null space — try another init
+            v = w / nw
+        return v
+
+    # deterministic multi-init: the all-ones direction can be exactly
+    # orthogonal to the dominant eigenvector (e.g. perfectly
+    # anticorrelated coordinates); fall through the top-variance basis
+    # vectors and keep the best Rayleigh quotient
+    inits = [np.ones(dim)]
+    for k in np.argsort(np.diag(cov))[::-1][:3]:
+        e = np.zeros(dim)
+        e[int(k)] = 1.0
+        inits.append(e)
+    best_lam, best_v = 0.0, np.ones(dim) / np.sqrt(dim)
+    for v0 in inits:
+        v = iterate(v0)
+        if v is None:
+            continue
+        lam = float(v @ cov @ v)
+        if lam > best_lam:
+            best_lam, best_v = lam, v
+    v = best_v
+    if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
-    return lam, [float(x) for x in v]
+    return best_lam, [float(x) for x in v]

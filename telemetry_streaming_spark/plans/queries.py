@@ -5929,7 +5929,7 @@ def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(COALESCE(SUM(CASE WHEN covered > 0 THEN 1 END), 0) AS BIGINT)
                AS affected_docs,
-           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) AS total_tokens,
            CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS covered_tokens
     FROM toks LEFT JOIN per_doc USING (doc_id)
     GROUP BY source
@@ -6340,9 +6340,9 @@ def market_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_anomaly_flags, interval_coverage, cumulative_unique_users,
 # dup_span_removal, dup_span_stats, source_drift,
 # event_transition_matrix, repeat_purchase_rate,
-# embedding_gram_matrix, vocab_coverage, ttr_by_source; rows-only:
-# pca_top_component — then fill with anchors (and any r4 rows that
-# did NOT green, prioritized first).
+# embedding_gram_matrix, vocab_coverage, ttr_by_source,
+# market_basket_pairs; rows-only: pca_top_component — then fill with
+# anchors (and any r4 rows that did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     # oracle-backed, never hash-green in r1-r3:

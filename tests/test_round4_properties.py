@@ -138,3 +138,63 @@ def test_per_group_cap_smaller_groups_untouched(spark):
     out = per_group_cap(docs, "source", "doc_id", cap=10)
     counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts == {"big": 10, "small": 5}
+
+
+def test_apply_mixture_tolerates_null_stratum(spark):
+    """A NULL source row must not crash the plan->execute loop (review
+    finding: sorted() over a rates dict containing None)."""
+    from telemetry_streaming_spark.operators.sampling import apply_mixture, mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "doc_id long, source string"
+    )
+    plan = mixture_plan(docs, "source", {"a": 0.9})
+    out = {r.doc_id for r in apply_mixture(docs, plan, "doc_id", "source").collect()}
+    assert out <= {1, 2} and 3 not in out  # NULL stratum falls to rate 0
+
+
+def test_pca_survives_anticorrelated_init(spark):
+    """Perfectly anticorrelated coordinates make cov @ ones == 0; the
+    multi-init power iteration must still find the true component
+    (review finding: silent 0.0 eigenvalue)."""
+    import numpy as np
+
+    from telemetry_streaming_spark.operators.similarity import top_principal_component
+
+    rows = [(i, [float(a), float(-a)]) for i, a in enumerate(range(-20, 21))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lam, v = top_principal_component(df, iters=60)
+    assert lam > 0.0
+    assert abs(abs(v[0]) - abs(v[1])) < 1e-6 and v[0] * v[1] < 0  # [.707, -.707]
+
+
+def test_pca_rejects_ragged_embeddings(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.similarity import top_principal_component
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="same length"):
+        top_principal_component(df)
+
+
+def test_report_survives_null_text_source(spark, tmp_path, capsys):
+    """A source whose documents all have NULL text reports zeros
+    instead of crashing the audit (review finding)."""
+    import json as _json
+    import os
+
+    from telemetry_streaming_spark.cli import main
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "real words here", "good"), (2, None, "broken"), (3, None, "broken")],
+        "doc_id long, text string, source string",
+    ).write.parquet(d)
+    out = str(tmp_path / "card.json")
+    main(["report", "--input-path", d, "--output-path", out], spark=spark)
+    card = _json.loads(open(out).read())
+    assert card["per_source"]["broken"]["n_tokens"] == 0
+    assert card["per_source"]["good"]["n_tokens"] == 3
