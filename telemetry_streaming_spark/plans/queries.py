@@ -6313,6 +6313,194 @@ def market_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "benford_digits",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS first_digit,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1, 2
+    """,
+)
+def benford_digits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Benford first-digit distribution of order totals per
+    priority class (the classic anomaly/fraud screen).  The digit is
+    extracted from the exact integer cents via string ops — no log10,
+    no float rounding — so the histogram hashes across engines; one
+    map + one combined aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
+    return (
+        orders.where(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority", digit.alias("first_digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "discount_quantity_slope",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (SELECT l_returnflag, MIN(x) AS x0 FROM c GROUP BY 1),
+    s AS (
+        SELECT c.l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(x - x0) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM((x - x0) * y) AS BIGINT) AS sxy,
+               CAST(SUM((x - x0) * (x - x0)) AS BIGINT) AS sxx
+        FROM c JOIN m ON c.l_returnflag = m.l_returnflag
+        GROUP BY 1
+    )
+    SELECT l_returnflag, n, sx, sy, sxy, sxx,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+    FROM s
+    """,
+)
+def discount_quantity_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: does discount drive quantity — per-returnflag OLS
+    slope of quantity on discount, via the engine's exact-integer
+    regression (operators/regression.py:grouped_linreg pattern):
+    x centered on the group min, all moment sums BIGINT-exact in any
+    order, one final IEEE division.  The oracle mirrors the identical
+    arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        cents(F.col("l_discount")).alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    m = c.groupBy("l_returnflag").agg(F.min("x").alias("x0"))
+    s = (
+        c.join(F.broadcast(m), "l_returnflag")
+        .select(
+            "l_returnflag",
+            (F.col("x") - F.col("x0")).alias("xc"),
+            "y",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xc").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("xc") * F.col("y")).alias("sxy"),
+            F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        )
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxy", "sxx",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("slope"),
+    )
+
+
+@query(
+    "cohort_revenue_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000
+                    // 2592000 AS BIGINT) AS period,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first AS (SELECT o_custkey, MIN(period) AS cohort FROM o GROUP BY 1)
+    SELECT cohort,
+           o.period - cohort AS age,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN first USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_revenue_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: cohort LTV matrix — revenue by (first-purchase
+    cohort, age in 30-day periods).  Same two-aggregate shape as
+    cohort_retention (first-seen per customer, join back, rollup) with
+    exact integer revenue; the matrix is cohorts x ages, aggregate-
+    sized at any order volume."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 2_592_000)
+        .cast("long")
+        .alias("period"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("period").alias("cohort"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("age"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "new_vs_returning",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000
+                    // 2592000 AS BIGINT) AS period,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first AS (SELECT o_custkey, MIN(period) AS first_period FROM o GROUP BY 1)
+    SELECT period,
+           CAST(COALESCE(SUM(CASE WHEN period = first_period THEN cents END), 0)
+                AS BIGINT) AS new_revenue_cents,
+           CAST(COALESCE(SUM(CASE WHEN period > first_period THEN cents END), 0)
+                AS BIGINT) AS returning_revenue_cents,
+           COUNT(DISTINCT CASE WHEN period = first_period THEN o_custkey END)
+               AS new_customers,
+           COUNT(DISTINCT CASE WHEN period > first_period THEN o_custkey END)
+               AS returning_customers
+    FROM o JOIN first USING (o_custkey)
+    GROUP BY period
+    """,
+)
+def new_vs_returning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: monthly revenue split into new vs returning
+    customers — the self-derived dimension (first period per customer)
+    joined back, conditional sums and distincts riding one aggregate
+    per period."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 2_592_000)
+        .cast("long")
+        .alias("period"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("period").alias("first_period"))
+    j = o.join(first, "o_custkey")
+    is_new = F.col("period") == F.col("first_period")
+    is_ret = F.col("period") > F.col("first_period")
+    return j.groupBy("period").agg(
+        F.coalesce(F.sum(F.when(is_new, F.col("cents"))), F.lit(0)).alias("new_revenue_cents"),
+        F.coalesce(F.sum(F.when(is_ret, F.col("cents"))), F.lit(0)).alias(
+            "returning_revenue_cents"
+        ),
+        F.countDistinct(F.when(is_new, F.col("o_custkey"))).alias("new_customers"),
+        F.countDistinct(F.when(is_ret, F.col("o_custkey"))).alias("returning_customers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6341,8 +6529,10 @@ def market_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dup_span_removal, dup_span_stats, source_drift,
 # event_transition_matrix, repeat_purchase_rate,
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
-# market_basket_pairs; rows-only: pca_top_component — then fill with
-# anchors (and any r4 rows that did NOT green, prioritized first).
+# market_basket_pairs, benford_digits, discount_quantity_slope,
+# cohort_revenue_matrix, new_vs_returning; rows-only:
+# pca_top_component — then fill with anchors (and any r4 rows that
+# did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     # oracle-backed, never hash-green in r1-r3:
