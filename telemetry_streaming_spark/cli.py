@@ -602,6 +602,33 @@ def run_ann_index(spark, args):
     print(f"results: {spark.read.parquet(args.output_path).count()}")
 
 
+def run_compact(spark, args):
+    """Small-files compaction: rewrite a parquet dir into
+    ~--target-file-mb files (sized from the actual on-disk bytes, so
+    a directory of ten thousand kilobyte files becomes a handful of
+    scan-friendly ones).  --sort-by clusters rows within each output
+    file (sortWithinPartitions — per-file sort, no global exchange)
+    for row-group min/max skipping on those columns."""
+    _require(args, "input-path", "output-path")
+    total = 0
+    for root, _dirs, files in os.walk(args.input_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // (args.target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(args.input_path)
+    out = df.repartition(int(n_files))
+    if args.sort_by:
+        out = out.sortWithinPartitions(*args.sort_by.split(","))
+    out.write.mode("overwrite").parquet(args.output_path)
+    written = [
+        f for root, _d, fs in os.walk(args.output_path)
+        for f in fs if f.endswith(".parquet")
+    ]
+    print(f"input_bytes: {total}")
+    print(f"output_files: {len(written)}")
+
+
 def run_report(spark, args):
     """Dataset card in one command: per-source sizes, token stats,
     length quantiles, trigram diversity, duplicated-span coverage, and
@@ -936,6 +963,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nprobe", type=int, default=4)
     p.add_argument("--explain", action="store_true")
 
+    p = sub.add_parser("compact", help="small-files parquet compaction")
+    p.add_argument("--input-path")
+    p.add_argument("--output-path")
+    p.add_argument("--target-file-mb", type=int, default=256)
+    p.add_argument("--sort-by", help="comma-separated within-file clustering columns")
+
     p = sub.add_parser("report", help="dataset-card JSON over a documents parquet")
     p.add_argument("--input-path")
     p.add_argument("--output-path", help="also write the JSON here")
@@ -968,6 +1001,7 @@ RUNNERS = {
     "ann_index": run_ann_index,
     "sql": run_sql,
     "report": run_report,
+    "compact": run_compact,
 }
 
 

@@ -19,7 +19,7 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "ann_index", "sql", "report",
+        "minhash_index", "ann_index", "sql", "report", "compact",
     }
 
 
@@ -642,3 +642,27 @@ def test_cli_report_dataset_card(spark, tmp_path, capsys):
     for v in card["per_source"].values():
         assert v["p50_tokens"] <= v["p99_tokens"]
     assert card["cross_source_leakage"]["dup_groups"] >= 0
+
+
+def test_cli_compact_small_files(spark, tmp_path, capsys):
+    """Many tiny files in, few sized files out, rows preserved; sorted
+    clustering tightens per-file min/max ranges."""
+    import os
+
+    from telemetry_streaming_spark.cli import main
+
+    src = str(tmp_path / "tiny")
+    spark.range(20_000).selectExpr(
+        "id", "id % 97 AS k", "CAST(id AS STRING) AS payload"
+    ).repartition(64).write.parquet(src)
+    n_in = len([f for _, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")])
+    assert n_in >= 32
+
+    out = str(tmp_path / "compacted")
+    main(["compact", "--input-path", src, "--output-path", out,
+          "--target-file-mb", "1", "--sort-by", "k"], spark=spark)
+    n_out = len([f for _, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")])
+    assert 0 < n_out < n_in
+    got = spark.read.parquet(out)
+    assert got.count() == 20_000
+    assert got.agg({"id": "sum"}).first()[0] == sum(range(20_000))
