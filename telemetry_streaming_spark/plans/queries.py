@@ -6501,6 +6501,64 @@ def new_vs_returning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(SUM(l_quantity) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, p, q,
+               CAST(SUM(q) OVER (PARTITION BY l_returnflag ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(q) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        FROM r
+    )
+    SELECT l_returnflag,
+           MIN(p) AS weighted_median_cents,
+           CAST(MIN(tot) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY 1
+    """,
+)
+def weighted_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: quantity-weighted median price per return flag — the
+    smallest price whose cumulative quantity reaches half the total.
+    Exact integers end to end (cents prices, integer quantities), so
+    the threshold row is unambiguous across engines.  Prices reduce to
+    (flag, price) groups FIRST (map-side combine), so the cumsum
+    window runs over distinct prices, not line items; a per-flag
+    distinct-price explosion would call for the two-level bucketed
+    cumsum that sequence_packing already implements
+    (operators/packing.py) — same lever, stated not hidden."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy(
+        "l_returnflag", cents(F.col("l_extendedprice")).alias("p")
+    ).agg(F.sum("l_quantity").cast("long").alias("q"))
+    w = Window.partitionBy("l_returnflag").orderBy("p")
+    c = r.select(
+        "l_returnflag",
+        "p",
+        F.sum("q").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("q").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").alias("weighted_median_cents"),
+            F.min("tot").alias("total_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6530,7 +6588,8 @@ def new_vs_returning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_transition_matrix, repeat_purchase_rate,
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
 # market_basket_pairs, benford_digits, discount_quantity_slope,
-# cohort_revenue_matrix, new_vs_returning; rows-only:
+# cohort_revenue_matrix, new_vs_returning, weighted_median_price;
+# rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
