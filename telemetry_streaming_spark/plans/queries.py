@@ -6559,6 +6559,65 @@ def weighted_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "name_linkage",
+    oracle="""
+    WITH sup AS (
+        SELECT s_suppkey, substr(s_name, 10) AS sfx FROM supplier
+    ),
+    cust AS (
+        SELECT c_custkey, substr(c_name, 10) AS sfx FROM customer
+    )
+    SELECT s_suppkey, c_custkey,
+           CAST(levenshtein(sup.sfx, cust.sfx) AS BIGINT) AS dist
+    FROM sup JOIN cust
+      ON length(sup.sfx) = length(cust.sfx)
+     AND levenshtein(sup.sfx, cust.sfx) <= 1
+    """,
+)
+def name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: blocked record linkage (entity resolution) — link
+    suppliers and customers whose 9-digit entity suffixes are within
+    edit distance 1.  The oracle states the naive all-pairs semantics;
+    the engine runs TWO pigeonhole blocking passes (equal-length
+    distance-1 strings differ by exactly ONE substitution, so a pair
+    always agrees on the first half or the second half — the SimHash
+    banding argument applied to strings), unions the candidate
+    equi-joins, dedups, and verifies with the real levenshtein on
+    candidates only.  O(matches + collisions), never |S| x |C|."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.substring("s_name", 10, 64).alias("sfx_s")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring("c_name", 10, 64).alias("sfx_c")
+    )
+    sup = sup.withColumn("b1", F.substring("sfx_s", 1, 4)).withColumn(
+        "b2", F.substring("sfx_s", 5, 64)
+    )
+    cust = cust.withColumn("b1", F.substring("sfx_c", 1, 4)).withColumn(
+        "b2", F.substring("sfx_c", 5, 64)
+    )
+    cand = (
+        sup.join(cust, "b1").select("s_suppkey", "c_custkey", "sfx_s", "sfx_c")
+        .unionByName(
+            sup.join(cust, "b2").select("s_suppkey", "c_custkey", "sfx_s", "sfx_c")
+        )
+        .distinct()
+    )
+    return (
+        cand.where(
+            (F.length("sfx_s") == F.length("sfx_c"))
+            & (F.levenshtein("sfx_s", "sfx_c") <= 1)
+        )
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.levenshtein("sfx_s", "sfx_c").cast("long").alias("dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6588,8 +6647,8 @@ def weighted_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_transition_matrix, repeat_purchase_rate,
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
 # market_basket_pairs, benford_digits, discount_quantity_slope,
-# cohort_revenue_matrix, new_vs_returning, weighted_median_price;
-# rows-only:
+# cohort_revenue_matrix, new_vs_returning, weighted_median_price,
+# name_linkage; rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
