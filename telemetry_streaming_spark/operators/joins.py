@@ -325,3 +325,66 @@ def interval_join_stream(
     return intervals.join(p, on=cond, how="inner").drop(
         *[f"_pk{i}" for i in range(len(pkeys))]
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Inner-join interval rows from two sets on the same key where the
+    half-open ranges [start, end) OVERLAP — the meetings/availability
+    join `interval_join` (point-vs-interval) cannot express.
+
+    Shape: both sides replicate to the time bins they touch
+    (copies = len/bin + 1) and meet in an equi-join on (key, bin) —
+    never a BroadcastNestedLoopJoin.  An overlapping pair can share
+    MANY bins; instead of a distinct shuffle over the pair output, the
+    pair is emitted only in its FIRST shared bin — max(bin(l.start),
+    bin(r.start)) — which both sides provably cover, so each pair
+    appears exactly once with zero post-dedup.  The residual
+    l.start < r.end AND r.start < l.end predicate keeps the join
+    exact.  Epoch-second integer bins, so binning is engine-portable.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in right.columns:
+        if c in keys:
+            continue
+        if (right_prefix + c) in left.columns:
+            raise ValueError(
+                f"output column {right_prefix + c!r} collides; set right_prefix"
+            )
+
+    def binned(df, start, end, side):
+        s = F.unix_seconds(F.col(start))
+        e = F.unix_seconds(F.col(end))
+        first = F.floor(s / bin_seconds).cast("long")
+        last = F.floor((e - 1) / bin_seconds).cast("long")  # [s, e) half-open
+        return df.select(
+            *keys,
+            F.explode(F.sequence(first, F.greatest(last, first))).alias("__bin"),
+            first.alias(f"__first_{side}"),
+            s.alias(f"__s_{side}"),
+            e.alias(f"__e_{side}"),
+            *[F.col(c) for c in df.columns if c not in keys],
+        )
+
+    l = binned(left, left_start, left_end, "l")
+    r_cols = [c for c in right.columns if c not in keys]
+    r = binned(right, right_start, right_end, "r").select(
+        *keys, "__bin", "__first_r", "__s_r", "__e_r",
+        *[F.col(c).alias(right_prefix + c) for c in r_cols],
+    )
+    joined = l.join(r, [*keys, "__bin"])
+    overlap = (F.col("__s_l") < F.col("__e_r")) & (F.col("__s_r") < F.col("__e_l"))
+    first_shared = F.col("__bin") == F.greatest(F.col("__first_l"), F.col("__first_r"))
+    return joined.where(overlap & first_shared).drop(
+        "__bin", "__first_l", "__first_r", "__s_l", "__e_l", "__s_r", "__e_r"
+    )

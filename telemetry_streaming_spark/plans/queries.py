@@ -6618,6 +6618,59 @@ def name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "activity_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT event_id AS click_id, user_id,
+               epoch_us(ts) // 1000000 AS s,
+               epoch_us(ts) // 1000000 + 1800 AS e
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) // 1000000 AS s,
+               epoch_us(ts) // 1000000 + 1800 AS e
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.click_id, b.purchase_id, a.user_id
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def activity_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: set-vs-set interval overlap join — click activity
+    windows overlapping purchase activity windows per user
+    (operators/joins.py:interval_overlap_join).  Bin-bucketed equi-
+    join with the first-shared-bin emission trick (each overlapping
+    pair appears exactly once with no distinct shuffle); the oracle
+    states the naive inequality-join semantics."""
+    from telemetry_streaming_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    mk = lambda t, idname: (  # noqa: E731
+        ev.where(F.col("event_type") == t).select(
+            F.col("event_id").alias(idname),
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    a = mk("click", "click_id")
+    b = mk("purchase", "purchase_id").withColumnRenamed("w_start", "p_start").withColumnRenamed(
+        "w_end", "p_end"
+    )
+    j = interval_overlap_join(
+        a, b, on="user_id",
+        left_start="w_start", left_end="w_end",
+        right_start="p_start", right_end="p_end",
+        bin_seconds=1800,
+    )
+    return j.select("click_id", F.col("r_purchase_id").alias("purchase_id"), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6648,7 +6701,7 @@ def name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
 # market_basket_pairs, benford_digits, discount_quantity_slope,
 # cohort_revenue_matrix, new_vs_returning, weighted_median_price,
-# name_linkage; rows-only:
+# name_linkage, activity_overlap; rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------

@@ -226,3 +226,62 @@ def test_asof_enrich_plan_has_no_shuffle_of_left(sides):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in physical
     assert "Window" not in physical
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_naive_and_emits_each_pair_once(self, spark):
+        """Adversarial shapes: intervals spanning MANY bins (the
+        first-shared-bin trick must still emit each overlapping pair
+        exactly once), touching-but-not-overlapping edges, nested
+        intervals."""
+        from datetime import datetime, timedelta
+
+        from telemetry_streaming_spark.operators.joins import interval_overlap_join
+
+        t0 = datetime(2024, 1, 1)
+
+        def iv(id_, user, start_min, end_min):
+            return (id_, user, t0 + timedelta(minutes=start_min), t0 + timedelta(minutes=end_min))
+
+        left = spark.createDataFrame(
+            [iv(1, 1, 0, 300),      # spans many 10-min bins
+             iv(2, 1, 50, 60),
+             iv(3, 2, 0, 10)],
+            "lid long, user_id long, ls timestamp, le timestamp",
+        )
+        right = spark.createDataFrame(
+            [iv(10, 1, 100, 110),   # nested inside interval 1
+             iv(11, 1, 60, 70),     # touches interval 2 at 60: NO overlap (half-open)
+             iv(12, 1, 55, 65),     # overlaps interval 2 and 1
+             iv(13, 2, 10, 20),     # touches interval 3: no overlap
+             iv(14, 3, 0, 100)],    # different user
+            "rid long, user_id long, rs timestamp, re timestamp",
+        )
+        out = interval_overlap_join(
+            left, right, on="user_id",
+            left_start="ls", left_end="le", right_start="rs", right_end="re",
+            bin_seconds=600,
+        ).select("lid", "r_rid").collect()
+        pairs = sorted((r.lid, r.r_rid) for r in out)
+        assert pairs == [(1, 10), (1, 11), (1, 12), (2, 12)]
+        assert len(pairs) == len(set(pairs))  # exactly-once emission
+
+    def test_plan_has_no_nested_loop(self, spark):
+        from telemetry_streaming_spark.operators.joins import interval_overlap_join
+        import contextlib, io
+
+        left = spark.createDataFrame(
+            [(1, 1)], "lid long, user_id long"
+        ).selectExpr("lid", "user_id", "timestamp'2024-01-01' AS ls", "timestamp'2024-01-02' AS le")
+        right = spark.createDataFrame(
+            [(2, 1)], "rid long, user_id long"
+        ).selectExpr("rid", "user_id", "timestamp'2024-01-01' AS rs", "timestamp'2024-01-02' AS re")
+        j = interval_overlap_join(
+            left, right, on="user_id",
+            left_start="ls", left_end="le", right_start="rs", right_end="re",
+            bin_seconds=3600,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "BroadcastNestedLoopJoin" not in buf.getvalue()
