@@ -610,11 +610,21 @@ def run_compact(spark, args):
     file (sortWithinPartitions — per-file sort, no global exchange)
     for row-group min/max skipping on those columns."""
     _require(args, "input-path", "output-path")
+    if args.target_file_mb <= 0:
+        raise SystemExit("--target-file-mb must be positive")
     total = 0
     for root, _dirs, files in os.walk(args.input_path):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
+    if total == 0:
+        # sizing walks the LOCAL filesystem; a remote path (s3a://,
+        # hdfs://) or empty dir would silently compact to one file
+        raise SystemExit(
+            f"no local parquet bytes found under {args.input_path!r} — "
+            "compact sizes output from local file sizes; for remote "
+            "stores run it where the data is mounted"
+        )
     n_files = max(1, -(-total // (args.target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(args.input_path)
     out = df.repartition(int(n_files))

@@ -354,13 +354,16 @@ def interval_overlap_join(
     exact.  Epoch-second integer bins, so binning is engine-portable.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    for c in right.columns:
-        if c in keys:
-            continue
-        if (right_prefix + c) in left.columns:
-            raise ValueError(
-                f"output column {right_prefix + c!r} collides; set right_prefix"
-            )
+    reserved = {"__bin", "__first_l", "__first_r", "__s_l", "__e_l", "__s_r", "__e_r"}
+    bad = reserved & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(f"input columns collide with internal names: {sorted(bad)}")
+    prefixed = [right_prefix + c for c in right.columns if c not in keys]
+    if len(set(prefixed)) != len(prefixed) or set(prefixed) & set(keys):
+        raise ValueError("right_prefix produces duplicate or key-colliding columns")
+    for pc in prefixed:
+        if pc in left.columns:
+            raise ValueError(f"output column {pc!r} collides; set right_prefix")
 
     def binned(df, start, end, side):
         s = F.unix_seconds(F.col(start))

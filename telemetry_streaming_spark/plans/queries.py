@@ -6314,6 +6314,21 @@ def market_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _order_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, period, cents): orders projected to 30-day periods
+    (2_592_000 s) with exact integer revenue — the shared base of the
+    cohort-revenue and new-vs-returning queries (their oracles repeat
+    the same epoch arithmetic)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        F.floor(F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 2_592_000)
+        .cast("long")
+        .alias("period"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+
+
 @query(
     "benford_digits",
     oracle="""
@@ -6431,14 +6446,7 @@ def cohort_revenue_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort_retention (first-seen per customer, join back, rollup) with
     exact integer revenue; the matrix is cohorts x ages, aggregate-
     sized at any order volume."""
-    orders = _t(spark, sf_dir, "orders")
-    o = orders.select(
-        "o_custkey",
-        F.floor(F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 2_592_000)
-        .cast("long")
-        .alias("period"),
-        cents(F.col("o_totalprice")).alias("cents"),
-    )
+    o = _order_periods(spark, sf_dir)
     first = o.groupBy("o_custkey").agg(F.min("period").alias("cohort"))
     return (
         o.join(first, "o_custkey")
@@ -6479,14 +6487,7 @@ def new_vs_returning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers — the self-derived dimension (first period per customer)
     joined back, conditional sums and distincts riding one aggregate
     per period."""
-    orders = _t(spark, sf_dir, "orders")
-    o = orders.select(
-        "o_custkey",
-        F.floor(F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 2_592_000)
-        .cast("long")
-        .alias("period"),
-        cents(F.col("o_totalprice")).alias("cents"),
-    )
+    o = _order_periods(spark, sf_dir)
     first = o.groupBy("o_custkey").agg(F.min("period").alias("first_period"))
     j = o.join(first, "o_custkey")
     is_new = F.col("period") == F.col("first_period")
