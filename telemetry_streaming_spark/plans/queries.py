@@ -6672,6 +6672,62 @@ def activity_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("click_id", F.col("r_purchase_id").alias("purchase_id"), "user_id")
 
 
+
+@query(
+    "revenue_wow",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000
+                    // 604800 AS BIGINT) AS week,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT week, revenue_cents, n_orders,
+           revenue_cents - LAG(revenue_cents) OVER (ORDER BY week)
+               AS wow_delta_cents,
+           CASE WHEN LAG(revenue_cents) OVER (ORDER BY week) > 0
+                THEN CAST(revenue_cents AS DOUBLE)
+                     / CAST(LAG(revenue_cents) OVER (ORDER BY week) AS DOUBLE)
+                     - 1.0 END AS wow_change
+    FROM w
+    """,
+)
+def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: week-over-week revenue deltas — the BI staple.  The
+    fact table collapses to one row per week FIRST (map-side combined
+    aggregate); the lag window then runs over the aggregate-sized week
+    table, so the only unpartitioned window touches #weeks rows, never
+    orders.  Exact integer deltas; the ratio is one IEEE division."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        orders.groupBy(
+            F.floor(F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 604_800)
+            .cast("long")
+            .alias("week")
+        )
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    lagw = Window.orderBy("week")
+    prev = F.lag("revenue_cents").over(lagw)
+    return w.select(
+        "week",
+        "revenue_cents",
+        "n_orders",
+        (F.col("revenue_cents") - prev).alias("wow_delta_cents"),
+        F.when(
+            prev > 0,
+            F.col("revenue_cents").cast("double") / prev.cast("double") - 1.0,
+        ).alias("wow_change"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6702,7 +6758,7 @@ def activity_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
 # market_basket_pairs, benford_digits, discount_quantity_slope,
 # cohort_revenue_matrix, new_vs_returning, weighted_median_price,
-# name_linkage, activity_overlap; rows-only:
+# name_linkage, activity_overlap, revenue_wow; rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
