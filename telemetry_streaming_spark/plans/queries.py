@@ -6728,6 +6728,81 @@ def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "dow_seasonality",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               -- DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, dow,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1
+        FROM c GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type,
+               COUNT(*) AS n_tot,
+               CAST(SUM(cents) AS BIGINT) AS s_tot,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2_tot
+        FROM c GROUP BY 1
+    )
+    SELECT g.event_type, g.dow, g.n, g.s1,
+           CAST(g.s1 AS DOUBLE) / g.n AS dow_mean_cents,
+           CASE WHEN t.n_tot * t.s2_tot - t.s_tot * t.s_tot > 0
+                THEN CAST(t.n_tot AS DOUBLE)
+                     * (CAST(g.s1 AS DOUBLE) / g.n - CAST(t.s_tot AS DOUBLE) / t.n_tot)
+                     * (CAST(g.s1 AS DOUBLE) / g.n - CAST(t.s_tot AS DOUBLE) / t.n_tot)
+                     * g.n
+                     / (CAST(t.n_tot AS DOUBLE) * t.s2_tot - CAST(t.s_tot AS DOUBLE) * t.s_tot)
+                END AS variance_share
+    FROM g JOIN t ON g.event_type = t.event_type
+    """,
+)
+def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: day-of-week seasonality strength per event type — an
+    ANOVA-style decomposition: each weekday cell's share of total
+    variance, n*(mean_dow - mean)^2 / SS_total.  Exact integer moment
+    sums feed a few IEEE operations arranged identically in both
+    engines (hash-parity discipline); the second-level math runs over
+    the aggregate-sized (type, dow) table."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        cents(F.col("value")).alias("cents"),
+    )
+    g = c.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s1")
+    )
+    t = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum("cents").alias("s_tot"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2_tot"),
+    )
+    j = g.join(t, "event_type")
+    dmean = F.col("s1").cast("double") / F.col("n")
+    gmean = F.col("s_tot").cast("double") / F.col("n_tot")
+    ss_tot = (
+        F.col("n_tot").cast("double") * F.col("s2_tot")
+        - F.col("s_tot").cast("double") * F.col("s_tot")
+    )
+    share = F.when(
+        F.col("n_tot") * F.col("s2_tot") - F.col("s_tot") * F.col("s_tot") > 0,
+        F.col("n_tot").cast("double") * (dmean - gmean) * (dmean - gmean) * F.col("n") / ss_tot,
+    )
+    return j.select(
+        "event_type", "dow", "n", "s1",
+        dmean.alias("dow_mean_cents"),
+        share.alias("variance_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6758,7 +6833,8 @@ def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
 # market_basket_pairs, benford_digits, discount_quantity_slope,
 # cohort_revenue_matrix, new_vs_returning, weighted_median_price,
-# name_linkage, activity_overlap, revenue_wow; rows-only:
+# name_linkage, activity_overlap, revenue_wow, dow_seasonality;
+# rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
