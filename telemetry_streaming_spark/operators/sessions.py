@@ -315,3 +315,105 @@ def sessionize_tws(
             timeMode="EventTime",
         )
     )
+
+
+FUNNEL_SCHEMA = (
+    "user_id long, funnel_start timestamp, funnel_end timestamp, duration_s long"
+)
+FUNNEL_STATE_SCHEMA = "stage int, start_us long"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    window_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming conversion funnel via
+    ``applyInPandasWithState``: per user, a funnel instance starts at a
+    ``steps[0]`` event and completes when the remaining steps occur IN
+    ORDER within ``window_seconds`` of the start; completions emit
+    (user, start, end, duration) immediately.
+
+    Policy, stated exactly (the batch replica in the tests mirrors it):
+    only the EXPECTED next step advances the instance; other funnel
+    events are ignored; a ``steps[0]`` event while no instance is open
+    starts one; an event past the window closes the stale instance
+    un-emitted and may itself start a new instance.  State is one
+    (stage, start) pair per user with an event-time timeout at
+    ``start + window`` — O(active users), evicted by the watermark
+    like sessionize_stream, whose epoch-micros / late-row / clamped-
+    timeout robustness contract this reuses."""
+    step_list = list(steps)
+    if len(step_list) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    window_us = window_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        out = []
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            state.remove()  # incomplete instance expired: nothing to emit
+        else:
+            rows: list[tuple[int, str]] = []
+            for pdf in pdfs:
+                rows.extend(
+                    (int(t), s) for t, s in zip(pdf["__ts_us"], pdf["__step"])
+                )
+            rows = sorted((t, s) for t, s in rows if t >= wm_ms * 1000)
+            if state.exists:
+                stage, start_us = state.get
+            else:
+                stage, start_us = -1, 0
+            for t, s in rows:
+                if stage >= 0 and t - start_us > window_us:
+                    stage, start_us = -1, 0  # stale instance dies silently
+                if stage == -1:
+                    if s == step_list[0]:
+                        stage, start_us = 1, t
+                elif s == step_list[stage]:
+                    stage += 1
+                    if stage == len(step_list):
+                        out.append(
+                            (
+                                user_id,
+                                _dt.datetime.fromtimestamp(
+                                    start_us / 1e6, tz=_dt.timezone.utc
+                                ),
+                                _dt.datetime.fromtimestamp(t / 1e6, tz=_dt.timezone.utc),
+                                (t - start_us) // 1_000_000,
+                            )
+                        )
+                        stage, start_us = -1, 0
+            if stage >= 0:
+                state.update((stage, start_us))
+                state.setTimeoutTimestamp(
+                    max(start_us // 1000 + window_seconds * 1000, wm_ms + 1)
+                )
+            elif state.exists:
+                state.remove()
+
+        yield pd.DataFrame(
+            out, columns=["user_id", "funnel_start", "funnel_end", "duration_s"]
+        )
+
+    return (
+        events.where(F.col(type_col).isin(step_list))
+        .withWatermark(ts_col, watermark)
+        .withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("__step", F.col(type_col))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

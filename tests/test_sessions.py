@@ -268,3 +268,100 @@ def test_tws_sessionize_matches_stream_tier(spark, tmp_path):
         assert got[(2, "2024-01-01T10:00:00")].n_events == 1
     finally:
         q.stop()
+
+
+def _funnel_replica(rows, steps, window_s):
+    """Python replica of streaming_funnel's documented policy."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, t in rows:
+        if t in steps:
+            by_user[u].append((ts, t))
+    out = []
+    for u, evs in by_user.items():
+        stage, start = -1, None
+        for ts, t in sorted(evs):
+            if stage >= 0 and (ts - start).total_seconds() > window_s:
+                stage, start = -1, None
+            if stage == -1:
+                if t == steps[0]:
+                    stage, start = 1, ts
+            elif t == steps[stage]:
+                stage += 1
+                if stage == len(steps):
+                    out.append((u, start, ts, int((ts - start).total_seconds())))
+                    stage, start = -1, None
+    return sorted(out)
+
+
+def test_streaming_funnel_completes_across_batches(spark, tmp_path):
+    """Stateful funnel: steps spread over micro-batches complete and
+    emit; out-of-window instances die silently; output matches the
+    python replica of the documented policy."""
+    from datetime import datetime
+
+    from telemetry_streaming_spark.operators.sessions import streaming_funnel
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write(lines, name):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    # user 1 completes view->click->purchase across two batches;
+    # user 2 views then stalls past the window; user 3 clicks first
+    # (never starts)
+    write([
+        "1,2024-01-01 10:00:00,view",
+        "1,2024-01-01 10:05:00,click",
+        "2,2024-01-01 10:00:00,view",
+        "3,2024-01-01 10:00:00,click",
+    ], "a.csv")
+
+    raw = (
+        spark.readStream.format("text").load(in_dir)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.col("p")[1]).alias("ts"),
+            F.col("p")[2].alias("event_type"),
+        )
+    )
+    funnels = streaming_funnel(
+        raw, ("view", "click", "purchase"), window_seconds=3600,
+        watermark="0 seconds",
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnels.writeStream.queryName(name).format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    all_rows = [
+        (1, datetime(2024, 1, 1, 10, 0), "view"),
+        (1, datetime(2024, 1, 1, 10, 5), "click"),
+        (2, datetime(2024, 1, 1, 10, 0), "view"),
+        (3, datetime(2024, 1, 1, 10, 0), "click"),
+        (1, datetime(2024, 1, 1, 10, 20), "purchase"),
+        (2, datetime(2024, 1, 1, 12, 30), "click"),  # past 1h window: dead
+    ]
+    try:
+        q.processAllAvailable()
+        write([
+            "1,2024-01-01 10:20:00,purchase",
+            "2,2024-01-01 12:30:00,click",
+        ], "b.csv")
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.funnel_start.replace(tzinfo=None),
+             r.funnel_end.replace(tzinfo=None), r.duration_s)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        expect = _funnel_replica(all_rows, ("view", "click", "purchase"), 3600)
+        assert got == expect
+        assert got == [(1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 20), 1200)]
+    finally:
+        q.stop()
