@@ -90,6 +90,15 @@ HEADLINE = [
     "embedding_gram_matrix",
     "vocab_coverage",
     "ttr_by_source",
+    # closing-r4 additions (>=0.45 s)
+    "market_basket_pairs",
+    "weighted_median_price",
+    "name_linkage",
+    "new_vs_returning",
+    "cohort_revenue_matrix",
+    "discount_quantity_slope",
+    "activity_overlap",
+    "dow_seasonality",
 ]
 
 

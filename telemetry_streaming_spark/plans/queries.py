@@ -6581,29 +6581,41 @@ def name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: blocked record linkage (entity resolution) — link
     suppliers and customers whose 9-digit entity suffixes are within
     edit distance 1.  The oracle states the naive all-pairs semantics;
-    the engine runs TWO pigeonhole blocking passes (equal-length
-    distance-1 strings differ by exactly ONE substitution, so a pair
-    always agrees on the first half or the second half — the SimHash
-    banding argument applied to strings), unions the candidate
-    equi-joins, dedups, and verifies with the real levenshtein on
-    candidates only.  O(matches + collisions), never |S| x |C|."""
+    the engine blocks by POSITION MASKS: each record emits 9 keys (the
+    suffix with one position wildcarded), and an equal-length
+    distance-1 pair — which differs by exactly one substitution — must
+    share the key masked at its differing position.  Mask blocks are
+    near-unique, unlike prefix/half blocks, which DEGENERATE on
+    zero-padded ids (every entity shares the "0000" prefix and the
+    join collapses to all-pairs — measured 15s vs 0.4s at sf0.1).
+    Candidates dedupe on the id pair, then the real levenshtein runs
+    on candidates only: O(matches + 9n) rows, never |S| x |C|."""
     sup = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", F.substring("s_name", 10, 64).alias("sfx_s")
     )
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", F.substring("c_name", 10, 64).alias("sfx_c")
     )
-    sup = sup.withColumn("b1", F.substring("sfx_s", 1, 4)).withColumn(
-        "b2", F.substring("sfx_s", 5, 64)
-    )
-    cust = cust.withColumn("b1", F.substring("sfx_c", 1, 4)).withColumn(
-        "b2", F.substring("sfx_c", 5, 64)
-    )
-    cand = (
-        sup.join(cust, "b1").select("s_suppkey", "c_custkey", "sfx_s", "sfx_c")
-        .unionByName(
-            sup.join(cust, "b2").select("s_suppkey", "c_custkey", "sfx_s", "sfx_c")
+
+    def masked(df, sfx, n=9):
+        mask = F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.substring(sfx, 1, i),
+                        F.lit("*"),
+                        F.substring(sfx, i + 2, 64),
+                    ).alias("m")
+                    for i in range(n)
+                ]
+            )
         )
+        return df.select("*", mask.alias("__mask"))
+
+    cand = (
+        masked(sup, F.col("sfx_s"))
+        .join(masked(cust, F.col("sfx_c")), "__mask")
+        .select("s_suppkey", "c_custkey", "sfx_s", "sfx_c")
         .distinct()
     )
     return (
@@ -6617,7 +6629,6 @@ def name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("sfx_s", "sfx_c").cast("long").alias("dist"),
         )
     )
-
 
 
 @query(
