@@ -6814,6 +6814,120 @@ def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "balance_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT s_suppkey,
+               CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               NTILE(10) OVER (ORDER BY s_acctbal, s_suppkey) AS decile
+        FROM supplier
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(bal_cents) AS min_cents,
+           MAX(bal_cents) AS max_cents,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_cents
+    FROM d GROUP BY decile
+    """,
+)
+def balance_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: account-balance decile table via NTILE under a TOTAL
+    order (balance, key) — both engines share the standard NTILE
+    fill rule, so bucket membership is deterministic.  The global
+    window runs over the supplier dimension (small by TPC-H
+    construction); for a fact-sized decile cut use the
+    percentile_approx edge recipe from sources/layout.py instead —
+    stated, not hidden."""
+    from pyspark.sql import Window
+
+    sup = _t(spark, sf_dir, "supplier")
+    d = sup.select(
+        "s_suppkey",
+        cents(F.col("s_acctbal")).alias("bal_cents"),
+        F.ntile(10).over(Window.orderBy("s_acctbal", "s_suppkey")).alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bal_cents").alias("min_cents"),
+        F.max("bal_cents").alias("max_cents"),
+        F.sum("bal_cents").alias("sum_cents"),
+    )
+
+
+@query(
+    "basket_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok AS (
+        SELECT l_orderkey FROM items GROUP BY l_orderkey HAVING COUNT(*) <= 50
+    ),
+    capped AS (SELECT i.* FROM items i JOIN ok ON ok.l_orderkey = i.l_orderkey),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM capped GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM capped),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+        FROM capped a
+        JOIN capped b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           fa.n_item AS n_a, fb.n_item AS n_b,
+           CAST(n_ab AS DOUBLE) / fa.n_item AS confidence,
+           CAST(n_ab AS DOUBLE) * t.n_orders / (fa.n_item * fb.n_item) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN tot t
+    WHERE n_ab >= 2
+    """,
+)
+def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: association rules over the capped basket pairs —
+    support, confidence and lift from exact integer counts (one IEEE
+    division each).  The pair expansion reuses market_basket_pairs'
+    hot-basket guard; item frequencies join back on the part key and
+    the order total rides as a broadcast 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__b"))
+        .where(F.col("__b") <= 50)
+        .select("l_orderkey")
+    )
+    capped = items.join(ok, "l_orderkey")
+    freq = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = capped.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6844,8 +6958,8 @@ def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_gram_matrix, vocab_coverage, ttr_by_source,
 # market_basket_pairs, benford_digits, discount_quantity_slope,
 # cohort_revenue_matrix, new_vs_returning, weighted_median_price,
-# name_linkage, activity_overlap, revenue_wow, dow_seasonality;
-# rows-only:
+# name_linkage, activity_overlap, revenue_wow, dow_seasonality,
+# balance_deciles, basket_rules; rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
