@@ -6928,6 +6928,37 @@ def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "supplier_balance_pct_rank",
+    oracle="""
+    SELECT s_nationkey,
+           s_suppkey,
+           CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+           PERCENT_RANK() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal, s_suppkey) AS pct_rank
+    FROM supplier
+    """,
+)
+def supplier_balance_pct_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: within-nation percent rank of supplier balances —
+    the (rank-1)/(n-1) definition is identical in both engines under
+    the (balance, key) total order, so the doubles hash.  Partitioned
+    by nation (bounded groups); an unpartitioned fact-sized
+    percent_rank is the exact shape the Z-order writer replaced with
+    percentile_approx edges (sources/layout.py) — same routing note."""
+    from pyspark.sql import Window
+
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        cents(F.col("s_acctbal")).alias("bal_cents"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -6959,7 +6990,8 @@ def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # market_basket_pairs, benford_digits, discount_quantity_slope,
 # cohort_revenue_matrix, new_vs_returning, weighted_median_price,
 # name_linkage, activity_overlap, revenue_wow, dow_seasonality,
-# balance_deciles, basket_rules; rows-only:
+# balance_deciles, basket_rules, supplier_balance_pct_rank;
+# rows-only:
 # pca_top_component — then fill with anchors (and any r4 rows that
 # did NOT green, prioritized first).
 # ---------------------------------------------------------------------------
