@@ -320,7 +320,9 @@ def sessionize_tws(
 FUNNEL_SCHEMA = (
     "user_id long, funnel_start timestamp, funnel_end timestamp, duration_s long"
 )
-FUNNEL_STATE_SCHEMA = "stage int, start_us long"
+FUNNEL_STATE_SCHEMA = (
+    "stage int, start_us long, buf_ts array<long>, buf_step array<string>"
+)
 
 
 def streaming_funnel(
@@ -335,18 +337,27 @@ def streaming_funnel(
     """Stateful streaming conversion funnel via
     ``applyInPandasWithState``: per user, a funnel instance starts at a
     ``steps[0]`` event and completes when the remaining steps occur IN
-    ORDER within ``window_seconds`` of the start; completions emit
-    (user, start, end, duration) immediately.
+    EVENT-TIME ORDER within ``window_seconds`` of the start;
+    completions emit as soon as the watermark finalizes them.
 
-    Policy, stated exactly (the batch replica in the tests mirrors it):
-    only the EXPECTED next step advances the instance; other funnel
-    events are ignored; a ``steps[0]`` event while no instance is open
-    starts one; an event past the window closes the stale instance
-    un-emitted and may itself start a new instance.  State is one
-    (stage, start) pair per user with an event-time timeout at
-    ``start + window`` — O(active users), evicted by the watermark
-    like sessionize_stream, whose epoch-micros / late-row / clamped-
-    timeout robustness contract this reuses."""
+    Event-time correctness, not arrival order: strict-order funnels
+    are NOT reorder-tolerant (consuming a later event first loses the
+    conversion), so incoming events are BUFFERED in state and the
+    policy advances only over events at or below the current
+    watermark — the region where no earlier event can still arrive —
+    in sorted order.  State is (stage, start) plus the pending buffer,
+    O(events inside the watermark horizon) per user; the event-time
+    timeout re-fires the group as the watermark passes buffered
+    events so they drain without new data.
+
+    Policy over the finalized stream (the batch replica in the tests
+    mirrors it): only the EXPECTED next step advances the instance;
+    other funnel events are ignored; a ``steps[0]`` event while no
+    instance is open starts one; an event past the window closes the
+    stale instance un-emitted and may itself start a new instance.
+    Late rows (already below the watermark on arrival) are processed
+    immediately with the finalized set — by watermark contract they
+    are the at-risk residue the lateness bound allows."""
     step_list = list(steps)
     if len(step_list) < 2:
         raise ValueError("a funnel needs at least 2 steps")
@@ -357,47 +368,63 @@ def streaming_funnel(
 
         (user_id,) = key
         out = []
-        wm_ms = state.getCurrentWatermarkMs()
-        if state.hasTimedOut:
-            state.remove()  # incomplete instance expired: nothing to emit
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            stage, start_us, buf_ts, buf_step = state.get
+            pending = list(zip(buf_ts, buf_step))
         else:
-            rows: list[tuple[int, str]] = []
+            stage, start_us, pending = -1, 0, []
+        if not state.hasTimedOut:
             for pdf in pdfs:
-                rows.extend(
-                    (int(t), s) for t, s in zip(pdf["__ts_us"], pdf["__step"])
+                pending.extend(
+                    (int(t), str(s)) for t, s in zip(pdf["__ts_us"], pdf["__step"])
                 )
-            rows = sorted((t, s) for t, s in rows if t >= wm_ms * 1000)
-            if state.exists:
-                stage, start_us = state.get
-            else:
-                stage, start_us = -1, 0
-            for t, s in rows:
-                if stage >= 0 and t - start_us > window_us:
-                    stage, start_us = -1, 0  # stale instance dies silently
-                if stage == -1:
-                    if s == step_list[0]:
-                        stage, start_us = 1, t
-                elif s == step_list[stage]:
-                    stage += 1
-                    if stage == len(step_list):
-                        out.append(
-                            (
-                                user_id,
-                                _dt.datetime.fromtimestamp(
-                                    start_us / 1e6, tz=_dt.timezone.utc
-                                ),
-                                _dt.datetime.fromtimestamp(t / 1e6, tz=_dt.timezone.utc),
-                                (t - start_us) // 1_000_000,
-                            )
+        pending.sort()
+        ready = [e for e in pending if e[0] <= wm_us]
+        pending = [e for e in pending if e[0] > wm_us]
+        for t, st in ready:
+            if stage >= 0 and t - start_us > window_us:
+                stage, start_us = -1, 0  # stale instance dies silently
+            if stage == -1:
+                if st == step_list[0]:
+                    stage, start_us = 1, t
+            elif st == step_list[stage]:
+                stage += 1
+                if stage == len(step_list):
+                    out.append(
+                        (
+                            user_id,
+                            _dt.datetime.fromtimestamp(
+                                start_us / 1e6, tz=_dt.timezone.utc
+                            ),
+                            _dt.datetime.fromtimestamp(t / 1e6, tz=_dt.timezone.utc),
+                            (t - start_us) // 1_000_000,
                         )
-                        stage, start_us = -1, 0
-            if stage >= 0:
-                state.update((stage, start_us))
-                state.setTimeoutTimestamp(
-                    max(start_us // 1000 + window_seconds * 1000, wm_ms + 1)
+                    )
+                    stage, start_us = -1, 0
+        # an open instance whose window the watermark has passed can
+        # never complete (any remaining in-window event is finalized
+        # already) — drop it
+        if stage >= 0 and wm_us > start_us + window_us:
+            stage, start_us = -1, 0
+        if pending or stage >= 0:
+            state.update(
+                (
+                    stage,
+                    start_us,
+                    [t for t, _ in pending],
+                    [st for _, st in pending],
                 )
-            elif state.exists:
-                state.remove()
+            )
+            # re-fire when the watermark passes the next buffered event
+            # (drains the buffer without new data) or the open window
+            next_us = min(
+                [t for t, _ in pending]
+                + ([start_us + window_us] if stage >= 0 else [])
+            )
+            state.setTimeoutTimestamp(max(next_us // 1000 + 1, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
 
         yield pd.DataFrame(
             out, columns=["user_id", "funnel_start", "funnel_end", "duration_s"]

@@ -6261,6 +6261,25 @@ def ttr_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_BASKET_CAP = 50
+
+
+def _capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) items with degenerate mega-baskets
+    (> _BASKET_CAP items) dropped BEFORE any O(b^2) pair expansion —
+    the shared base of market_basket_pairs and basket_rules (their
+    oracles repeat the same cap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__b"))
+        .where(F.col("__b") <= _BASKET_CAP)
+        .select("l_orderkey")
+    )
+    return items.join(ok, "l_orderkey")
+
+
 @query(
     "market_basket_pairs",
     oracle="""
@@ -6292,15 +6311,7 @@ def market_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (the dedup family's hot-bucket guard), pair counts
     map-side combine, and the top-50 is TakeOrdered under a total
     order — never a global sort."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    ok = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__b"))
-        .where(F.col("__b") <= 50)
-        .select("l_orderkey")
-    )
-    capped = items.join(ok, "l_orderkey")
+    capped = _capped_baskets(spark, sf_dir)
     a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (
@@ -6753,19 +6764,21 @@ def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT event_type, dow,
                COUNT(*) AS n,
-               CAST(SUM(cents) AS BIGINT) AS s1
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
         FROM c GROUP BY 1, 2
     ),
     t AS (
         SELECT event_type,
-               COUNT(*) AS n_tot,
-               CAST(SUM(cents) AS BIGINT) AS s_tot,
-               CAST(SUM(cents * cents) AS BIGINT) AS s2_tot
-        FROM c GROUP BY 1
+               CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(s1) AS BIGINT) AS s_tot,
+               CAST(SUM(s2) AS BIGINT) AS s2_tot
+        FROM g GROUP BY 1
     )
     SELECT g.event_type, g.dow, g.n, g.s1,
            CAST(g.s1 AS DOUBLE) / g.n AS dow_mean_cents,
-           CASE WHEN t.n_tot * t.s2_tot - t.s_tot * t.s_tot > 0
+           CASE WHEN CAST(t.n_tot AS DOUBLE) * t.s2_tot
+                     - CAST(t.s_tot AS DOUBLE) * t.s_tot > 0
                 THEN CAST(t.n_tot AS DOUBLE)
                      * (CAST(g.s1 AS DOUBLE) / g.n - CAST(t.s_tot AS DOUBLE) / t.n_tot)
                      * (CAST(g.s1 AS DOUBLE) / g.n - CAST(t.s_tot AS DOUBLE) / t.n_tot)
@@ -6778,10 +6791,12 @@ def revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: day-of-week seasonality strength per event type — an
     ANOVA-style decomposition: each weekday cell's share of total
-    variance, n*(mean_dow - mean)^2 / SS_total.  Exact integer moment
-    sums feed a few IEEE operations arranged identically in both
-    engines (hash-parity discipline); the second-level math runs over
-    the aggregate-sized (type, dow) table."""
+    variance, n*(mean_dow - mean)^2 / SS_total.  ONE fact scan: exact
+    integer moments per (type, dow) cell (map-side combined), the
+    per-type totals a second-level rollup of the aggregate-sized cell
+    table; the positivity guard and SS_total run in DOUBLE in both
+    engines (the integer form overflows BIGINT around sf~2 —
+    n*s2 and s_tot^2 both grow as SF^2)."""
     ev = _t(spark, sf_dir, "events")
     c = ev.select(
         "event_type",
@@ -6789,12 +6804,14 @@ def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value")).alias("cents"),
     )
     g = c.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s1")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
     )
-    t = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_tot"),
-        F.sum("cents").alias("s_tot"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2_tot"),
+    t = g.groupBy("event_type").agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("s1").alias("s_tot"),
+        F.sum("s2").alias("s2_tot"),
     )
     j = g.join(t, "event_type")
     dmean = F.col("s1").cast("double") / F.col("n")
@@ -6804,7 +6821,7 @@ def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s_tot").cast("double") * F.col("s_tot")
     )
     share = F.when(
-        F.col("n_tot") * F.col("s2_tot") - F.col("s_tot") * F.col("s_tot") > 0,
+        ss_tot > 0,
         F.col("n_tot").cast("double") * (dmean - gmean) * (dmean - gmean) * F.col("n") / ss_tot,
     )
     return j.select(
@@ -6812,7 +6829,6 @@ def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dmean.alias("dow_mean_cents"),
         share.alias("variance_share"),
     )
-
 
 
 @query(
@@ -6891,15 +6907,7 @@ def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     division each).  The pair expansion reuses market_basket_pairs'
     hot-basket guard; item frequencies join back on the part key and
     the order total rides as a broadcast 1-row aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    ok = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__b"))
-        .where(F.col("__b") <= 50)
-        .select("l_orderkey")
-    )
-    capped = items.join(ok, "l_orderkey")
+    capped = _capped_baskets(spark, sf_dir)
     freq = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     tot = capped.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))

@@ -365,3 +365,66 @@ def test_streaming_funnel_completes_across_batches(spark, tmp_path):
         assert got == [(1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 20), 1200)]
     finally:
         q.stop()
+
+
+def test_streaming_funnel_tolerates_in_watermark_reordering(spark, tmp_path):
+    """An out-of-order middle step that is NOT late (still above the
+    watermark lateness bound) must not lose the conversion: events
+    buffer in state and the policy runs over the watermark-finalized
+    prefix in event-time order (review finding)."""
+    from datetime import datetime
+
+    from telemetry_streaming_spark.operators.sessions import streaming_funnel
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write(lines, name):
+        with open(os.path.join(in_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    # batch 1: view@10:00 and purchase@10:20 arrive BEFORE the click
+    write(["1,2024-01-01 10:00:00,view", "1,2024-01-01 10:20:00,purchase"], "a.csv")
+    raw = (
+        spark.readStream.format("text").load(in_dir)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("user_id"),
+            F.to_timestamp(F.col("p")[1]).alias("ts"),
+            F.col("p")[2].alias("event_type"),
+        )
+    )
+    funnels = streaming_funnel(
+        raw, ("view", "click", "purchase"), window_seconds=3600,
+        watermark="10 minutes",
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnels.writeStream.queryName(name).format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: the click arrives out of order but within lateness
+        # (watermark is 10:20 - 10min = 10:10; click ts == 10:10 is
+        # exactly at the bound — use 10:11 to be strictly above it)
+        write(["1,2024-01-01 10:11:00,click"], "b.csv")
+        q.processAllAvailable()
+        # batch 3: advance the watermark past the purchase so the
+        # buffered tail finalizes
+        write(["9,2024-01-01 11:30:00,view"], "c.csv")
+        q.processAllAvailable()
+        write(["9,2024-01-01 12:40:00,view"], "d.csv")
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.funnel_start.replace(tzinfo=None),
+             r.funnel_end.replace(tzinfo=None), r.duration_s)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        assert got == [
+            (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 20), 1200)
+        ], got
+    finally:
+        q.stop()
