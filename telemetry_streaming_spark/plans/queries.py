@@ -6987,47 +6987,45 @@ def supplier_balance_pct_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never seen by any driver window, then r4's new queries as they land.
 # Remaining slots: double-green anchors.
 #
-# r5 ROTATION PLAN (do this first next round): assuming CORRECTNESS_r04
-# greens the 50 below, front-load the late-r4 additions that missed
-# this window — oracle-backed: dedup_normalized,
-# conversion_delay_buckets, source_length_quantiles,
-# rolling_anomaly_flags, interval_coverage, cumulative_unique_users,
-# dup_span_removal, dup_span_stats, source_drift,
-# event_transition_matrix, repeat_purchase_rate,
-# embedding_gram_matrix, vocab_coverage, ttr_by_source,
-# market_basket_pairs, benford_digits, discount_quantity_slope,
-# cohort_revenue_matrix, new_vs_returning, weighted_median_price,
-# name_linkage, activity_overlap, revenue_wow, dow_seasonality,
-# balance_deciles, basket_rules, supplier_balance_pct_rank;
-# rows-only:
-# pca_top_component — then fill with anchors (and any r4 rows that
-# did NOT green, prioritized first).
+# r5 WINDOW (executed): CORRECTNESS_r04 greened all 42 oracle-backed rows
+# in the r4 window, so this window front-loads the 27 late-r4
+# oracle-backed queries that have no hash-green driver row in r1-r4,
+# plus rows-only pca_top_component (never driver-seen). Remaining 22
+# slots are double-green anchors spread across families. New r5 queries
+# are appended to the window as they land; tests/test_rotation.py
+# asserts no oracle-backed query can silently miss rotation.
+#
+# r6 ROTATION PLAN: assuming CORRECTNESS_r05 greens the 28 below,
+# every oracle-backed registry query as of r5-open is driver-green
+# cumulatively. Front-load any r5 row that did NOT green, then all
+# never-checked r5 additions (test_rotation.py enumerates them), then
+# anchors.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    # oracle-backed, never hash-green in r1-r3:
-    "range_join", "event_type_pivot",
-    "promo_revenue", "returned_items", "avg_qty_threshold",
-    "disjunctive_revenue", "waiting_suppliers", "sales_opportunity",
-    "product_profit", "running_order_total",
-    "kmeans_assign", "rare_token_score", "dedup_containment",
-    "shard_manifest", "semantic_contamination", "quality_logit",
-    "skew_report", "text_chunks", "dup_cluster_stats",
-    "dedup_minhash_incremental", "event_dedup_stats",
-    "pareto_spend_bands", "mixture_plan",
+    # oracle-backed, never hash-green in r1-r4 (late-r4 additions):
+    "dedup_normalized", "conversion_delay_buckets",
+    "source_length_quantiles", "rolling_anomaly_flags",
+    "interval_coverage", "cumulative_unique_users",
+    "dup_span_removal", "dup_span_stats", "source_drift",
+    "event_transition_matrix", "repeat_purchase_rate",
+    "embedding_gram_matrix", "vocab_coverage", "ttr_by_source",
+    "market_basket_pairs", "benford_digits",
+    "discount_quantity_slope", "cohort_revenue_matrix",
+    "new_vs_returning", "weighted_median_price",
+    "name_linkage", "activity_overlap", "revenue_wow",
+    "dow_seasonality", "balance_deciles", "basket_rules",
+    "supplier_balance_pct_rank",
     # rows-only, never in any driver window:
-    "approx_value_quantiles", "approx_heavy_hitters",
-    "windowed_top_keys", "token_entropy", "dtw_pattern_match",
-    "pattern_match_znorm", "semdedup", "embedding_prototypicality",
-    # r4 additions (all parity-checked at sf0.001 + sf0.01):
-    "forecast_revenue", "important_parts", "shipping_delay_priority",
-    "top_supplier", "dominant_part_suppliers",
-    "cross_source_leakage", "domain_cap_sample", "doc_length_buckets",
-    "attribution_last_touch",
-    "kmeans_update", "embedding_norm_stats", "text_ngram_topk",
+    "pca_top_component",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
-    "sessionize",
+    "sessionize", "range_join", "event_type_pivot",
+    "kmeans_assign", "kmeans_update", "quality_logit",
+    "asof_join", "attribution_last_touch", "domain_cap_sample",
+    "mixture_plan", "shard_manifest", "text_ngram_topk",
+    "sequence_packing", "contamination_report",
+    "dedup_minhash_lsh", "semantic_contamination",
 ]
 
 

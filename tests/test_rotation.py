@@ -1,0 +1,111 @@
+"""Window-rotation bookkeeping guard.
+
+The driver hash-checks only the FIRST 50 entries of ``queries()`` each
+round.  ``plans/queries.py`` front-loads never-checked queries via
+``_FRONT_WINDOW``; that list is hand-edited, and a missed edit silently
+wastes a round's driver check (r4 verdict, "Next round" item 2).  This
+test makes the bookkeeping mechanical: every oracle-backed registry
+query must either already have a hash-green row in some committed
+``CORRECTNESS_r0*.json`` or sit inside the current first-50 window.
+Rows-only queries get the weaker requirement of having been driver-seen
+(a rows-check row) or being in the window.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from telemetry_streaming_spark.plans.queries import QUERIES, _FRONT_WINDOW
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+WINDOW_SIZE = 50
+
+
+def _correctness_rows():
+    rows = {}
+    for path in sorted(REPO_ROOT.glob("CORRECTNESS_r0*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            prev = rows.get(name, {})
+            # keep the strongest result seen across rounds
+            if row.get("hash_match") is True or not prev:
+                rows[name] = row
+    return rows
+
+
+def test_correctness_artifacts_exist():
+    assert list(REPO_ROOT.glob("CORRECTNESS_r0*.json")), (
+        "no committed CORRECTNESS artifacts found — "
+        "run from the repo checkout"
+    )
+
+
+def test_front_window_names_are_registered():
+    unknown = [n for n in _FRONT_WINDOW if n not in QUERIES]
+    assert not unknown, f"_FRONT_WINDOW names not in registry: {unknown}"
+
+
+def test_front_window_has_no_duplicates():
+    dupes = {n for n in _FRONT_WINDOW if _FRONT_WINDOW.count(n) > 1}
+    assert not dupes, f"duplicate _FRONT_WINDOW entries: {dupes}"
+
+
+def test_window_is_registry_prefix():
+    head = list(QUERIES)[: len(_FRONT_WINDOW)]
+    assert head == list(_FRONT_WINDOW), (
+        "registry order does not start with _FRONT_WINDOW — "
+        "_reorder_registry() must run at import time"
+    )
+
+
+def test_every_oracle_backed_query_is_green_or_windowed():
+    rows = _correctness_rows()
+    window = set(list(QUERIES)[:WINDOW_SIZE])
+    missed = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        row = rows.get(name)
+        green = bool(row and row.get("hash_match") is True)
+        if not green and name not in window:
+            missed.append(name)
+    assert not missed, (
+        "oracle-backed queries with no hash-green driver row that are "
+        f"outside the first-{WINDOW_SIZE} window (add them to "
+        f"_FRONT_WINDOW): {missed}"
+    )
+
+
+def test_every_rows_only_query_is_seen_or_windowed():
+    rows = _correctness_rows()
+    window = set(list(QUERIES)[:WINDOW_SIZE])
+    missed = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is not None:
+            continue
+        if name not in rows and name not in window:
+            missed.append(name)
+    assert not missed, (
+        "rows-only queries never driver-checked and outside the window "
+        f"(add them to _FRONT_WINDOW): {missed}"
+    )
+
+
+def test_window_anchors_are_already_green():
+    """Anything in the window that HAS a green row is an anchor; anchors
+    must not crowd out never-checked queries.  Equivalently: every
+    never-checked oracle-backed query must appear BEFORE any anchor
+    would need its slot — i.e. count(never-checked) <= WINDOW_SIZE."""
+    rows = _correctness_rows()
+    never_green = [
+        n
+        for n, s in QUERIES.items()
+        if s.oracle is not None
+        and not (rows.get(n) and rows[n].get("hash_match") is True)
+    ]
+    if len(never_green) > WINDOW_SIZE:
+        pytest.fail(
+            f"{len(never_green)} never-green oracle-backed queries exceed "
+            f"the {WINDOW_SIZE}-slot window — split across rounds and "
+            "front-load the oldest"
+        )
