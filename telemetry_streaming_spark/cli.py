@@ -494,7 +494,11 @@ def run_minhash_index(spark, args):
                 # the NEXT batch's candidate verification can read it
                 written.write.mode("append").parquet(args.corpus_path)
         n_in = batch_docs.count()
-        n_adm = n_in - dup_ids.count()
+        # count the materialized output, not n_in - dup_ids.count():
+        # when a batch carries duplicate doc_ids, the left_anti join
+        # drops MORE rows than distinct dup ids and the arithmetic
+        # over-counts admissions
+        n_adm = written.count()
         print(f"{tag}batch_docs: {n_in}")
         print(f"{tag}admitted: {n_adm}")
         print(f"{tag}rejected: {n_in - n_adm}")

@@ -318,7 +318,21 @@ def event_predicate(ev: Column, schema: dict) -> Column:
     struct.  Compiled tier when the keyword set allows (the whole
     production config corpus does); jsonschema-over-Arrow otherwise.
     JSON-schema semantics either way: an absent (null) property passes
-    every constraint unless listed in ``required``."""
+    every constraint unless listed in ``required``.
+
+    Regex-dialect note: the compiled tier evaluates ``pattern`` via
+    Spark's ``rlike`` (Java ``java.util.regex``), while the general
+    tier — and ``_first_match_indices``, which routes EVERY spec
+    through the jsonschema library like the reference's uniform everit
+    validation (Ping.scala:354-377) — evaluates it with Python ``re``.
+    The dialects agree on the production config corpus's patterns
+    (anchors, literals, alternation, character classes), but exotic
+    constructs (possessive quantifiers ``*+``, ``\\p{...}`` classes,
+    conditional groups) are Java-only or Python-only; a config using
+    one could classify an event differently depending on which tier it
+    lands in.  Keep config patterns inside the shared dialect subset,
+    or force a config to the general tier by adding any non-compiled
+    keyword."""
     if not schema_is_compiled(schema):
         return _general_schema_predicate(ev, schema)
     preds: list[Column] = [F.lit(True)]

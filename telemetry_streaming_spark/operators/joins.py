@@ -338,6 +338,7 @@ def interval_overlap_join(
     right_end: str,
     bin_seconds: int,
     right_prefix: str = "r_",
+    max_bins_per_row: int = 4096,
 ) -> DataFrame:
     """Inner-join interval rows from two sets on the same key where the
     half-open ranges [start, end) OVERLAP — the meetings/availability
@@ -352,6 +353,15 @@ def interval_overlap_join(
     appears exactly once with zero post-dedup.  The residual
     l.start < r.end AND r.start < l.end predicate keeps the join
     exact.  Epoch-second integer bins, so binning is engine-portable.
+
+    Hygiene: empty or inverted intervals (end <= start) denote no time
+    span under half-open semantics and are dropped — without the
+    filter, [x, x) strictly inside another interval would satisfy the
+    residual predicate and emit a measure-zero "overlap".  A row whose
+    interval spans more than ``max_bins_per_row`` bins (a corrupt
+    far-future end, or bin_seconds mis-sized for the data) raises with
+    a sizing hint instead of exploding an unbounded F.sequence into an
+    executor OOM.
     """
     keys = [on] if isinstance(on, str) else list(on)
     reserved = {"__bin", "__first_l", "__first_r", "__s_l", "__e_l", "__s_r", "__e_r"}
@@ -370,13 +380,40 @@ def interval_overlap_join(
         e = F.unix_seconds(F.col(end))
         first = F.floor(s / bin_seconds).cast("long")
         last = F.floor((e - 1) / bin_seconds).cast("long")  # [s, e) half-open
-        return df.select(
-            *keys,
-            F.explode(F.sequence(first, F.greatest(last, first))).alias("__bin"),
-            first.alias(f"__first_{side}"),
-            s.alias(f"__s_{side}"),
-            e.alias(f"__e_{side}"),
-            *[F.col(c) for c in df.columns if c not in keys],
+        # assert_true inside a filter predicate cannot be pruned by the
+        # optimizer; it returns NULL (-> coalesce TRUE) on healthy rows
+        # and raises on the first over-wide interval.
+        guard = F.coalesce(
+            F.assert_true(
+                last - first < F.lit(max_bins_per_row),
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: interval spans > "
+                        f"{max_bins_per_row} bins of {bin_seconds}s "
+                        f"(start epoch-s="
+                    ),
+                    s.cast("string"),
+                    F.lit(", end epoch-s="),
+                    e.cast("string"),
+                    F.lit(
+                        "); raise bin_seconds or max_bins_per_row, or "
+                        "clean the corrupt timestamp"
+                    ),
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+        return (
+            df.where(s < e)  # drop empty/inverted intervals
+            .where(guard)
+            .select(
+                *keys,
+                F.explode(F.sequence(first, last)).alias("__bin"),
+                first.alias(f"__first_{side}"),
+                s.alias(f"__s_{side}"),
+                e.alias(f"__e_{side}"),
+                *[F.col(c) for c in df.columns if c not in keys],
+            )
         )
 
     l = binned(left, left_start, left_end, "l")

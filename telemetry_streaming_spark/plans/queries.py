@@ -6600,32 +6600,37 @@ def name_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-padded ids (every entity shares the "0000" prefix and the
     join collapses to all-pairs — measured 15s vs 0.4s at sf0.1).
     Candidates dedupe on the id pair, then the real levenshtein runs
-    on candidates only: O(matches + 9n) rows, never |S| x |C|."""
+    on candidates only: O(matches + Ln) rows (L = suffix length, 9 on
+    this data), never |S| x |C|.  The mask count derives from each
+    row's OWN suffix length (one mask per position), so a hypothetical
+    longer-suffix pair differing at position >= 9 is still blocked
+    correctly — the mask width cannot silently fall out of sync with
+    the extraction width."""
     sup = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.substring("s_name", 10, 64).alias("sfx_s")
+        "s_suppkey", F.expr("substring(s_name, 10)").alias("sfx_s")
     )
     cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey", F.substring("c_name", 10, 64).alias("sfx_c")
+        "c_custkey", F.expr("substring(c_name, 10)").alias("sfx_c")
     )
 
-    def masked(df, sfx, n=9):
+    def masked(df, col_name):
+        # one mask per character position, adaptively: wildcard
+        # position i of the suffix.  greatest(length, 1) keeps empty
+        # suffixes emitting the single mask "*" (Spark's
+        # sequence(1, 0) would count DOWN and emit two), so two empty
+        # suffixes — a legitimate distance-0 pair — still collide.
         mask = F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.substring(sfx, 1, i),
-                        F.lit("*"),
-                        F.substring(sfx, i + 2, 64),
-                    ).alias("m")
-                    for i in range(n)
-                ]
+            F.expr(
+                f"transform(sequence(1, greatest(length({col_name}), 1)),"
+                f" i -> concat(substring({col_name}, 1, i - 1), '*',"
+                f" substring({col_name}, i + 1)))"
             )
         )
         return df.select("*", mask.alias("__mask"))
 
     cand = (
-        masked(sup, F.col("sfx_s"))
-        .join(masked(cust, F.col("sfx_c")), "__mask")
+        masked(sup, "sfx_s")
+        .join(masked(cust, "sfx_c"), "__mask")
         .select("s_suppkey", "c_custkey", "sfx_s", "sfx_c")
         .distinct()
     )

@@ -266,6 +266,63 @@ class TestIntervalOverlapJoin:
         assert pairs == [(1, 10), (1, 11), (1, 12), (2, 12)]
         assert len(pairs) == len(set(pairs))  # exactly-once emission
 
+    def test_empty_and_inverted_intervals_never_overlap(self, spark):
+        """Half-open semantics: [x, x) has zero measure, so an empty
+        interval strictly inside another must NOT be emitted (it used
+        to satisfy the residual predicate); inverted intervals
+        (end < start) are corrupt rows and are dropped too."""
+        from datetime import datetime, timedelta
+
+        from telemetry_streaming_spark.operators.joins import interval_overlap_join
+
+        t0 = datetime(2024, 1, 1)
+
+        def iv(id_, user, start_min, end_min):
+            return (id_, user, t0 + timedelta(minutes=start_min), t0 + timedelta(minutes=end_min))
+
+        left = spark.createDataFrame(
+            [iv(1, 1, 5, 5),      # empty, strictly inside right 10
+             iv(2, 1, 30, 20),    # inverted
+             iv(3, 1, 0, 60)],    # honest interval
+            "lid long, user_id long, ls timestamp, le timestamp",
+        )
+        right = spark.createDataFrame(
+            [iv(10, 1, 0, 60),
+             iv(11, 1, 15, 15)],  # empty on the right side too
+            "rid long, user_id long, rs timestamp, re timestamp",
+        )
+        out = interval_overlap_join(
+            left, right, on="user_id",
+            left_start="ls", left_end="le", right_start="rs", right_end="re",
+            bin_seconds=600,
+        ).select("lid", "r_rid").collect()
+        assert sorted((r.lid, r.r_rid) for r in out) == [(3, 10)]
+
+    def test_overwide_interval_raises_instead_of_exploding(self, spark):
+        """A corrupt far-future end must fail fast with a sizing hint,
+        not materialize millions of bin copies."""
+        from datetime import datetime
+
+        import pytest
+
+        from telemetry_streaming_spark.operators.joins import interval_overlap_join
+
+        left = spark.createDataFrame(
+            [(1, 1, datetime(2024, 1, 1), datetime(2099, 1, 1))],
+            "lid long, user_id long, ls timestamp, le timestamp",
+        )
+        right = spark.createDataFrame(
+            [(2, 1, datetime(2024, 1, 1), datetime(2024, 1, 2))],
+            "rid long, user_id long, rs timestamp, re timestamp",
+        )
+        j = interval_overlap_join(
+            left, right, on="user_id",
+            left_start="ls", left_end="le", right_start="rs", right_end="re",
+            bin_seconds=60, max_bins_per_row=1000,
+        )
+        with pytest.raises(Exception, match="spans > 1000 bins"):
+            j.collect()
+
     def test_plan_has_no_nested_loop(self, spark):
         from telemetry_streaming_spark.operators.joins import interval_overlap_join
         import contextlib, io
