@@ -111,15 +111,21 @@ def quality_score(text: Column) -> Column:
 QUALITY_LOGIT_WEIGHTS = (-1.5, 2.0, -4.0, 0.35)  # bias, len, punct, tok_len
 
 
-def quality_logit(text: Column) -> Column:
+def quality_logit(
+    text: Column, weights: tuple[float, float, float, float] = QUALITY_LOGIT_WEIGHTS
+) -> Column:
     """Linear classifier logit over (length, punctuation, token-length)
     features.  Kept as the LOGIT, not sigmoid(logit): the decision
     boundary (logit > 0) and ranking are identical, and +, *, / are
     IEEE-exact in a fixed association order while exp() is not
     correctly rounded — so the logit is engine-portable where the
     probability would drift in the last ulp.  Association order is
-    ((bias + w1*f1) + w2*f2) + w3*f3, mirrored in the SQL oracle."""
-    w0, w1, w2, w3 = QUALITY_LOGIT_WEIGHTS
+    ((bias + w1*f1) + w2*f2) + w3*f3, mirrored in the SQL oracle.
+
+    ``weights`` defaults to the frozen offline model; pass the output
+    of ``operators/regression.py:fit_quality_logit`` to deploy a
+    freshly trained model — still a map-only codegen'd expression."""
+    w0, w1, w2, w3 = weights
     f1 = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
     f2 = punct_ratio(text)
     f3 = F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0))

@@ -1,4 +1,4 @@
-"""Grouped closed-form linear regression — trend/drift detection.
+"""Grouped closed-form linear regression + distributed logistic fit.
 
 Per-group OLS of y against x from the five classic sums (n, Σx, Σy,
 Σxy, Σx²): one shuffle, map-side combine, no iteration.  The trick
@@ -78,4 +78,186 @@ def grouped_linreg(
         slope.alias("slope"),
         intercept.alias("intercept_at_xmin"),
         r.alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression (IRLS / Newton) — the trainer that
+# produces the weights functions/text.py:quality_logit applies frozen.
+# Mirrors the reference's trainer-in-the-loop design
+# (FederatedLearningSearchOptimizerS3Sink.scala:37-77): the cluster
+# computes aggregate-sized sufficient statistics, the driver performs a
+# bounded solve (here a (d+1)x(d+1) linear system, like the reference's
+# RProp step on 22 weights), and the updated weights ride back into the
+# next pass as plan literals.
+# ---------------------------------------------------------------------------
+
+
+def logistic_sufficient_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact-integer sufficient statistics of the Newton step at w = 0.
+
+    At w = 0 every predicted probability is exactly 1/2, so the first
+    IRLS iteration needs only ``X^T (y - 1/2)`` and ``X^T X / 4`` —
+    both linear in the moment sums emitted here.  Features (assumed in
+    [0, 1]) are quantized to ``floor(f * quant)`` BEFORE any product or
+    sum, so every aggregate is a BIGINT-exact integer: identical in any
+    aggregation order and in any engine, hence hash-checkable against a
+    SQL oracle (the same discipline as ``grouped_linreg`` /
+    ``kmeans_update``).
+
+    Output: one row with n, sy (= Σy), per-feature s{i} (= Σq_i) and
+    s{i}y (= Σ q_i·y), and the upper-triangle second moments
+    s{i}{j} (= Σ q_i·q_j).  Overflow bound: q ≤ quant so q_i·q_j ≤
+    quant²; with quant=1000 the signed-long sum holds past 9e12 rows —
+    beyond that, shard the sum per partition key and combine in
+    DECIMAL(38,0).
+
+    One fused map + one hash aggregate to a single row: the exchange
+    carries O(d²) partial cells per partition, never O(n).
+    """
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must be non-empty")
+    q = [
+        F.floor(F.col(c) * quant).cast("long").alias(f"q{i + 1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    t = df.select(*q, F.col(label_col).cast("long").alias("y"))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+    ]
+    for i in range(1, d + 1):
+        aggs.append(F.sum(F.col(f"q{i}")).alias(f"s{i}"))
+        aggs.append(F.sum(F.col(f"q{i}") * F.col("y")).alias(f"s{i}y"))
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            aggs.append(F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"s{i}{j}"))
+    return t.agg(*aggs)
+
+
+def fit_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    max_iters: int = 25,
+    tol: float = 1e-9,
+    ridge: float = 1e-6,
+) -> tuple[list[float], int]:
+    """Fit ``P(y=1) = sigmoid(w0 + Σ w_i·x_i)`` by IRLS, distributed.
+
+    Per iteration: ONE scan of the cached feature projection computes
+    the full gradient and Hessian as a single hash aggregate to one row
+    (O(d²) sums, map-side combined — the ``kmeans_update`` exchange
+    discipline); the driver solves the (d+1)-dim Newton system (bounded
+    work, like the reference's RProp step, A7) and the new weights ride
+    into the next pass as plan literals.  A small ridge term keeps the
+    Hessian invertible and the weights finite on separable data.
+
+    Saturated probabilities are IEEE-safe: exp(-eta) overflows to +inf
+    -> p = 0 exactly, and p·(1-p) = 0, so extreme rows contribute
+    nothing rather than NaN.
+
+    Returns (weights [bias first], iterations_run).  Raises on an empty
+    input (no rows to fit).
+    """
+    import numpy as np
+
+    d = len(feature_cols) + 1
+    cols = ["__x0"] + [f"__x{i + 1}" for i in range(len(feature_cols))]
+    feats = df.select(
+        F.lit(1.0).alias("__x0"),
+        *[
+            F.col(c).cast("double").alias(f"__x{i + 1}")
+            for i, c in enumerate(feature_cols)
+        ],
+        F.col(label_col).cast("double").alias("__y"),
+    ).na.drop()
+    feats.persist()
+    try:
+        w = np.zeros(d)
+        iters_run = 0
+        for it in range(max_iters):
+            eta = F.lit(float(w[0])) * F.col(cols[0])
+            for j in range(1, d):
+                eta = eta + F.lit(float(w[j])) * F.col(cols[j])
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            s = p * (F.lit(1.0) - p)
+            aggs = []
+            for j in range(d):
+                aggs.append(
+                    F.sum(F.col(cols[j]) * (F.col("__y") - p)).alias(f"g{j}")
+                )
+            for j in range(d):
+                for k in range(j, d):
+                    aggs.append(
+                        F.sum(F.col(cols[j]) * F.col(cols[k]) * s).alias(
+                            f"h{j}_{k}"
+                        )
+                    )
+            row = feats.agg(*aggs).collect()[0]  # 1 row, O(d²) cells
+            if row[0] is None:
+                raise ValueError("fit_logistic: no rows after null-drop")
+            g = np.array([float(row[f"g{j}"]) for j in range(d)]) - ridge * w
+            H = np.zeros((d, d))
+            for j in range(d):
+                for k in range(j, d):
+                    H[j, k] = H[k, j] = float(row[f"h{j}_{k}"])
+            H += ridge * np.eye(d)
+            step = np.linalg.solve(H, g)
+            w = w + step
+            iters_run = it + 1
+            if float(np.abs(step).max()) < tol:
+                break
+        return [float(x) for x in w], iters_run
+    finally:
+        feats.unpersist()
+
+
+def fit_quality_logit(
+    docs: DataFrame,
+    label,
+    *,
+    text_col: str = "text",
+    max_iters: int = 25,
+    tol: float = 1e-9,
+    ridge: float = 1e-6,
+) -> tuple[list[float], int]:
+    """Train the quality classifier whose frozen twin is
+    ``functions/text.py:quality_logit``: logistic regression of a
+    caller-supplied boolean ``label`` Column (the teacher signal — a
+    human-labeled sample, an LLM judge, or a held-out heuristic)
+    against the same three structure features the scorer applies.  The
+    returned weights plug straight into ``quality_logit(text, weights)``
+    so scoring stays a map-only codegen'd expression — train here,
+    deploy as literals.
+    """
+    from telemetry_streaming_spark.functions.text import (
+        avg_token_len,
+        punct_ratio,
+        token_count,
+    )
+
+    text = F.col(text_col)
+    feats = docs.where(text.isNotNull() & (F.length(text) > 0)).select(
+        F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0)).alias(
+            "f_len"
+        ),
+        punct_ratio(text).alias("f_punct"),
+        F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0)).alias("f_atl"),
+        label.cast("int").alias("__label"),
+    )
+    return fit_logistic(
+        feats,
+        ["f_len", "f_punct", "f_atl"],
+        "__label",
+        max_iters=max_iters,
+        tol=tol,
+        ridge=ridge,
     )

@@ -4718,6 +4718,95 @@ def quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "logit_training_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0) AS f1,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS f2,
+               least(1.0, (CAST(list_sum([length(tk) FOR tk IN string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+'))) / 8.0) AS f3,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    q AS (
+        SELECT CAST(floor(f1 * 1000) AS BIGINT) AS q1,
+               CAST(floor(f2 * 1000) AS BIGINT) AS q2,
+               CAST(floor(f3 * 1000) AS BIGINT) AS q3,
+               CAST(y AS BIGINT) AS y
+        FROM t
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(q1) AS BIGINT) AS s1, CAST(SUM(q1 * y) AS BIGINT) AS s1y,
+           CAST(SUM(q2) AS BIGINT) AS s2, CAST(SUM(q2 * y) AS BIGINT) AS s2y,
+           CAST(SUM(q3) AS BIGINT) AS s3, CAST(SUM(q3 * y) AS BIGINT) AS s3y,
+           CAST(SUM(q1 * q1) AS BIGINT) AS s11,
+           CAST(SUM(q1 * q2) AS BIGINT) AS s12,
+           CAST(SUM(q1 * q3) AS BIGINT) AS s13,
+           CAST(SUM(q2 * q2) AS BIGINT) AS s22,
+           CAST(SUM(q2 * q3) AS BIGINT) AS s23,
+           CAST(SUM(q3 * q3) AS BIGINT) AS s33
+    FROM q
+    """,
+)
+def logit_training_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact-integer sufficient statistics of the logistic
+    trainer's Newton-at-zero step over the quality features
+    (operators/regression.py:logistic_sufficient_stats) — at w=0 every
+    p is exactly 1/2, so gradient and Hessian are linear in these
+    BIGINT moment sums (features quantized floor(f*1000) BEFORE any
+    product).  One fused map + one hash aggregate to a single row; the
+    exchange carries O(d²) cells per partition, never O(n).  Teacher
+    label: lang = 'en'."""
+    from telemetry_streaming_spark.functions.text import (
+        avg_token_len,
+        punct_ratio,
+        token_count,
+    )
+    from telemetry_streaming_spark.operators.regression import (
+        logistic_sufficient_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    text = F.col("text")
+    feats = docs.where(text.isNotNull() & (F.length(text) > 0)).select(
+        F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0)).alias(
+            "f1"
+        ),
+        punct_ratio(text).alias("f2"),
+        F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0)).alias("f3"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return logistic_sufficient_stats(feats, ["f1", "f2", "f3"], "y", quant=1000)
+
+
+@query("fit_quality_logit")
+def fit_quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the full distributed logistic-regression fit
+    (operators/regression.py:fit_quality_logit) — IRLS with one
+    1-row gradient/Hessian aggregate per pass and a bounded driver-side
+    Newton solve, mirroring the reference's trainer-in-the-loop design
+    (FederatedLearningSearchOptimizerS3Sink.scala:37-77).  Teacher
+    label: lang = 'en'.  Non-SQL-expressible (iterative driver loop) —
+    rows-only check; weights are rounded to 6 decimals for output
+    stability (converged IRLS is stable to ~1e-9 across aggregation
+    orders; numpy-replica parity is pinned in
+    tests/test_regression.py)."""
+    from telemetry_streaming_spark.operators.regression import fit_quality_logit
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    weights, iters = fit_quality_logit(
+        docs, F.col("lang") == "en", max_iters=25
+    )
+    row = [tuple(round(w, 6) for w in weights) + (iters,)]
+    return spark.createDataFrame(
+        row, "w_bias double, w_len double, w_punct double, w_atl double, iters int"
+    )
+
+
+@query(
     "skew_report",
     oracle="""
     WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
@@ -7022,6 +7111,8 @@ _FRONT_WINDOW = [
     "supplier_balance_pct_rank",
     # rows-only, never in any driver window:
     "pca_top_component",
+    # r5 additions (parity-checked at sf0.001 + sf0.01 before landing):
+    "logit_training_stats", "fit_quality_logit",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
@@ -7030,7 +7121,6 @@ _FRONT_WINDOW = [
     "asof_join", "attribution_last_touch", "domain_cap_sample",
     "mixture_plan", "shard_manifest", "text_ngram_topk",
     "sequence_packing", "contamination_report",
-    "dedup_minhash_lsh", "semantic_contamination",
 ]
 
 
