@@ -493,6 +493,131 @@ def remove_duplicated_spans(
     )
 
 
+def streaming_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+    agg_window: str = "5 minutes",
+    n: int = 8,
+) -> DataFrame:
+    """Streaming tier of :func:`duplicated_spans` — per arriving
+    document, the maximal token spans covered by n-token windows whose
+    exact sequence was ALREADY SEEN within the watermark horizon
+    (earlier docs or earlier positions of the same doc).
+
+    Semantics are first-seen, the streaming analogue of the batch
+    min_count>=2 rule (same deliberate deviation as
+    :func:`streaming_chunk_dedup` vs :func:`chunk_dedup`): the batch op
+    flags EVERY occurrence of a duplicated window, the stream cannot
+    flag an occurrence retroactively, so the first occurrence passes
+    and every repeat within the horizon is flagged.  For a doc whose
+    duplicated windows all originate in earlier-arriving docs, the
+    emitted spans equal the batch spans for that doc (pinned in
+    tests/test_streaming.py).
+
+    Two chained stateful operators (Spark 3.5+ multi-stateful support):
+    ``dropDuplicatesWithinWatermark`` keyed on the 8-byte window hash
+    (state O(windows per horizon)), then a tumbling-window per-doc
+    aggregation that collects the SURVIVING positions.  The duplicated
+    positions are the complement against ``sequence(1, L-n+1)`` and the
+    island merge runs as array expressions on the aggregated row — the
+    wire carries (id, pos, ts, n_toks) per window and one position
+    array per doc, never text.  Emits (window, id, span_start,
+    span_end) in append mode on watermark expiry; 1-based inclusive
+    token positions, matching the batch op.
+
+    Each doc also explodes a ``pos = 0`` ANCHOR row whose dedup key is
+    doc-scoped (``(xxhash64('anchor', id, ts), is_anchor = true)`` —
+    the flag keeps anchors out of the gram-hash keyspace), so a FULLY
+    duplicated doc (zero surviving windows) still forms a group and
+    emits its whole-doc span, and short/empty docs still advance the
+    watermark.  A single explode branch means ONE watermark node: a
+    two-branch union was measured to stall the global (min-policy)
+    watermark whenever a micro-batch contained only sub-``n``-token
+    docs, holding every window un-emitted.
+    """
+    toks = tokenize(F.col(text_col))
+    idx = F.concat(
+        F.array(F.lit(0)),
+        F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    e = df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n_toks"),
+        F.explode(idx).alias("pos"),
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.greatest(F.col("pos"), F.lit(1)), n))
+    wins = e.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col("pos"),
+        F.col("__n_toks"),
+        (F.col("pos") == 0).alias("__anchor"),
+        F.when(
+            F.col("pos") == 0,
+            F.xxhash64(F.lit("anchor"), F.col(id_col), F.col(ts_col)),
+        )
+        .otherwise(F.xxhash64(gram))
+        .alias("win_h"),
+    )
+    kept = wins.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["win_h", "__anchor"]
+    )
+    per_doc = kept.groupBy(F.window(ts_col, agg_window), F.col(id_col)).agg(
+        F.collect_list("pos").alias("__kept"),
+        F.max("__n_toks").alias("__n_toks"),
+    )
+    all_pos = F.when(
+        F.col("__n_toks") >= n,
+        F.sequence(F.lit(1), F.col("__n_toks") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    dup_pos = F.array_sort(F.array_except(all_pos, F.col("__kept")))
+    # islands over same-length windows: ends are monotone in pos, so
+    # "touches the last span" is the batch op's pos > prev_max_end + 1
+    # rule with prev_max_end = the last accumulated end
+    last = F.element_at  # alias for brevity below
+    spans = F.aggregate(
+        dup_pos,
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= last(acc, -1)["e"] + F.lit(1)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc, -1)["s"].alias("s"),
+                        (p + F.lit(n - 1)).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("int").alias("s"),
+                        (p + F.lit(n - 1)).cast("int").alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    return per_doc.select(
+        "window", F.col(id_col), F.explode(spans).alias("__sp")
+    ).select(
+        "window",
+        id_col,
+        F.col("__sp.s").alias("span_start"),
+        F.col("__sp.e").alias("span_end"),
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     text_col: str = "text",

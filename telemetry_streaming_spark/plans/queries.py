@@ -4796,14 +4796,16 @@ def fit_quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_regression.py)."""
     from telemetry_streaming_spark.operators.regression import fit_quality_logit
 
+    schema = "w_bias double, w_len double, w_punct double, w_atl double, iters int"
     docs = _t(spark, sf_dir, "documents", parallelize=False)
-    weights, iters = fit_quality_logit(
-        docs, F.col("lang") == "en", max_iters=25
-    )
+    try:
+        weights, iters = fit_quality_logit(
+            docs, F.col("lang") == "en", max_iters=25
+        )
+    except ValueError:  # empty corpus: nothing to fit, 0-row result
+        return spark.createDataFrame([], schema)
     row = [tuple(round(w, 6) for w in weights) + (iters,)]
-    return spark.createDataFrame(
-        row, "w_bias double, w_len double, w_punct double, w_atl double, iters int"
-    )
+    return spark.createDataFrame(row, schema)
 
 
 @query(

@@ -791,3 +791,86 @@ def test_general_schema_tier_streams(spark, stream_dirs):
     assert [p["event_type"] for p in payload_events] == ["m_foc - Short"]
     assert "click" in payload_events[0]["insert_id"]
     assert rows[0].client_id == "client1"
+
+
+def test_streaming_duplicated_spans_first_seen(spark, stream_dirs):
+    """Streaming tier of the Lee-et-al span family: windows already
+    seen within the watermark horizon become per-doc merged spans.
+    First-seen semantics (the streaming_chunk_dedup deviation): the
+    originating doc emits nothing, repeats emit spans; a FULLY
+    duplicated doc still emits its whole-doc span via the anchor row.
+    Batch-consistency pin: for docs whose duplicated windows originate
+    in earlier arrivals, the spans equal batch duplicated_spans."""
+    from telemetry_streaming_spark.operators.contamination import (
+        duplicated_spans,
+        streaming_duplicated_spans,
+    )
+
+    base = int(TEST_TIMESTAMP_NS // 1_000_000_000)
+    doc1 = " ".join(f"a{i}" for i in range(10))
+    doc2 = "f0 f1 f2 f3 " + " ".join(f"a{i}" for i in range(6)) + " g0 g1 g2 g3"
+    doc3 = doc1  # byte-identical replay
+    _write_lines(
+        stream_dirs["in"], [json.dumps({"doc_id": 1, "text": doc1, "ts_s": base})]
+    )
+
+    raw = text_file_source(spark, stream_dirs["in"])
+    parsed = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+        F.timestamp_seconds(
+            F.get_json_object("value", "$.ts_s").cast("long")
+        ).alias("timestamp"),
+    )
+    spans = streaming_duplicated_spans(parsed, n=4)
+    name = f"dupspans_{uuid.uuid4().hex[:8]}"
+    query = (
+        spans.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .start()
+    )
+    try:
+        drain(query)
+        _write_lines(
+            stream_dirs["in"],
+            [
+                json.dumps({"doc_id": 2, "text": doc2, "ts_s": base + 60}),
+                json.dumps({"doc_id": 3, "text": doc3, "ts_s": base + 60}),
+            ],
+        )
+        drain(query)
+        # far-future event sent twice — the reference's double-send
+        # trick: the first batch raises the max event time, the SECOND
+        # batch runs with the advanced watermark and flushes the window
+        for _ in range(2):
+            _write_lines(
+                stream_dirs["in"],
+                [json.dumps({"doc_id": 99, "text": "zz zz", "ts_s": base + 7200})],
+            )
+            drain(query)
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in spark.sql(
+                f"SELECT doc_id, span_start, span_end FROM {name}"
+            ).collect()
+        )
+    finally:
+        stop_quietly(query)
+    # doc 1 arrived first: every window fresh, no spans (the documented
+    # first-seen deviation from batch, which flags doc 1's copy too);
+    # doc 2's a-run windows 5..7 merge to [5, 10]; doc 3 is fully
+    # duplicated -> whole-doc span via the anchor path
+    assert got == [(2, 5, 10), (3, 1, 10)]
+
+    # batch-consistency pin: batch spans for the later-arriving docs
+    batch_docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    batch = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(batch_docs, n=4, min_count=2).collect()
+        if r.doc_id != 1
+    )
+    assert batch == got
