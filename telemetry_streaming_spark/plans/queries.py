@@ -6317,13 +6317,15 @@ def ttr_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: trigram type-token ratio per source — the corpus
     diversity diagnostic (templated/spammy sources show low type
     counts at high token counts).  Two-level aggregate: per
-    (source, gram-hash) counts collapse map-side, then the per-source
+    (source, gram) counts collapse map-side, then the per-source
     rollup sums totals and counts rows — no Expand duplication of the
-    gram stream, and only 8-byte hashes cross the exchange (~35%
-    faster than COUNT DISTINCT's Expand at sf0.1, and the gap widens
-    with the shuffle).  The oracle counts distinct gram VALUES; the
-    engine counts xxhash64 types — the same
-    collision-is-negligible trade dup_window_fraction makes."""
+    gram stream (COUNT DISTINCT's Expand doubles it), and n_types is
+    EXACT, the oracle's distinct-gram count (measured equal-cost to
+    the 8-byte xxhash64 variant at sf0.1: map-side combine already
+    reduces the wire to distinct grams per partition either way).  If
+    gram strings ever dominate the exchange at corpus scale, the
+    hash-on-the-wire form is the documented fallback — the
+    dup_window_fraction collision trade, reinstated deliberately."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.when(
@@ -6340,8 +6342,7 @@ def ttr_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select("source", F.explode(grams).alias("gram"))
-        .select("source", F.xxhash64("gram").alias("gh"))
-        .groupBy("source", "gh")
+        .groupBy("source", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("source")
         .agg(

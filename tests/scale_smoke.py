@@ -1,0 +1,232 @@
+"""Replication scale-up smoke for the SORT-HEAVY families (the r4
+verdict's item 6) — companion to the minhash smoke recorded in
+SCALE.md "Scale-up smoke".
+
+Replicates the sf0.1 events/orders/lineitem tables K-fold with
+key-shifted replicas (each replica is an independent copy: per-key
+history stays constant, key cardinality grows K-fold), then times
+
+  - asof_join           (union + per-key sort + running-last)
+  - sessionize          (gap-and-islands window per user)
+  - weighted_median_price (group-reduce THEN cumsum window)
+  - trailing_window_stats (time-SLICED deployment rewrite — the
+                           single-window form is the documented
+                           straggler hazard, not the 100TB plan)
+
+at each factor and asserts the heavy step scales ~linearly: going
+8x -> 64x (8x more input) may cost at most 8 x SLACK more wall time.
+The 1x column is floor-dominated (scheduling, not work) and is
+recorded for context only.
+
+Run standalone (NOT collected by pytest — sizes are minutes, not
+seconds):
+
+    python tests/scale_smoke.py --factors 1,8,64
+
+Emits one JSON line per (op, factor) and a final summary; exits
+non-zero if any op violates the linearity bound.  Measured numbers
+live in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+SHIFT = 100_000_000  # above every sf0.1 key domain
+SLACK = 1.6  # linearity slack: 8x input may cost at most 8*SLACK time
+
+
+def replicate(df: DataFrame, factor: int, shift_cols: list[str]) -> DataFrame:
+    """K independent key-shifted copies via one explode — no K-way
+    union, one scan."""
+    if factor == 1:
+        return df
+    rep = df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    for c in shift_cols:
+        rep = rep.withColumn(c, F.col(c) + F.col("__rep").cast("long") * SHIFT)
+    return rep.drop("__rep")
+
+
+def materialize(df: DataFrame) -> int:
+    """Full materialization of every output column (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def op_asof(spark: SparkSession, factor: int) -> DataFrame:
+    from telemetry_streaming_spark.operators.joins import asof_join
+
+    events = replicate(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id", "ts"
+        ),
+        factor,
+        ["event_id", "user_id"],
+    )
+    orders = replicate(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        factor,
+        ["o_orderkey", "o_custkey"],
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    right = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    return asof_join(
+        events, right,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+    )
+
+
+def op_sessionize(spark: SparkSession, factor: int) -> DataFrame:
+    from telemetry_streaming_spark.operators.sessions import sessionize
+
+    events = replicate(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ),
+        factor,
+        ["user_id"],
+    )
+    return sessionize(events, gap_seconds=1800)
+
+
+def op_weighted_median(spark: SparkSession, factor: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
+        ),
+        factor,
+        ["l_orderkey"],
+    )
+    p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    r = li.groupBy("l_returnflag", p.alias("p")).agg(
+        F.sum("l_quantity").cast("long").alias("q")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("p")
+    c = r.select(
+        "l_returnflag", "p",
+        F.sum("q").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("q").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("p").alias("weighted_median_cents"), F.min("tot").alias("total_qty"))
+    )
+
+
+def op_trailing_sliced(spark: SparkSession, factor: int) -> DataFrame:
+    from telemetry_streaming_spark.operators.timeseries import trailing_window_stats
+
+    ev = replicate(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        ),
+        factor,
+        ["event_id"],
+    )
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        # integer day number — the sliced contract checker arithmetic
+        # (consecutive slices) needs an integral slice column
+        (F.unix_seconds(F.col("ts")) / F.lit(86400)).cast("long").alias("day"),
+    )
+    return trailing_window_stats(
+        c, "event_type", ["ts_s", "event_id"], "cents",
+        lookback=29, slice_col="day",
+    )
+
+
+OPS = {
+    "asof_join": op_asof,
+    "sessionize": op_sessionize,
+    "weighted_median_price": op_weighted_median,
+    "trailing_window_stats_sliced": op_trailing_sliced,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,8,64")
+    ap.add_argument("--ops", default=",".join(OPS))
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+    ops = args.ops.split(",")
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path outside every timed region
+    materialize(OPS[ops[0]](spark, 1))
+
+    results: dict[str, dict[int, float]] = {}
+    for name in ops:
+        results[name] = {}
+        for k in factors:
+            df = OPS[name](spark, k)
+            t0 = time.monotonic()
+            materialize(df)
+            dt = time.monotonic() - t0
+            results[name][k] = dt
+            print(json.dumps({"op": name, "factor": k, "sec": round(dt, 2)}))
+
+    failures = []
+    for name, times in results.items():
+        ks = sorted(times)
+        for lo, hi in zip(ks, ks[1:]):
+            growth = hi / lo
+            ratio = times[hi] / max(times[lo], 1e-9)
+            ok = ratio <= growth * SLACK
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "span": f"{lo}x->{hi}x",
+                        "input_growth": growth,
+                        "time_ratio": round(ratio, 2),
+                        "bound": growth * SLACK,
+                        "ok": ok,
+                    }
+                )
+            )
+            # only enforce spans where the smaller run is past the
+            # scheduling floor — sub-second runs measure overhead
+            if times[lo] >= 1.0 and not ok:
+                failures.append((name, lo, hi, ratio))
+    if failures:
+        print("LINEARITY VIOLATIONS:", failures)
+        return 1
+    print("SCALE SMOKE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
