@@ -2962,6 +2962,107 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_supplier_breadth",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def part_supplier_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (the last of the 22 not yet in the registry):
+    distinct-supplier breadth per part attribute group, excluding a
+    supplier denylist.  The testdata has no partsupp table, so the
+    part-supplier association comes from lineitem (l_partkey,
+    l_suppkey), and the reference query's comment-LIKE complaint
+    filter becomes the negative-balance predicate the schema supports.
+
+    Plan: the denylist is an anti-join (supplier scales with SF — no
+    hard broadcast hint, AQE decides; at any SF the NEGATIVE-balance
+    slice is a small fraction), then the part attribute join, then a
+    two-phase distinct aggregate (partial distinct on (group, suppkey)
+    map-side — no Expand, single distinct column)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    denylist = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    assoc = li.join(denylist, li.l_suppkey == denylist.s_suppkey, "left_anti")
+    return (
+        assoc.join(part, assoc.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=r"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+        FROM vocab, LATERAL (
+            SELECT unnest(generate_series(1, length(w) - 1)) AS i
+        )
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the first step of BPE tokenizer training — corpus-wide
+    counts of adjacent character pairs inside words, top 20 (the pair a
+    real trainer would merge first).  Vocab-first, the scale move every
+    production BPE trainer makes: words collapse to the distinct
+    vocabulary BEFORE pair explosion (one narrow word-count shuffle; at
+    100 TB the corpus is ~1e12 tokens but the vocab is ~1e7 words), so
+    the pair stage runs over vocab entries x word length, weighted by
+    the word's corpus count.  Exact integer counts end to end; the
+    top-k is TakeOrdered with the (cnt, pair) tie-break, never a global
+    sort."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = vocab.select(
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "c")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
     "multimodal_audio_chunks",
     oracle="WITH " + _MEDIA_CTE + """
     SELECT media_id,
@@ -7116,6 +7217,7 @@ _FRONT_WINDOW = [
     "pca_top_component",
     # r5 additions (parity-checked at sf0.001 + sf0.01 before landing):
     "logit_training_stats", "fit_quality_logit",
+    "part_supplier_breadth", "bpe_pair_stats",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
@@ -7123,7 +7225,6 @@ _FRONT_WINDOW = [
     "kmeans_assign", "kmeans_update", "quality_logit",
     "asof_join", "attribution_last_touch", "domain_cap_sample",
     "mixture_plan", "shard_manifest", "text_ngram_topk",
-    "sequence_packing", "contamination_report",
 ]
 
 
