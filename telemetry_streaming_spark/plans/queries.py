@@ -3062,6 +3062,29 @@ def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_train")
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the full distributed BPE training loop
+    (operators/tokenizer.py:train_bpe) — per merge iteration the
+    cluster aggregates corpus-weighted pair counts over the evolving
+    VOCABULARY symbol arrays (never re-scanning the corpus), the
+    driver picks the 1-row top pair, and the merge rides back as plan
+    literals; the same trainer-in-the-loop structure as the
+    reference's RProp optimizer (A7) and fit_quality_logit.
+    Non-SQL-expressible (iterative driver loop) — rows-only check; the
+    merge list is fully deterministic ((count DESC, pair ASC)
+    tie-break) and pinned against a pure-python BPE replica in
+    tests/test_tokenizer.py."""
+    from telemetry_streaming_spark.operators.tokenizer import train_bpe
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    merges = train_bpe(docs, n_merges=10)
+    rows = [(i, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_idx int, left string, right string, corpus_count long"
+    )
+
+
 @query(
     "multimodal_audio_chunks",
     oracle="WITH " + _MEDIA_CTE + """
@@ -7217,14 +7240,14 @@ _FRONT_WINDOW = [
     "pca_top_component",
     # r5 additions (parity-checked at sf0.001 + sf0.01 before landing):
     "logit_training_stats", "fit_quality_logit",
-    "part_supplier_breadth", "bpe_pair_stats",
+    "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "range_join", "event_type_pivot",
     "kmeans_assign", "kmeans_update", "quality_logit",
     "asof_join", "attribution_last_touch", "domain_cap_sample",
-    "mixture_plan", "shard_manifest", "text_ngram_topk",
+    "mixture_plan", "shard_manifest",
 ]
 
 
