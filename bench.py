@@ -99,6 +99,12 @@ HEADLINE = [
     "discount_quantity_slope",
     "activity_overlap",
     "dow_seasonality",
+    # r5 additions with real work at sf0.1 (>=0.4 s median; the 0.34s
+    # bpe_pair_stats and the oracle-less driver-loop trainers
+    # fit_quality_logit / bpe_train are tracked by pytest pins instead)
+    "logit_training_stats",
+    "part_supplier_breadth",
+    "bigram_surprisal_stats",
 ]
 
 

@@ -1,0 +1,109 @@
+"""N-gram language-model quality scoring — the CCNet-style filter.
+
+CCNet / RefinedWeb rank crawl documents by language-model perplexity
+and keep the low-perplexity head.  This module is that filter with a
+count-based bigram LM: train gram statistics on a reference corpus
+(one aggregate pass), score any corpus against them (one equi-join on
+the full bigram key + one per-doc aggregate).
+
+Scores are ``avg_neg_logprob`` (mean token negative log-probability —
+monotone in perplexity, which is ``exp`` of it).  Log outputs are NOT
+bit-portable across engines (JVM StrictMath vs libm), so the scoring
+queries are rows-only with a pure-python replica pin
+(tests/test_lm.py), the same contract as ``token_entropy``.  The gram
+COUNT table itself is exact integers and oracle-checkable.
+
+Scale posture: the LM table is vocabulary²-bounded (distinct observed
+bigrams), built with map-side combine; the scoring join probes on the
+full (prefix, token) pair key, so stopword-prefix heat spreads across
+that prefix's distinct successors rather than landing in one
+partition (a prefix-only join or count-over-window-by-prefix would
+straggle — same argument as rare_token_score's rejected window form).
+Only 8-byte xxhash64 keys cross the exchanges.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prefix_hash, pair_hash) per adjacent token pair — explode
+    positions, hash map-side, nothing wider than 8-byte keys leaves
+    the stage."""
+    toks = F.split(F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"), r"\s+")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    e = df.where(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("__i")
+    )
+    w1 = F.element_at("__toks", F.col("__i"))
+    w2 = F.element_at("__toks", F.col("__i") + 1)
+    return e.select(
+        F.col(id_col),
+        F.xxhash64(w1).alias("p_h"),
+        F.xxhash64(w1, w2).alias("g_h"),
+    )
+
+
+def bigram_lm_table(
+    lm_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The trained LM: (p_h, g_h, c2, c1) — bigram count and its
+    prefix's total continuation count.  c1 is derived by re-aggregating
+    the ALREADY-reduced bigram table (vocabulary²-sized), never the
+    corpus stream, then joined back — both sides aggregate-sized, AQE
+    plans the join."""
+    grams = _doc_bigrams(lm_docs, text_col, id_col)
+    c2 = grams.groupBy("p_h", "g_h").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = cut_lineage(c2)  # feeds both the c1 rollup and the output join
+    c1 = c2.groupBy("p_h").agg(F.sum("c2").alias("c1"))
+    return c2.join(c1, "p_h").select("p_h", "g_h", "c2", "c1")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document bigram-LM quality score against ``lm_docs``
+    (default: the corpus itself — self-scoring flags the outliers;
+    pass a clean reference corpus for the CCNet setup).
+
+    Returns (id, n_bigrams, n_unseen, avg_neg_logprob) where each
+    bigram contributes ``-log((c2 + alpha) / (c1 + alpha * V))`` —
+    add-alpha smoothing over the LM vocabulary size ``V``, so unseen
+    continuations (c2 = 0, including wholly unseen prefixes) score
+    finite-but-poor instead of infinite.  Lower = more natural under
+    the LM.
+
+    V rides in as a broadcast 1-row aggregate (lazily planned, no
+    driver job); the LM table joins the doc gram stream on the full
+    pair key LEFT, so every doc keeps its score even when fully
+    out-of-vocabulary."""
+    lm = bigram_lm_table(lm_docs if lm_docs is not None else docs, text_col, id_col)
+    vocab = lm.select("p_h").distinct().agg(F.count(F.lit(1)).alias("v"))
+    grams = _doc_bigrams(docs, text_col, id_col)
+    scored = (
+        grams.join(lm.select("g_h", "c2", "c1"), "g_h", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("c2"), F.lit(0)) == 0).cast("int").alias("unseen"),
+            (
+                F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+                - F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+            ).alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("unseen").cast("long").alias("n_unseen"),
+        F.avg("nlp").alias("avg_neg_logprob"),
+    )

@@ -3062,6 +3062,79 @@ def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bigram_surprisal_stats",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text), E' \t\r\n'), '\s+') AS t
+        FROM documents WHERE regexp_matches(text, '\S')
+    ),
+    bg AS (
+        SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c2.c2) AS BIGINT) AS sum_c2,
+           CAST(SUM(c1.c1) AS BIGINT) AS sum_c1,
+           CAST(SUM(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleton
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def bigram_surprisal_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the integer-exact core of CCNet-style bigram-LM
+    quality scoring (operators/lm.py) — per doc, how often its
+    adjacent token pairs occur corpus-wide (sum of bigram counts c2
+    and prefix-continuation totals c1, plus singleton-bigram count).
+    The log-free cousin of avg-neg-logprob, hash-checkable across
+    engines; the actual log score is the rows-only ``bigram_lm_score``
+    query one entry down, replica-pinned in tests/test_lm.py.
+
+    Plan: bigram counts build vocabulary²-bounded with map-side
+    combine; c1 re-aggregates the REDUCED c2 table, never the corpus
+    stream; the probe join runs on the full pair key so a hot prefix
+    spreads over its distinct continuations (rare_token_score's
+    anti-straggler argument, one gram order up)."""
+    from telemetry_streaming_spark.operators.lm import (
+        _doc_bigrams,
+        bigram_lm_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_table(docs)
+    grams = _doc_bigrams(docs, "text", "doc_id")
+    return (
+        grams.join(lm.select("g_h", "c2", "c1"), "g_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c2").cast("long").alias("sum_c2"),
+            F.sum("c1").cast("long").alias("sum_c1"),
+            F.sum((F.col("c2") == 1).cast("long")).alias("n_singleton"),
+        )
+    )
+
+
+@query("bigram_lm_score")
+def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-doc bigram-LM quality score (avg token negative
+    log-probability under the self-trained count LM with add-1
+    smoothing) — the CCNet perplexity filter
+    (operators/lm.py:bigram_lm_score).  Rows-only: ln is not
+    bit-portable across engines (token_entropy's contract); the value
+    is pinned to 1e-9 against a pure-python replica on the real
+    sf0.001 corpus in tests/test_lm.py."""
+    from telemetry_streaming_spark.operators.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
 @query("bpe_train")
 def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: the full distributed BPE training loop
@@ -7241,13 +7314,13 @@ _FRONT_WINDOW = [
     # r5 additions (parity-checked at sf0.001 + sf0.01 before landing):
     "logit_training_stats", "fit_quality_logit",
     "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
+    "bigram_surprisal_stats", "bigram_lm_score",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "range_join", "event_type_pivot",
     "kmeans_assign", "kmeans_update", "quality_logit",
     "asof_join", "attribution_last_touch", "domain_cap_sample",
-    "mixture_plan", "shard_manifest",
 ]
 
 
