@@ -107,3 +107,92 @@ def bigram_lm_score(
         F.sum("unseen").cast("long").alias("n_unseen"),
         F.avg("nlp").alias("avg_neg_logprob"),
     )
+
+
+MAX_LM_GRAMS = 5_000_000
+
+
+def bigram_lm_score_stream(
+    df: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Streaming tier of :func:`bigram_lm_score`: score a document
+    STREAM against a static reference LM, row-locally — no state, no
+    watermark, no shuffle, safe in any output mode (the
+    ``decontaminate_stream`` contract one step up: counts instead of
+    membership).
+
+    The LM table collects once, driver-side, bounded by
+    ``MAX_LM_GRAMS`` (a reference LM is a curated corpus's gram table,
+    not the crawl), and rides to executors as three sorted numpy
+    arrays inside an Arrow-batched UDF; per document the gram hashes
+    are computed JVM-side into an array column and each gram is a
+    ``searchsorted`` probe.  Scores match the batch tier exactly on
+    the same LM corpus (pinned in tests/test_lm.py).
+
+    Emits every input column plus (n_bigrams, n_unseen,
+    avg_neg_logprob); docs with no bigrams score NULL.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lm_rows = (
+        bigram_lm_table(lm_docs, text_col, id_col)
+        .limit(MAX_LM_GRAMS + 1)
+        .collect()
+    )
+    if len(lm_rows) > MAX_LM_GRAMS:
+        raise ValueError(
+            f"LM gram table exceeds {MAX_LM_GRAMS}; score with the batch "
+            "join tier (bigram_lm_score) for corpus-sized LMs"
+        )
+    g = np.array([r["g_h"] for r in lm_rows], dtype=np.int64)
+    order = np.argsort(g)
+    g_sorted = g[order]
+    c2_sorted = np.array([r["c2"] for r in lm_rows], dtype=np.int64)[order]
+    c1_sorted = np.array([r["c1"] for r in lm_rows], dtype=np.int64)[order]
+    v = len({r["p_h"] for r in lm_rows})
+
+    @pandas_udf("struct<n_bigrams:long,n_unseen:long,avg_neg_logprob:double>")
+    def score(gram_arrays):
+        ns, unseens, avgs = [], [], []
+        for arr in gram_arrays:
+            if arr is None or len(arr) == 0:
+                ns.append(None)
+                unseens.append(None)
+                avgs.append(None)
+                continue
+            q = np.asarray(arr, dtype=np.int64)
+            pos = np.searchsorted(g_sorted, q)
+            pos_c = np.clip(pos, 0, max(len(g_sorted) - 1, 0))
+            found = (g_sorted[pos_c] == q) if len(g_sorted) else np.zeros(len(q), bool)
+            c2 = np.where(found, c2_sorted[pos_c] if len(g_sorted) else 0, 0)
+            c1 = np.where(found, c1_sorted[pos_c] if len(g_sorted) else 0, 0)
+            nlp = np.log(c1 + alpha * v) - np.log(c2 + alpha)
+            ns.append(len(q))
+            unseens.append(int((~found).sum()))
+            avgs.append(float(nlp.mean()))
+        return pd.DataFrame(
+            {"n_bigrams": ns, "n_unseen": unseens, "avg_neg_logprob": avgs}
+        )
+
+    toks = F.split(F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"), r"\s+")
+    idx = F.when(
+        F.col(text_col).rlike(r"\S") & (F.size(toks) >= 2),
+        F.sequence(F.lit(1), F.size(toks) - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    s = score(gram_hashes)
+    return df.select(
+        "*",
+        s["n_bigrams"].alias("n_bigrams"),
+        s["n_unseen"].alias("n_unseen"),
+        s["avg_neg_logprob"].alias("avg_neg_logprob"),
+    )

@@ -140,3 +140,97 @@ class TestLmScore:
         }
         assert got[4] < got[3]  # 'the the the' highly predictable
         assert got[1] < got[3]  # natural sentence beats novel gibberish
+
+
+class TestLmScoreStream:
+    def test_batch_equivalence_same_lm(self, spark):
+        """The stateless probe tier must reproduce the batch join tier
+        exactly on the same LM corpus (docs with >=1 bigram)."""
+        from telemetry_streaming_spark.operators.lm import bigram_lm_score_stream
+
+        lm = _docs(spark, {10: "the cat sat on the mat", 11: "the dog sat"})
+        probe = _docs(spark)
+        got = {
+            r.doc_id: (r.n_bigrams, r.n_unseen, r.avg_neg_logprob)
+            for r in bigram_lm_score_stream(probe, lm).collect()
+            if r.n_bigrams is not None
+        }
+        want = {
+            r.doc_id: (r.n_bigrams, r.n_unseen, r.avg_neg_logprob)
+            for r in bigram_lm_score(probe, lm_docs=lm).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+            assert got[k][2] == pytest.approx(want[k][2], rel=1e-12)
+
+    def test_no_bigram_docs_score_null_and_pass_through(self, spark):
+        from telemetry_streaming_spark.operators.lm import bigram_lm_score_stream
+
+        lm = _docs(spark, {10: "the cat sat"})
+        probe = _docs(spark, {1: "single", 2: "  ", 3: "the cat"})
+        got = {r.doc_id: r for r in bigram_lm_score_stream(probe, lm).collect()}
+        assert set(got) == {1, 2, 3}  # every row passes through
+        assert got[1].n_bigrams is None and got[2].n_bigrams is None
+        assert got[3].n_bigrams == 1 and got[3].n_unseen == 0
+
+    def test_oversized_lm_raises(self, spark):
+        import telemetry_streaming_spark.operators.lm as lm_mod
+
+        lm = _docs(spark, {10: "a b c d e f"})
+        probe = _docs(spark, {1: "a b"})
+        old = lm_mod.MAX_LM_GRAMS
+        lm_mod.MAX_LM_GRAMS = 2
+        try:
+            with pytest.raises(ValueError, match="exceeds"):
+                lm_mod.bigram_lm_score_stream(probe, lm)
+        finally:
+            lm_mod.MAX_LM_GRAMS = old
+
+    def test_streams_end_to_end(self, spark, tmp_path):
+        """True streaming run: file source -> stateless score -> memory
+        sink, append mode, no watermark needed."""
+        import json
+        import os
+        import uuid
+
+        from telemetry_streaming_spark.operators.lm import bigram_lm_score_stream
+        from telemetry_streaming_spark.streaming.core import (
+            drain,
+            stop_quietly,
+            text_file_source,
+        )
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        p = os.path.join(src, "batch1.txt")
+        with open(p, "w") as f:
+            f.write(json.dumps({"doc_id": 1, "text": "the cat sat"}) + "\n")
+            f.write(json.dumps({"doc_id": 2, "text": "zz qq ww"}) + "\n")
+
+        lm = _docs(spark, {10: "the cat sat on the mat"})
+        raw = text_file_source(spark, src)
+        parsed = raw.select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        )
+        scored = bigram_lm_score_stream(parsed, lm)
+        name = f"lmscore_{uuid.uuid4().hex[:8]}"
+        q = (
+            scored.writeStream.queryName(name)
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            drain(q)
+            got = {
+                r.doc_id: r
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            stop_quietly(q)
+        assert got[1].n_unseen == 0
+        assert got[2].n_unseen == 2
+        assert got[2].avg_neg_logprob > got[1].avg_neg_logprob
