@@ -84,14 +84,22 @@ def bigram_lm_score(
     the LM.
 
     V rides in as a broadcast 1-row aggregate (lazily planned, no
-    driver job); the LM table joins the doc gram stream on the full
-    pair key LEFT, so every doc keeps its score even when fully
-    out-of-vocabulary."""
+    driver job).  TWO left joins, not one: the pair join (on g_h)
+    recovers c2, and a separate prefix join (on p_h, against the
+    vocabulary-sized c1 rollup) recovers c1 — a single pair-key join
+    would zero the prefix count for every unseen continuation,
+    systematically over-penalizing near-misses (caught by
+    test_round5_fuzz's cross-corpus property).  The prefix join is
+    where a stopword prefix concentrates; its build side is
+    vocabulary-sized (AQE broadcasts it when it fits, splits skew
+    otherwise)."""
     lm = bigram_lm_table(lm_docs if lm_docs is not None else docs, text_col, id_col)
-    vocab = lm.select("p_h").distinct().agg(F.count(F.lit(1)).alias("v"))
+    c1_tbl = lm.select("p_h", "c1").distinct()
+    vocab = c1_tbl.agg(F.count(F.lit(1)).alias("v"))
     grams = _doc_bigrams(docs, text_col, id_col)
     scored = (
-        grams.join(lm.select("g_h", "c2", "c1"), "g_h", "left")
+        grams.join(lm.select("g_h", "c2"), "g_h", "left")
+        .join(c1_tbl, "p_h", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
@@ -154,26 +162,40 @@ def bigram_lm_score_stream(
     order = np.argsort(g)
     g_sorted = g[order]
     c2_sorted = np.array([r["c2"] for r in lm_rows], dtype=np.int64)[order]
-    c1_sorted = np.array([r["c1"] for r in lm_rows], dtype=np.int64)[order]
-    v = len({r["p_h"] for r in lm_rows})
+    # prefix table: lookup c1 by p_h even when the PAIR is unseen (a
+    # pair-only lookup would zero the prefix count for near-misses —
+    # the batch-tier bug test_round5_fuzz caught, fixed in both tiers)
+    p_c1 = {}
+    for r in lm_rows:
+        p_c1[r["p_h"]] = r["c1"]
+    p_sorted = np.sort(np.array(list(p_c1), dtype=np.int64))
+    c1_by_p = np.array(
+        [p_c1[int(p)] for p in p_sorted], dtype=np.int64
+    ) if len(p_c1) else np.array([], dtype=np.int64)
+    v = len(p_c1)
+
+    def _lookup(keys_sorted, vals, q):
+        if len(keys_sorted) == 0:
+            return np.zeros(len(q), dtype=np.int64), np.zeros(len(q), bool)
+        pos = np.clip(np.searchsorted(keys_sorted, q), 0, len(keys_sorted) - 1)
+        found = keys_sorted[pos] == q
+        return np.where(found, vals[pos], 0), found
 
     @pandas_udf("struct<n_bigrams:long,n_unseen:long,avg_neg_logprob:double>")
-    def score(gram_arrays):
+    def score(prefix_arrays, gram_arrays):
         ns, unseens, avgs = [], [], []
-        for arr in gram_arrays:
-            if arr is None or len(arr) == 0:
+        for parr, garr in zip(prefix_arrays, gram_arrays):
+            if garr is None or len(garr) == 0:
                 ns.append(None)
                 unseens.append(None)
                 avgs.append(None)
                 continue
-            q = np.asarray(arr, dtype=np.int64)
-            pos = np.searchsorted(g_sorted, q)
-            pos_c = np.clip(pos, 0, max(len(g_sorted) - 1, 0))
-            found = (g_sorted[pos_c] == q) if len(g_sorted) else np.zeros(len(q), bool)
-            c2 = np.where(found, c2_sorted[pos_c] if len(g_sorted) else 0, 0)
-            c1 = np.where(found, c1_sorted[pos_c] if len(g_sorted) else 0, 0)
+            qg = np.asarray(garr, dtype=np.int64)
+            qp = np.asarray(parr, dtype=np.int64)
+            c2, found = _lookup(g_sorted, c2_sorted, qg)
+            c1, _ = _lookup(p_sorted, c1_by_p, qp)
             nlp = np.log(c1 + alpha * v) - np.log(c2 + alpha)
-            ns.append(len(q))
+            ns.append(len(qg))
             unseens.append(int((~found).sum()))
             avgs.append(float(nlp.mean()))
         return pd.DataFrame(
@@ -185,11 +207,12 @@ def bigram_lm_score_stream(
         F.col(text_col).rlike(r"\S") & (F.size(toks) >= 2),
         F.sequence(F.lit(1), F.size(toks) - 1),
     ).otherwise(F.array().cast("array<int>"))
+    prefix_hashes = F.transform(idx, lambda i: F.xxhash64(F.element_at(toks, i)))
     gram_hashes = F.transform(
         idx,
         lambda i: F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    s = score(gram_hashes)
+    s = score(prefix_hashes, gram_hashes)
     return df.select(
         "*",
         s["n_bigrams"].alias("n_bigrams"),
