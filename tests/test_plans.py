@@ -565,3 +565,40 @@ def test_domain_cap_offsets_are_broadcast(spark):
     plan = explain_str(q(spark, "domain_cap_sample"), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_part_supplier_breadth_plan_shape(spark):
+    """Q16 shape: every attribute filter reaches the part scan, the
+    denylist is an anti-join (never NOT IN as a cartesian), and the
+    single-column count distinct plans as a two-phase aggregate with
+    no Expand."""
+    plan = explain_str(q(spark, "part_supplier_breadth"))
+    assert "In(p_size" in plan
+    assert "Not(EqualTo(p_brand,Brand#45))" in plan
+    assert "LeftAnti" in plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pair_stats_is_vocab_first(spark):
+    """The pair aggregate must consume the REDUCED vocabulary, not the
+    raw token stream: exactly one aggregate boundary between the word
+    count and the pair count, and the top-k is TakeOrdered (never a
+    global Sort + Limit)."""
+    plan = explain_str(q(spark, "bpe_pair_stats"))
+    assert "TakeOrderedAndProject" in plan
+    # word-count exchange + pair-count exchange (+ the documents
+    # fan-out repartition) — anything more means a lost combine
+    assert plan.count("Exchange (") <= 3
+    assert "Join" not in plan
+
+
+def test_bigram_surprisal_probe_joins_on_full_pair_key(spark):
+    """The doc gram stream must probe the LM on the pair hash (g_h) —
+    a prefix-only probe would concentrate every stopword continuation
+    in one partition."""
+    plan = explain_str(q(spark, "bigram_surprisal_stats"))
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    # the probe join's key list names g_h
+    assert "g_h" in plan
