@@ -804,6 +804,26 @@ def run_hygiene(spark, args):
     if args.benchmark_path:
         bench = spark.read.parquet(args.benchmark_path)
         out = decontaminate(out, bench, n=args.contamination_ngram)
+    if args.lm_max_nlp is not None:
+        # CCNet-style perplexity gate: drop docs whose avg token
+        # negative log-prob under the LM exceeds the threshold (docs
+        # too short to score pass through)
+        from telemetry_streaming_spark.operators.lm import bigram_lm_score
+
+        lm_table = (
+            spark.read.parquet(args.lm_path) if args.lm_path else None
+        )
+        scores = bigram_lm_score(out, lm_table=lm_table).select(
+            "doc_id", "avg_neg_logprob"
+        )
+        out = (
+            out.join(scores, "doc_id", "left")
+            .where(
+                F.col("avg_neg_logprob").isNull()
+                | (F.col("avg_neg_logprob") <= args.lm_max_nlp)
+            )
+            .drop("avg_neg_logprob")
+        )
     if args.span_dedup_ngram:
         out = remove_duplicated_spans(out, n=args.span_dedup_ngram)
     out = chunk_dedup_apply(out, words_per_chunk=args.chunk_words)
@@ -824,6 +844,66 @@ def run_hygiene(spark, args):
         dup_window_fraction(docs, n=args.dup_window_ngram).write.mode("overwrite").parquet(
             args.dup_report_path
         )
+
+
+def run_train(spark, args):
+    """Trainer-in-the-loop jobs over a documents parquet: each task
+    runs cluster-side aggregation with a bounded driver solve and
+    writes a deployable artifact.
+
+    - ``quality-logit``: distributed IRLS logistic fit of a SQL-
+      expressed teacher label against the quality features; writes the
+      weights as JSON — deployable straight into
+      ``quality_logit(text, weights)`` as plan literals.
+    - ``bpe``: distributed BPE merge training (vocab-first); writes
+      the ordered merge list as JSON.
+    - ``lm``: builds the bigram count LM table; writes it as parquet —
+      the ``hygiene --lm-path`` scorer input.
+    """
+    import json as _json
+
+    _require(args, "input-path", "task", "model-path")
+    docs = spark.read.parquet(args.input_path)
+    if args.task == "quality-logit":
+        from pyspark.sql import functions as F
+
+        from telemetry_streaming_spark.operators.regression import fit_quality_logit
+
+        _require(args, "label-sql")
+        weights, iters = fit_quality_logit(
+            docs, F.expr(args.label_sql), max_iters=args.max_iters
+        )
+        artifact = {
+            "task": "quality-logit",
+            "weights": {"bias": weights[0], "len": weights[1],
+                        "punct": weights[2], "atl": weights[3]},
+            "iterations": iters,
+            "label_sql": args.label_sql,
+        }
+        with open(args.model_path, "w") as f:
+            _json.dump(artifact, f, indent=2)
+        print(f"iterations: {iters}")
+        print(f"weights: {[round(w, 6) for w in weights]}")
+    elif args.task == "bpe":
+        from telemetry_streaming_spark.operators.tokenizer import train_bpe
+
+        merges = train_bpe(docs, n_merges=args.n_merges)
+        with open(args.model_path, "w") as f:
+            _json.dump(
+                {"task": "bpe", "merges": [list(m) for m in merges]}, f, indent=2
+            )
+        print(f"merges: {len(merges)}")
+    elif args.task == "lm":
+        from telemetry_streaming_spark.operators.lm import bigram_lm_table
+
+        table = bigram_lm_table(docs)
+        table.repartition(args.num_parquet_files).write.mode("overwrite").parquet(
+            args.model_path
+        )
+        n = spark.read.parquet(args.model_path).count()
+        print(f"lm_grams: {n}")
+    else:
+        raise SystemExit(f"unknown --task {args.task!r}")
 
 
 def run_export(spark, args):
@@ -936,8 +1016,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=1)
     p.add_argument("--dup-report-path", help="write dup-window fractions here")
     p.add_argument("--dup-window-ngram", type=int, default=8)
+    p.add_argument(
+        "--lm-max-nlp", type=float,
+        help="drop docs whose avg bigram neg-logprob exceeds this "
+        "(CCNet perplexity gate; scores against --lm-path or self)",
+    )
+    p.add_argument("--lm-path", help="pre-trained LM table parquet (train --task lm)")
     p.add_argument("--num-parquet-files", type=int, default=60)
     p.add_argument("--explain", action="store_true")
+
+    p = sub.add_parser("train", help="quality-logit / BPE / LM trainers")
+    p.add_argument("--input-path")
+    p.add_argument("--task", choices=["quality-logit", "bpe", "lm"])
+    p.add_argument("--model-path", help="artifact destination (JSON or parquet)")
+    p.add_argument(
+        "--label-sql",
+        help="quality-logit teacher label as a SQL boolean expression "
+        "over the input columns, e.g. \"lang = 'en'\"",
+    )
+    p.add_argument("--max-iters", type=int, default=25)
+    p.add_argument("--n-merges", type=int, default=10)
+    p.add_argument("--num-parquet-files", type=int, default=16)
 
     p = sub.add_parser("export", help="deterministic sharded training export")
     p.add_argument("--input-path")
@@ -1010,6 +1109,7 @@ RUNNERS = {
     "federated_optimizer": run_federated_optimizer,
     "curate": run_curate,
     "hygiene": run_hygiene,
+    "train": run_train,
     "export": run_export,
     "minhash_index": run_minhash_index,
     "ann_index": run_ann_index,

@@ -71,10 +71,13 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    lm_table: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM quality score against ``lm_docs``
     (default: the corpus itself — self-scoring flags the outliers;
-    pass a clean reference corpus for the CCNet setup).
+    pass a clean reference corpus for the CCNet setup, or a
+    PRE-TRAINED table via ``lm_table`` — the `train --task lm` CLI
+    job's parquet — to skip the LM build entirely).
 
     Returns (id, n_bigrams, n_unseen, avg_neg_logprob) where each
     bigram contributes ``-log((c2 + alpha) / (c1 + alpha * V))`` —
@@ -93,7 +96,11 @@ def bigram_lm_score(
     where a stopword prefix concentrates; its build side is
     vocabulary-sized (AQE broadcasts it when it fits, splits skew
     otherwise)."""
-    lm = bigram_lm_table(lm_docs if lm_docs is not None else docs, text_col, id_col)
+    lm = (
+        lm_table
+        if lm_table is not None
+        else bigram_lm_table(lm_docs if lm_docs is not None else docs, text_col, id_col)
+    )
     c1_tbl = lm.select("p_h", "c1").distinct()
     vocab = c1_tbl.agg(F.count(F.lit(1)).alias("v"))
     grams = _doc_bigrams(docs, text_col, id_col)

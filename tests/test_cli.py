@@ -19,7 +19,7 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "ann_index", "sql", "report", "compact",
+        "minhash_index", "ann_index", "sql", "report", "compact", "train",
     }
 
 
@@ -666,3 +666,98 @@ def test_cli_compact_small_files(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.count() == 20_000
     assert got.agg({"id": "sum"}).first()[0] == sum(range(20_000))
+
+
+def _doc_corpus(spark, tmp_path, name="docs"):
+    """Half clean english-looking docs, half punctuation gibberish."""
+    rows = [
+        (i,
+         ("the quick brown fox jumps over the lazy dog again " * 3
+          + f"variant{i}")
+         if i % 2 == 0 else ("@@!! ## %% ^^ && ** " * 3 + f"noise{i}"),
+         "en" if i % 2 == 0 else "zz")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_cli_train_quality_logit_writes_deployable_weights(spark, tmp_path):
+    docs = _doc_corpus(spark, tmp_path)
+    model = str(tmp_path / "quality.json")
+    main([
+        "train", "--input-path", docs, "--task", "quality-logit",
+        "--model-path", model, "--label-sql", "lang = 'en'",
+    ], spark=spark)
+    art = json.loads(open(model).read())
+    w = art["weights"]
+    assert art["iterations"] >= 1
+    assert set(w) == {"bias", "len", "punct", "atl"}
+    # deploy: the trained weights must separate the two classes
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.functions.text import quality_logit
+
+    weights = (w["bias"], w["len"], w["punct"], w["atl"])
+    scored = (
+        spark.read.parquet(docs)
+        .select("lang", quality_logit(F.col("text"), weights).alias("logit"))
+        .collect()
+    )
+    for r in scored:
+        assert (r.logit > 0) == (r.lang == "en"), r
+
+
+def test_cli_train_bpe_writes_merge_list(spark, tmp_path):
+    docs = _doc_corpus(spark, tmp_path)
+    model = str(tmp_path / "bpe.json")
+    main([
+        "train", "--input-path", docs, "--task", "bpe",
+        "--model-path", model, "--n-merges", "6",
+    ], spark=spark)
+    art = json.loads(open(model).read())
+    assert len(art["merges"]) == 6
+    for a, b, cnt in art["merges"]:
+        assert isinstance(a, str) and isinstance(b, str) and cnt >= 2
+
+
+def test_cli_train_lm_then_hygiene_perplexity_gate(spark, tmp_path):
+    """train --task lm persists the gram table; hygiene --lm-path
+    --lm-max-nlp drops the gibberish docs the LM finds unnatural."""
+    # LM trained on the CLEAN half only
+    clean = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog again " * 3)
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm_src = str(tmp_path / "lm_src")
+    clean.write.mode("overwrite").parquet(lm_src)
+    lm_model = str(tmp_path / "lm_model")
+    main([
+        "train", "--input-path", lm_src, "--task", "lm",
+        "--model-path", lm_model, "--num-parquet-files", "2",
+    ], spark=spark)
+    assert spark.read.parquet(lm_model).count() > 0
+
+    docs = _doc_corpus(spark, tmp_path, "mixed")
+    out = str(tmp_path / "hyg_out")
+    main([
+        "hygiene", "--input-path", docs, "--output-path", out,
+        "--lm-path", lm_model, "--lm-max-nlp", "1.5",
+        "--chunk-words", "1000", "--num-parquet-files", "2",
+    ], spark=spark)
+    kept = spark.read.parquet(out)
+    langs = {r.lang for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}  # every gibberish doc gated out
+    assert kept.count() == 10
+
+
+def test_cli_train_unknown_task_and_missing_opts_error(spark, tmp_path):
+    docs = _doc_corpus(spark, tmp_path)
+    with pytest.raises(SystemExit):
+        main(["train", "--input-path", docs, "--task", "quality-logit",
+              "--model-path", str(tmp_path / "m.json")], spark=spark)  # no label
+    with pytest.raises(SystemExit):
+        main(["train", "--task", "bpe", "--model-path", "x"], spark=spark)
