@@ -1,5 +1,5 @@
 """PIPELINE.md executes: the documented end-to-end curation flow runs
-verbatim (profile -> curate -> hygiene -> index build -> export), so
+verbatim (profile -> curate -> hygiene -> train -> index build -> export), so
 the walkthrough cannot rot.  Uses sf0.001 for speed; the doc shows
 sf0.01 paths but the commands are identical."""
 
@@ -48,14 +48,34 @@ def test_pipeline_walkthrough(spark, tmp_path, capsys):
     n_clean = clean.count()
     assert 0 < n_clean <= curated.where("split = 'train'").count()
 
-    # 4. admission index over the clean corpus
+    # 4. train the corpus models from the cleaned data
+    import json
+
+    main([
+        "train", "--input-path", f"{work}/clean", "--task", "lm",
+        "--model-path", f"{work}/lm",
+    ], spark=spark)
+    assert spark.read.parquet(f"{work}/lm").count() > 0
+    main([
+        "train", "--input-path", f"{work}/clean", "--task", "quality-logit",
+        "--model-path", f"{work}/quality.json", "--label-sql", "lang = 'en'",
+    ], spark=spark)
+    q_art = json.loads(open(f"{work}/quality.json").read())
+    assert set(q_art["weights"]) == {"bias", "len", "punct", "atl"}
+    main([
+        "train", "--input-path", f"{work}/clean", "--task", "bpe",
+        "--model-path", f"{work}/bpe.json", "--n-merges", "8",
+    ], spark=spark)
+    assert len(json.loads(open(f"{work}/bpe.json").read())["merges"]) > 0
+
+    # 5. admission index over the clean corpus
     main([
         "minhash_index", "--mode", "build",
         "--input-path", f"{work}/clean", "--index-path", f"{work}/idx",
     ], spark=spark)
     assert spark.read.parquet(f"{work}/idx").count() == n_clean * 4  # 4 bands/doc
 
-    # 5. deterministic export + manifest
+    # 6. deterministic export + manifest
     main([
         "export", "--input-path", f"{work}/clean",
         "--output-path", f"{work}/shards",
@@ -66,7 +86,7 @@ def test_pipeline_walkthrough(spark, tmp_path, capsys):
     assert manifest.count() == 8
     assert manifest.agg({"n_rows": "sum"}).first()[0] == n_clean
 
-    # 6. plan review prints without executing
+    # 7. plan review prints without executing
     main([
         "sql", "--sf-dir", SF,
         "--query", "SELECT COUNT(*) AS n FROM documents", "--explain",
