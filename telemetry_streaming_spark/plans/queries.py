@@ -3135,6 +3135,52 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+@query("pq_codes")
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: product quantization (operators/pq.py) — train m=4
+    codebooks of 8 centroids over the embeddings table (Lloyd with
+    scaled-integer M-step sums: deterministic in any aggregation
+    order) and emit each vector's code per subspace.  The compressed
+    ANN tier: at 100 TB the 4-byte-per-dim embedding column IS the
+    scan bottleneck; PQ cuts it to m bytes/vector.  Rows-only
+    (iterative driver loop); codebooks and codes are pinned
+    bit-identical to a numpy Lloyd replica in tests/test_pq.py."""
+    from telemetry_streaming_spark.operators.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    try:
+        cbs = pq_train(emb, m=4, k=8, iters=2)
+    except ValueError:  # empty corpus: nothing to quantize
+        return spark.createDataFrame([], "vec_id long, subspace int, code int")
+    return pq_encode(emb, cbs).select(
+        "vec_id", F.posexplode("pq_codes").alias("subspace", "code")
+    )
+
+
+@query("pq_topk")
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: ADC top-10 by product-quantized squared L2
+    (operators/pq.py:pq_topk) — the query's m x k lookup table is a
+    plan literal, each candidate costs m array lookups + a fold add,
+    TakeOrdered emits the 10 best.  Query vector: the table's lowest
+    vec_id (deterministic).  Rows-only; ADC distances and recall vs
+    exact L2 are pinned in tests/test_pq.py."""
+    from telemetry_streaming_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    try:
+        cbs = pq_train(emb, m=4, k=8, iters=2)
+    except ValueError:  # empty corpus
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    top = pq_topk(pq_encode(emb, cbs), list(qrow[0]), cbs, k=10)
+    return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
 @query("bpe_train")
 def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: the full distributed BPE training loop
@@ -7315,12 +7361,13 @@ _FRONT_WINDOW = [
     "logit_training_stats", "fit_quality_logit",
     "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
     "bigram_surprisal_stats", "bigram_lm_score",
+    "pq_codes", "pq_topk",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "range_join", "event_type_pivot",
     "kmeans_assign", "kmeans_update", "quality_logit",
-    "asof_join", "attribution_last_touch", "domain_cap_sample",
+    "asof_join",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Product quantization (operators/pq.py).
+
+Pins: the distributed trainer must produce codebooks IDENTICAL to a
+pure-numpy Lloyd replica using the same seeding, scaled-integer sums,
+and argmin tie-break; encoding must match the replica code-for-code
+on the real embeddings table; ADC top-k must agree with a numpy ADC
+and recall real L2 neighbors far better than chance.
+"""
+
+import numpy as np
+import pytest
+
+from telemetry_streaming_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_train(X, m, k, iters, scale=10_000):
+    n, dim = X.shape
+    d_sub = dim // m
+    cbs = [X[:k, j * d_sub : (j + 1) * d_sub].copy() for j in range(m)]
+    for _ in range(iters):
+        sums = [np.zeros((k, d_sub)) for _ in range(m)]
+        counts = [np.zeros(k, dtype=np.int64) for _ in range(m)]
+        for j in range(m):
+            sub = X[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
+            code = d2.argmin(axis=1)
+            q = np.floor(sub * scale + 0.5)
+            for c in range(k):
+                mask = code == c
+                counts[j][c] = mask.sum()
+                sums[j][c] = q[mask].sum(axis=0) / scale
+        for j in range(m):
+            for c in range(k):
+                if counts[j][c] > 0:
+                    cbs[j][c] = sums[j][c] / counts[j][c]
+    return [cb.tolist() for cb in cbs]
+
+
+def _np_codes(X, cbs):
+    m = len(cbs)
+    d_sub = len(cbs[0][0])
+    out = []
+    for x in X:
+        cs = []
+        for j in range(m):
+            sub = x[j * d_sub : (j + 1) * d_sub]
+            d2 = ((np.asarray(cbs[j]) - sub) ** 2).sum(axis=1)
+            cs.append(int(d2.argmin()))
+        out.append(cs)
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    rows = df.orderBy("vec_id").collect()
+    X = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    return df, X, ids
+
+
+class TestPqTrain:
+    def test_codebooks_match_numpy_replica(self, spark, emb):
+        df, X, _ = emb
+        got = pq_train(df, m=4, k=8, iters=3)
+        want = _np_train(X, m=4, k=8, iters=3)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=0
+        )  # scaled-integer sums -> bit-identical
+
+    def test_guards(self, spark, emb):
+        df, X, _ = emb
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(df, m=7)
+        empty = df.where("vec_id < 0")
+        with pytest.raises(ValueError, match="empty"):
+            pq_train(empty, m=4)
+
+
+class TestPqEncode:
+    def test_codes_match_replica(self, spark, emb):
+        df, X, ids = emb
+        cbs = pq_train(df, m=4, k=8, iters=2)
+        got = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(df, cbs).select("vec_id", "pq_codes").collect()
+        }
+        want = dict(zip(ids, _np_codes(X, cbs)))
+        assert got == want
+
+    def test_null_and_missized_vectors_code_null(self, spark):
+        cbs = [[[0.0, 0.0], [1.0, 1.0]]] * 2  # m=2, d_sub=2 -> dim 4
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2, 0.3, 0.4]), (2, None), (3, [0.1, 0.2])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.vec_id: r.pq_codes for r in pq_encode(df, cbs).collect()}
+        assert got[1] is not None and got[2] is None and got[3] is None
+
+
+class TestPqTopk:
+    def test_adc_matches_numpy_and_recalls_true_neighbors(self, spark, emb):
+        """m=16 on the structure-less synthetic embeddings (PQ's worst
+        case) measures mean recall@10 ~0.58 over these queries — the
+        floor asserts well above the 10/n = 0.02 chance level while
+        staying robust to k-means drift."""
+        m = 16
+        df, X, ids = emb
+        cbs = pq_train(df, m=m, k=16, iters=5)
+        enc = pq_encode(df, cbs)
+        codes = _np_codes(X, cbs)
+        d_sub = X.shape[1] // m
+        recalls = []
+        for qi in (7, 42, 99, 201, 333):
+            q = X[qi]
+            rows = pq_topk(enc, q.tolist(), cbs, k=10).collect()
+            assert len(rows) == 10
+            # ADC distances equal the numpy ADC on the replica codes
+            lut = np.asarray(
+                [
+                    [((np.asarray(c) - q[j * d_sub : (j + 1) * d_sub]) ** 2).sum()
+                     for c in cbs[j]]
+                    for j in range(m)
+                ]
+            )
+            adc = {
+                i: float(sum(lut[j, cj] for j, cj in enumerate(cs)))
+                for i, cs in zip(ids, codes)
+            }
+            for r in rows:
+                assert r.adc_dist == pytest.approx(adc[r.vec_id], rel=1e-12)
+            true10 = set(
+                np.asarray(ids)[np.argsort(((X - q) ** 2).sum(axis=1))[:10]].tolist()
+            )
+            recalls.append(len(true10 & {r.vec_id for r in rows}) / 10)
+        assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    def test_plan_is_lookup_plus_takeordered(self, spark, emb):
+        import contextlib
+        import io
+
+        df, _, _ = emb
+        cbs = pq_train(df, m=4, k=8, iters=1)
+        enc = pq_encode(df, cbs)
+        plan_df = pq_topk(enc, [0.0] * 64, cbs, k=5)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("formatted")
+        txt = buf.getvalue()
+        assert "TakeOrderedAndProject" in txt
+        assert "Join" not in txt and "Window" not in txt
