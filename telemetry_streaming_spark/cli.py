@@ -547,7 +547,15 @@ def run_ann_index(spark, args):
     ~nprobe/nlist of the corpus files.
 
     --mode query: queries parquet (query_id, query_vec) + index in ->
-    top-k neighbors parquet out."""
+    top-k neighbors parquet out.
+
+    --pq-m M at build time adds the compressed tier (IVF-PQ): PQ codes
+    ride alongside each assignment row and the codebooks persist next
+    to the centroids; ``--use-pq`` at query time scores the probed
+    clusters by ADC lookup (m array reads per candidate) instead of
+    the dim-wide exact cosine — the float vector column is never read.
+    ADC ranks by squared L2 (monotone in cosine for normalized
+    embeddings)."""
     from pyspark.sql import functions as F
 
     from telemetry_streaming_spark.operators.similarity import (
@@ -565,12 +573,31 @@ def run_ann_index(spark, args):
         )
         if not centroids:
             raise SystemExit("empty embeddings input — nothing to index")
+        assigned = ivf_assign(emb, centroids, args.vec_col)
+        if args.pq_m:
+            from telemetry_streaming_spark.operators.pq import pq_encode, pq_train
+
+            cbs = pq_train(
+                emb, vec_col=args.vec_col, id_col=args.id_col,
+                m=args.pq_m, k=args.pq_k, iters=args.iters,
+            )
+            assigned = pq_encode(assigned, cbs, vec_col=args.vec_col)
+            cb_rows = [
+                (j, c, [float(x) for x in cent])
+                for j, cb in enumerate(cbs)
+                for c, cent in enumerate(cb)
+            ]
+            spark.createDataFrame(
+                cb_rows, "subspace int, code int, centroid array<double>"
+            ).repartition(1).write.mode("overwrite").parquet(
+                os.path.join(args.index_path, "codebooks")
+            )
         if args.explain:
             # centroid training above already ran (it IS collection by
             # nature); the explain covers the big write-side plan
-            ivf_assign(emb, centroids, args.vec_col).explain("formatted")
+            assigned.explain("formatted")
             return
-        ivf_assign(emb, centroids, args.vec_col).write.mode("overwrite").partitionBy(
+        assigned.write.mode("overwrite").partitionBy(
             "ivf_cluster"
         ).parquet(os.path.join(args.index_path, "assignments"))
         spark.createDataFrame(
@@ -591,10 +618,43 @@ def run_ann_index(spark, args):
     )
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     queries = spark.read.parquet(args.input_path)
-    topk = cosine_topk_ivf_index(
-        index, centroids, queries, k=args.k, nprobe=args.nprobe,
-        id_col=args.id_col, vec_col=args.vec_col,
-    )
+    if args.use_pq:
+        import numpy as np
+
+        from telemetry_streaming_spark.operators.pq import pq_topk
+
+        cb_rows = spark.read.parquet(
+            os.path.join(args.index_path, "codebooks")
+        ).orderBy("subspace", "code").collect()
+        m = 1 + max(r["subspace"] for r in cb_rows)
+        kq = 1 + max(r["code"] for r in cb_rows)
+        cbs = [[None] * kq for _ in range(m)]
+        for r in cb_rows:
+            cbs[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
+        cmat = np.asarray(centroids)
+        per_query = []
+        # query batches are bounded by the same broadcast contract as
+        # the exact tier; each query probes nprobe clusters (static
+        # partition pruning on the isin filter) and ADC-scores codes
+        for qr in queries.collect():
+            qv = np.asarray(list(qr["query_vec"]), dtype=np.float64)
+            sims = (cmat @ qv) / (
+                np.linalg.norm(cmat, axis=1) * (np.linalg.norm(qv) or 1.0)
+            )
+            probe = np.argsort(-sims)[: args.nprobe].tolist()
+            cand = index.where(F.col("ivf_cluster").isin([int(p) for p in probe]))
+            per_query.append(
+                pq_topk(cand, qv.tolist(), cbs, k=args.k, id_col=args.id_col)
+                .withColumn("query_id", F.lit(qr["query_id"]))
+            )
+        topk = per_query[0]
+        for t in per_query[1:]:
+            topk = topk.unionByName(t)
+    else:
+        topk = cosine_topk_ivf_index(
+            index, centroids, queries, k=args.k, nprobe=args.nprobe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
     if args.explain:
         # note: the probed-cluster prefilter is computed eagerly (one
         # small job over the query batch) so the printed plan shows the
@@ -1074,6 +1134,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument(
+        "--pq-m", type=int,
+        help="build: also train m-subspace PQ codebooks and store codes (IVF-PQ)",
+    )
+    p.add_argument("--pq-k", type=int, default=16, help="PQ centroids per subspace")
+    p.add_argument(
+        "--use-pq", action="store_true",
+        help="query: score probed clusters by ADC codes instead of exact cosine",
+    )
     p.add_argument("--explain", action="store_true")
 
     p = sub.add_parser("compact", help="small-files parquet compaction")

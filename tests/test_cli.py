@@ -761,3 +761,44 @@ def test_cli_train_unknown_task_and_missing_opts_error(spark, tmp_path):
               "--model-path", str(tmp_path / "m.json")], spark=spark)  # no label
     with pytest.raises(SystemExit):
         main(["train", "--task", "bpe", "--model-path", "x"], spark=spark)
+
+
+def test_cli_ann_index_ivf_pq_build_and_query(spark, tmp_path):
+    """IVF-PQ e2e: --pq-m at build writes codes + codebooks alongside
+    the cluster-partitioned assignments; --use-pq at query scores the
+    probed clusters by ADC and substantially recalls the exact IVF
+    tier's neighbors without ever reading the float vector column."""
+    import numpy as np
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "annpq")
+    main(["ann_index", "--mode", "build",
+          "--input-path", emb_path, "--index-path", idx,
+          "--nlist", "8", "--iters", "2", "--pq-m", "16"], spark=spark)
+    assignments = spark.read.parquet(os.path.join(idx, "assignments"))
+    assert "pq_codes" in assignments.columns
+    cb = spark.read.parquet(os.path.join(idx, "codebooks"))
+    assert cb.count() == 16 * 16  # m * pq_k
+
+    emb = spark.read.parquet(emb_path)
+    queries = (
+        emb.orderBy("vec_id").limit(3)
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    qpath = str(tmp_path / "q")
+    queries.write.parquet(qpath)
+    out = str(tmp_path / "pq_topk")
+    main(["ann_index", "--mode", "query", "--use-pq",
+          "--input-path", qpath, "--index-path", idx,
+          "--output-path", out, "--k", "10", "--nprobe", "8"], spark=spark)
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # 3 queries x k
+    assert set(got.columns) == {"vec_id", "adc_dist", "query_id"}
+    # each query's own vector quantizes closest to itself: with all
+    # clusters probed, the query id must appear in its own top-10
+    per_q = {
+        q: {r.vec_id for r in got.where(f"query_id = {q}").collect()}
+        for q in (r.query_id for r in queries.select("query_id").collect())
+    }
+    hits = sum(1 for q, ids in per_q.items() if q in ids)
+    assert hits >= 2, per_q
