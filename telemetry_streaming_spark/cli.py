@@ -635,21 +635,46 @@ def run_ann_index(spark, args):
         per_query = []
         # query batches are bounded by the same broadcast contract as
         # the exact tier; each query probes nprobe clusters (static
-        # partition pruning on the isin filter) and ADC-scores codes
+        # partition pruning on the isin filter) and ADC-scores codes.
+        # Output contract matches the exact tier: (query_id,
+        # neighbor_id, rank), self-matches excluded, plus adc_dist in
+        # place of cos (different metric, same ordering role).
         for qr in queries.collect():
             qv = np.asarray(list(qr["query_vec"]), dtype=np.float64)
             sims = (cmat @ qv) / (
                 np.linalg.norm(cmat, axis=1) * (np.linalg.norm(qv) or 1.0)
             )
             probe = np.argsort(-sims)[: args.nprobe].tolist()
-            cand = index.where(F.col("ivf_cluster").isin([int(p) for p in probe]))
+            cand = index.where(
+                F.col("ivf_cluster").isin([int(p) for p in probe])
+                & (F.col(args.id_col) != F.lit(qr["query_id"]))
+            )
             per_query.append(
                 pq_topk(cand, qv.tolist(), cbs, k=args.k, id_col=args.id_col)
-                .withColumn("query_id", F.lit(qr["query_id"]))
+                .select(
+                    F.lit(qr["query_id"]).alias("query_id"),
+                    F.col(args.id_col).alias("neighbor_id"),
+                    "adc_dist",
+                )
             )
-        topk = per_query[0]
-        for t in per_query[1:]:
-            topk = topk.unionByName(t)
+        if per_query:
+            topk = per_query[0]
+            for t in per_query[1:]:
+                topk = topk.unionByName(t)
+            from pyspark.sql import Window
+
+            topk = topk.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        "adc_dist", "neighbor_id"
+                    )
+                ),
+            )
+        else:  # empty query batch: empty result, same schema
+            topk = spark.createDataFrame(
+                [], "query_id long, neighbor_id long, adc_dist double, rank int"
+            )
     else:
         topk = cosine_topk_ivf_index(
             index, centroids, queries, k=args.k, nprobe=args.nprobe,
@@ -864,15 +889,21 @@ def run_hygiene(spark, args):
     if args.benchmark_path:
         bench = spark.read.parquet(args.benchmark_path)
         out = decontaminate(out, bench, n=args.contamination_ngram)
-    if args.lm_max_nlp is not None:
+    if args.lm_max_nlp is not None and not args.explain:
         # CCNet-style perplexity gate: drop docs whose avg token
         # negative log-prob under the LM exceeds the threshold (docs
-        # too short to score pass through)
+        # too short to score pass through).  Skipped under --explain:
+        # a self-trained LM build is eager (localCheckpoint inside
+        # bigram_lm_table), so the gate cannot be plan-only.
         from telemetry_streaming_spark.operators.lm import bigram_lm_score
 
         lm_table = (
             spark.read.parquet(args.lm_path) if args.lm_path else None
         )
+        # the upstream pipeline feeds the scorer THREE times (c2 build
+        # when self-training, the gram probe side, the outer join
+        # side) — persist it once instead of re-running decontaminate
+        out = out.persist()
         scores = bigram_lm_score(out, lm_table=lm_table).select(
             "doc_id", "avg_neg_logprob"
         )

@@ -111,6 +111,18 @@ def quality_score(text: Column) -> Column:
 QUALITY_LOGIT_WEIGHTS = (-1.5, 2.0, -4.0, 0.35)  # bias, len, punct, tok_len
 
 
+def quality_features(text: Column) -> tuple[Column, Column, Column]:
+    """The quality classifier's three structure features — THE single
+    definition: ``quality_logit`` applies weights to exactly these, and
+    the trainer (``operators/regression.py:fit_quality_logit``) and its
+    sufficient-statistics oracle query fit exactly these, so retuning a
+    feature here retrains and redeploys consistently everywhere."""
+    f1 = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    f2 = punct_ratio(text)
+    f3 = F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0))
+    return f1, f2, f3
+
+
 def quality_logit(
     text: Column, weights: tuple[float, float, float, float] = QUALITY_LOGIT_WEIGHTS
 ) -> Column:
@@ -126,9 +138,7 @@ def quality_logit(
     of ``operators/regression.py:fit_quality_logit`` to deploy a
     freshly trained model — still a map-only codegen'd expression."""
     w0, w1, w2, w3 = weights
-    f1 = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
-    f2 = punct_ratio(text)
-    f3 = F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0))
+    f1, f2, f3 = quality_features(text)
     return (
         (F.lit(w0) + F.lit(w1) * f1) + F.lit(w2) * f2
     ) + F.lit(w3) * f3

@@ -88,7 +88,13 @@ def pq_train(
     """
     import numpy as np
 
-    first = df.select(F.size(vec_col).alias("d")).first()
+    # infer dim from a row that would actually train: a NULL first
+    # vector must not abort (or silently empty) a corpus of valid ones
+    first = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     if first is None:
         raise ValueError("pq_train: empty input")
     dim = int(first["d"])

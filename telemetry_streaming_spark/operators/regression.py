@@ -112,7 +112,7 @@ def logistic_sufficient_stats(
 
     Output: one row with n, sy (= Σy), per-feature s{i} (= Σq_i) and
     s{i}y (= Σ q_i·y), and the upper-triangle second moments
-    s{i}{j} (= Σ q_i·q_j).  Overflow bound: q ≤ quant so q_i·q_j ≤
+    s{i}_{j} (= Σ q_i·q_j).  Overflow bound: q ≤ quant so q_i·q_j ≤
     quant²; with quant=1000 the signed-long sum holds past 9e12 rows —
     beyond that, shard the sum per partition key and combine in
     DECIMAL(38,0).
@@ -135,9 +135,12 @@ def logistic_sufficient_stats(
     for i in range(1, d + 1):
         aggs.append(F.sum(F.col(f"q{i}")).alias(f"s{i}"))
         aggs.append(F.sum(F.col(f"q{i}") * F.col("y")).alias(f"s{i}y"))
+    # second moments use a delimited alias (s{i}_{j}): the undelimited
+    # form collides at d >= 10 ('s111' = (1,11) or (11,1)) and at
+    # d >= 12 duplicates the first-moment names ('s12' = Σq12 or Σq1·q2)
     for i in range(1, d + 1):
         for j in range(i, d + 1):
-            aggs.append(F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"s{i}{j}"))
+            aggs.append(F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"s{i}_{j}"))
     return t.agg(*aggs)
 
 
@@ -238,19 +241,14 @@ def fit_quality_logit(
     so scoring stays a map-only codegen'd expression — train here,
     deploy as literals.
     """
-    from telemetry_streaming_spark.functions.text import (
-        avg_token_len,
-        punct_ratio,
-        token_count,
-    )
+    from telemetry_streaming_spark.functions.text import quality_features
 
     text = F.col(text_col)
+    f1, f2, f3 = quality_features(text)
     feats = docs.where(text.isNotNull() & (F.length(text) > 0)).select(
-        F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0)).alias(
-            "f_len"
-        ),
-        punct_ratio(text).alias("f_punct"),
-        F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0)).alias("f_atl"),
+        f1.alias("f_len"),
+        f2.alias("f_punct"),
+        f3.alias("f_atl"),
         label.cast("int").alias("__label"),
     )
     return fit_logistic(

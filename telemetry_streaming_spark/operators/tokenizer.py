@@ -31,9 +31,17 @@ from pyspark.sql import functions as F
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over lowercased whitespace tokens — the one
-    corpus-wide shuffle; everything after runs over the vocabulary."""
+    corpus-wide shuffle; everything after runs over the vocabulary.
+    Explicit whitespace-set trim (not F.trim, which strips only
+    spaces): a tab/newline-edged doc must not contribute an
+    empty-string token — matching the python replica's .strip() and
+    lm.py's trim discipline."""
     words = df.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        F.explode(
+            F.split(
+                F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"), r"\s+"
+            )
+        ).alias("w")
     ).where(F.length("w") >= 2)
     return words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
 
@@ -137,7 +145,9 @@ def apply_bpe(
     arrays, a pure map (no shuffle, no Python).  Intended for bounded
     K (the trained merge list); for production-sized merge tables the
     lever is a broadcast trie + mapInPandas, stated not hidden."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(
+        F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"), r"\s+"
+    )
     word_syms = lambda w: F.split(w, "")  # noqa: E731
     def merged_word(w):
         syms = word_syms(w)

@@ -3016,7 +3016,7 @@ def part_supplier_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_pair_stats",
     oracle=r"""
     WITH words AS (
-        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        SELECT unnest(string_split_regex(trim(lower(text), E' \t\r\n'), '\s+')) AS w
         FROM documents
     ),
     vocab AS (
@@ -3044,11 +3044,10 @@ def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word's corpus count.  Exact integer counts end to end; the
     top-k is TakeOrdered with the (cnt, pair) tie-break, never a global
     sort."""
+    from telemetry_streaming_spark.operators.tokenizer import word_vocab
+
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
-    ).where(F.length("w") >= 2)
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = word_vocab(docs)  # THE trainer's vocab — definitionally consistent
     pairs = vocab.select(
         "c",
         F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
@@ -4985,12 +4984,12 @@ def quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(q1) AS BIGINT) AS s1, CAST(SUM(q1 * y) AS BIGINT) AS s1y,
            CAST(SUM(q2) AS BIGINT) AS s2, CAST(SUM(q2 * y) AS BIGINT) AS s2y,
            CAST(SUM(q3) AS BIGINT) AS s3, CAST(SUM(q3 * y) AS BIGINT) AS s3y,
-           CAST(SUM(q1 * q1) AS BIGINT) AS s11,
-           CAST(SUM(q1 * q2) AS BIGINT) AS s12,
-           CAST(SUM(q1 * q3) AS BIGINT) AS s13,
-           CAST(SUM(q2 * q2) AS BIGINT) AS s22,
-           CAST(SUM(q2 * q3) AS BIGINT) AS s23,
-           CAST(SUM(q3 * q3) AS BIGINT) AS s33
+           CAST(SUM(q1 * q1) AS BIGINT) AS s1_1,
+           CAST(SUM(q1 * q2) AS BIGINT) AS s1_2,
+           CAST(SUM(q1 * q3) AS BIGINT) AS s1_3,
+           CAST(SUM(q2 * q2) AS BIGINT) AS s2_2,
+           CAST(SUM(q2 * q3) AS BIGINT) AS s2_3,
+           CAST(SUM(q3 * q3) AS BIGINT) AS s3_3
     FROM q
     """,
 )
@@ -5003,23 +5002,18 @@ def logit_training_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     product).  One fused map + one hash aggregate to a single row; the
     exchange carries O(d²) cells per partition, never O(n).  Teacher
     label: lang = 'en'."""
-    from telemetry_streaming_spark.functions.text import (
-        avg_token_len,
-        punct_ratio,
-        token_count,
-    )
+    from telemetry_streaming_spark.functions.text import quality_features
     from telemetry_streaming_spark.operators.regression import (
         logistic_sufficient_stats,
     )
 
     docs = _t(spark, sf_dir, "documents", parallelize=False)
     text = F.col("text")
+    f1, f2, f3 = quality_features(text)
     feats = docs.where(text.isNotNull() & (F.length(text) > 0)).select(
-        F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0)).alias(
-            "f1"
-        ),
-        punct_ratio(text).alias("f2"),
-        F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0)).alias("f3"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return logistic_sufficient_stats(feats, ["f1", "f2", "f3"], "y", quant=1000)

@@ -793,12 +793,12 @@ def test_cli_ann_index_ivf_pq_build_and_query(spark, tmp_path):
           "--output-path", out, "--k", "10", "--nprobe", "8"], spark=spark)
     got = spark.read.parquet(out)
     assert got.count() == 30  # 3 queries x k
-    assert set(got.columns) == {"vec_id", "adc_dist", "query_id"}
-    # each query's own vector quantizes closest to itself: with all
-    # clusters probed, the query id must appear in its own top-10
-    per_q = {
-        q: {r.vec_id for r in got.where(f"query_id = {q}").collect()}
-        for q in (r.query_id for r in queries.select("query_id").collect())
-    }
-    hits = sum(1 for q, ids in per_q.items() if q in ids)
-    assert hits >= 2, per_q
+    # same contract as the exact tier: query_id/neighbor_id/rank,
+    # self-matches excluded (adc_dist replaces cos)
+    assert set(got.columns) == {"query_id", "neighbor_id", "adc_dist", "rank"}
+    rows = got.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())

@@ -121,9 +121,9 @@ class TestSufficientStats:
         assert s1 == int(Q[:, 1].sum()) and s2 == int(Q[:, 2].sum())
         assert s1y == int((Q[:, 1] * yv).sum())
         assert s2y == int((Q[:, 2] * yv).sum())
-        assert row["s11"] == int((Q[:, 1] ** 2).sum())
-        assert row["s12"] == int((Q[:, 1] * Q[:, 2]).sum())
-        assert row["s22"] == int((Q[:, 2] ** 2).sum())
+        assert row["s1_1"] == int((Q[:, 1] ** 2).sum())
+        assert row["s1_2"] == int((Q[:, 1] * Q[:, 2]).sum())
+        assert row["s2_2"] == int((Q[:, 2] ** 2).sum())
         # first Newton step from the integer stats == numpy's first step
         # on the quantized features
         g = np.array(
@@ -132,8 +132,8 @@ class TestSufficientStats:
         H = 0.25 * np.array(
             [
                 [n * quant * quant, quant * s1, quant * s2],
-                [quant * s1, row["s11"], row["s12"]],
-                [quant * s2, row["s12"], row["s22"]],
+                [quant * s1, row["s1_1"], row["s1_2"]],
+                [quant * s2, row["s1_2"], row["s2_2"]],
             ]
         ) / (quant * quant)
         g_scaled = g * np.array([1.0, 1.0 / quant, 1.0 / quant])
