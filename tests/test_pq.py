@@ -151,3 +151,49 @@ class TestPqTopk:
         txt = buf.getvalue()
         assert "TakeOrderedAndProject" in txt
         assert "Join" not in txt and "Window" not in txt
+
+
+class TestPqStreaming:
+    def test_encode_is_streaming_safe(self, spark, emb, tmp_path):
+        """pq_encode is a stateless Arrow map — it must run unchanged
+        on a streaming frame (append mode, no watermark) and emit the
+        same codes the batch path assigns."""
+        import json
+        import os
+        import uuid
+
+        from telemetry_streaming_spark.streaming.core import drain, stop_quietly
+
+        df, X, ids = emb
+        cbs = pq_train(df, m=4, k=8, iters=1)
+        batch_codes = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(df, cbs).limit(50).collect()
+        }
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        sample = df.orderBy("vec_id").limit(5).collect()
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            for r in sample:
+                f.write(json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)}) + "\n")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .json(src)
+        )
+        name = f"pqenc_{uuid.uuid4().hex[:8]}"
+        q = (
+            pq_encode(stream, cbs)
+            .writeStream.queryName(name).format("memory").outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            drain(q)
+            got = {
+                r.vec_id: list(r.pq_codes)
+                for r in spark.sql(f"SELECT vec_id, pq_codes FROM {name}").collect()
+            }
+        finally:
+            stop_quietly(q)
+        assert got == {r.vec_id: batch_codes[r.vec_id] for r in sample}
