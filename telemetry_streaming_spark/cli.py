@@ -574,6 +574,7 @@ def run_ann_index(spark, args):
         if not centroids:
             raise SystemExit("empty embeddings input — nothing to index")
         assigned = ivf_assign(emb, centroids, args.vec_col)
+        cbs = None
         if args.pq_m:
             from telemetry_streaming_spark.operators.pq import pq_encode, pq_train
 
@@ -582,6 +583,14 @@ def run_ann_index(spark, args):
                 m=args.pq_m, k=args.pq_k, iters=args.iters,
             )
             assigned = pq_encode(assigned, cbs, vec_col=args.vec_col)
+        if args.explain:
+            # centroid/codebook training above already ran (it IS
+            # collection by nature); the explain covers the write-side
+            # plan and must leave the persisted index UNTOUCHED — the
+            # codebooks write happens below, with the other writes
+            assigned.explain("formatted")
+            return
+        if cbs is not None:
             cb_rows = [
                 (j, c, [float(x) for x in cent])
                 for j, cb in enumerate(cbs)
@@ -592,11 +601,6 @@ def run_ann_index(spark, args):
             ).repartition(1).write.mode("overwrite").parquet(
                 os.path.join(args.index_path, "codebooks")
             )
-        if args.explain:
-            # centroid training above already ran (it IS collection by
-            # nature); the explain covers the big write-side plan
-            assigned.explain("formatted")
-            return
         assigned.write.mode("overwrite").partitionBy(
             "ivf_cluster"
         ).parquet(os.path.join(args.index_path, "assignments"))
@@ -620,60 +624,97 @@ def run_ann_index(spark, args):
     queries = spark.read.parquet(args.input_path)
     if args.use_pq:
         import numpy as np
-
-        from telemetry_streaming_spark.operators.pq import pq_topk
+        from pyspark.sql import Window
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, IntegerType, StructField, StructType,
+        )
 
         cb_rows = spark.read.parquet(
             os.path.join(args.index_path, "codebooks")
         ).orderBy("subspace", "code").collect()
         m = 1 + max(r["subspace"] for r in cb_rows)
         kq = 1 + max(r["code"] for r in cb_rows)
-        cbs = [[None] * kq for _ in range(m)]
+        cbs = np.zeros((m, kq, len(cb_rows[0]["centroid"])))
         for r in cb_rows:
-            cbs[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
+            cbs[r["subspace"], r["code"]] = r["centroid"]
+        d_sub = cbs.shape[2]
         cmat = np.asarray(centroids)
-        per_query = []
-        # query batches are bounded by the same broadcast contract as
-        # the exact tier; each query probes nprobe clusters (static
-        # partition pruning on the isin filter) and ADC-scores codes.
-        # Output contract matches the exact tier: (query_id,
-        # neighbor_id, rank), self-matches excluded, plus adc_dist in
-        # place of cos (different metric, same ordering role).
-        for qr in queries.collect():
+        # ONE index scan for the whole batch (the exact tier's shape):
+        # each query's m x k ADC lookup table + probed-cluster set ride
+        # in a broadcast side table; the probe union gives the static
+        # partition filter, per-query membership is array_contains, and
+        # the score folds each candidate's codes through ITS query's
+        # LUT column.  Output contract matches the exact tier
+        # (query_id/neighbor_id/rank, self excluded), adc_dist in place
+        # of cos.
+        qrows = queries.collect()  # bounded: same contract as exact tier
+        side = []
+        union_probe = set()
+        for qr in qrows:
             qv = np.asarray(list(qr["query_vec"]), dtype=np.float64)
             sims = (cmat @ qv) / (
                 np.linalg.norm(cmat, axis=1) * (np.linalg.norm(qv) or 1.0)
             )
-            probe = np.argsort(-sims)[: args.nprobe].tolist()
+            probe = [int(p) for p in np.argsort(-sims)[: args.nprobe]]
+            union_probe.update(probe)
+            lut = [
+                [float(((cbs[j, c] - qv[j * d_sub:(j + 1) * d_sub]) ** 2).sum())
+                 for c in range(kq)]
+                for j in range(m)
+            ]
+            side.append((qr["query_id"], probe, lut))
+        qid_type = queries.schema["query_id"].dataType
+        side_schema = StructType([
+            StructField("query_id", qid_type),
+            StructField("__probe", ArrayType(IntegerType())),
+            StructField("__lut", ArrayType(ArrayType(DoubleType()))),
+        ])
+        side_df = spark.createDataFrame(side, side_schema)
+        if qrows:
             cand = index.where(
-                F.col("ivf_cluster").isin([int(p) for p in probe])
-                & (F.col(args.id_col) != F.lit(qr["query_id"]))
-            )
-            per_query.append(
-                pq_topk(cand, qv.tolist(), cbs, k=args.k, id_col=args.id_col)
+                F.col("ivf_cluster").isin(sorted(union_probe))
+            ).where(F.col("pq_codes").isNotNull())
+            scored = (
+                cand.crossJoin(F.broadcast(side_df))
+                .where(
+                    F.array_contains(F.col("__probe"), F.col("ivf_cluster"))
+                    & (F.col(args.id_col) != F.col("query_id"))
+                )
                 .select(
-                    F.lit(qr["query_id"]).alias("query_id"),
+                    "query_id",
                     F.col(args.id_col).alias("neighbor_id"),
-                    "adc_dist",
+                    F.aggregate(
+                        F.transform(
+                            F.col("pq_codes"),
+                            lambda c, i: F.element_at(
+                                F.element_at(F.col("__lut"), i + 1), c + 1
+                            ),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("adc_dist"),
                 )
             )
-        if per_query:
-            topk = per_query[0]
-            for t in per_query[1:]:
-                topk = topk.unionByName(t)
-            from pyspark.sql import Window
-
-            topk = topk.withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        "adc_dist", "neighbor_id"
-                    )
-                ),
+            topk = (
+                scored.withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.partitionBy("query_id").orderBy(
+                            "adc_dist", "neighbor_id"
+                        )
+                    ),
+                )
+                .where(F.col("rank") <= args.k)
             )
-        else:  # empty query batch: empty result, same schema
+        else:  # empty query batch: empty result, id types from the inputs
             topk = spark.createDataFrame(
-                [], "query_id long, neighbor_id long, adc_dist double, rank int"
+                [],
+                StructType([
+                    StructField("query_id", qid_type),
+                    StructField("neighbor_id", index.schema[args.id_col].dataType),
+                    StructField("adc_dist", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]),
             )
     else:
         topk = cosine_topk_ivf_index(
@@ -889,21 +930,25 @@ def run_hygiene(spark, args):
     if args.benchmark_path:
         bench = spark.read.parquet(args.benchmark_path)
         out = decontaminate(out, bench, n=args.contamination_ngram)
-    if args.lm_max_nlp is not None and not args.explain:
+    gate_cache = None
+    if args.lm_max_nlp is not None and not (args.explain and not args.lm_path):
         # CCNet-style perplexity gate: drop docs whose avg token
         # negative log-prob under the LM exceeds the threshold (docs
-        # too short to score pass through).  Skipped under --explain:
-        # a self-trained LM build is eager (localCheckpoint inside
-        # bigram_lm_table), so the gate cannot be plan-only.
+        # too short to score pass through).  With --lm-path the gate is
+        # a lazy parquet probe and shows up in --explain; withOUT it
+        # the self-trained LM build is eager (localCheckpoint inside
+        # bigram_lm_table), so --explain skips the gate rather than
+        # running real jobs.
         from telemetry_streaming_spark.operators.lm import bigram_lm_score
 
         lm_table = (
             spark.read.parquet(args.lm_path) if args.lm_path else None
         )
-        # the upstream pipeline feeds the scorer THREE times (c2 build
-        # when self-training, the gram probe side, the outer join
-        # side) — persist it once instead of re-running decontaminate
-        out = out.persist()
+        # the upstream pipeline feeds the scorer up to three times (c2
+        # build when self-training, the gram probe side, the outer
+        # join side) — persist it once instead of re-running
+        # decontaminate; released after the output write
+        gate_cache = out = out.persist()
         scores = bigram_lm_score(out, lm_table=lm_table).select(
             "doc_id", "avg_neg_logprob"
         )
@@ -928,6 +973,10 @@ def run_hygiene(spark, args):
         out.explain("formatted")
         return
     out.repartition(args.num_parquet_files).write.mode("overwrite").parquet(args.output_path)
+    if gate_cache is not None:
+        # the pre-gate corpus is only needed while the write consumes
+        # it; release before the (potentially heavy) dup-report job
+        gate_cache.unpersist()
     n_out = spark.read.parquet(args.output_path).count()
     print(f"docs_in: {n_in}")
     print(f"docs_out: {n_out}")

@@ -3149,7 +3149,10 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     try:
         cbs = pq_train(emb, m=4, k=8, iters=2)
-    except ValueError:  # empty corpus: nothing to quantize
+    except ValueError as exc:  # ONLY the empty corpus is a valid
+        # 0-row result; dim/seed-count misconfigurations must surface
+        if "empty input" not in str(exc):
+            raise
         return spark.createDataFrame([], "vec_id long, subspace int, code int")
     return pq_encode(emb, cbs).select(
         "vec_id", F.posexplode("pq_codes").alias("subspace", "code")
@@ -3173,9 +3176,19 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     try:
         cbs = pq_train(emb, m=4, k=8, iters=2)
-    except ValueError:  # empty corpus
+    except ValueError as exc:  # ONLY the empty corpus is a valid
+        # 0-row result; dim/seed-count misconfigurations must surface
+        if "empty input" not in str(exc):
+            raise
         return spark.createDataFrame([], "vec_id long, adc_dist double")
-    qrow = emb.orderBy("vec_id").select("embedding").first()
+    # same guard discipline as pq_train's dim inference: the query
+    # vector is the lowest-id row whose embedding actually exists
+    qrow = (
+        emb.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .orderBy("vec_id")
+        .select("embedding")
+        .first()
+    )
     top = pq_topk(pq_encode(emb, cbs), list(qrow[0]), cbs, k=10)
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 

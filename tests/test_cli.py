@@ -802,3 +802,20 @@ def test_cli_ann_index_ivf_pq_build_and_query(spark, tmp_path):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+    # --explain on a rebuild must leave the persisted index UNTOUCHED
+    # (a codebooks overwrite under explain would silently desync the
+    # stored codes from the ADC tables every later query builds)
+    before = sorted(
+        (r.subspace, r.code, tuple(r.centroid))
+        for r in spark.read.parquet(os.path.join(idx, "codebooks")).collect()
+    )
+    main(["ann_index", "--mode", "build",
+          "--input-path", emb_path, "--index-path", idx,
+          "--nlist", "8", "--iters", "1", "--pq-m", "8", "--explain"],
+         spark=spark)
+    after = sorted(
+        (r.subspace, r.code, tuple(r.centroid))
+        for r in spark.read.parquet(os.path.join(idx, "codebooks")).collect()
+    )
+    assert after == before
