@@ -268,6 +268,72 @@ def per_group_cap(
     return out if keep_rank else out.drop("__rk")
 
 
+def per_group_budget(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    keep_cum: bool = False,
+) -> DataFrame:
+    """Keep rows per group, in deterministic ``md5(key)`` order, until
+    the group's cumulative ``weight_col`` reaches ``budget`` — the
+    token-budget variant of :func:`per_group_cap` (cap the CONTRIBUTION
+    of a source in tokens, not documents; a source of ten huge docs
+    and one of ten thousand tweets get the same token share).
+
+    A row survives iff it STARTS strictly under the budget
+    (``cum - weight < budget``), so the boundary-crossing row is kept
+    and every group with any rows contributes at least one.
+    Membership is a pure function of (group, key, weight) — the same
+    determinism contract as ``per_group_cap``.
+
+    Scale shape mirrors ``per_group_cap``: 256 md5-prefix sub-buckets,
+    a within-(group, bucket) running SUM window, and an
+    aggregate-sized broadcast offset table carrying each bucket's
+    EXCLUSIVE cumulative weight — no hot source ever sorts or sums in
+    one task, and buckets whose offset already exceeds the budget are
+    pruned before their rows consult the window.  NULL keys rank last
+    (bucket 256); NULL weights count as 0."""
+    from pyspark.sql import Window
+
+    key_s = F.col(key_col).cast("string")
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    bucketed = (
+        df.withColumn("__h", F.md5(key_s))
+        .withColumn(
+            "__b",
+            F.coalesce(
+                F.conv(F.substring("__h", 1, 2), 16, 10).cast("int"), F.lit(256)
+            ),
+        )
+        .withColumn("__w", w)
+    )
+    sums = bucketed.groupBy(group_col, "__b").agg(F.sum("__w").alias("__n"))
+    cum = Window.partitionBy(group_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sums.select(
+        F.col(group_col).alias("__g"),
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias("__off"),
+    ).where(F.col("__off") < budget)  # bucket starts past budget: prune
+    within = Window.partitionBy(group_col, "__b").orderBy(
+        F.col("__h").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        bucketed.withColumn("__run", F.sum("__w").over(within))
+        .join(
+            F.broadcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("__b") == F.col("__ob")),
+        )
+        .withColumn("__cum", F.col("__off") + F.col("__run"))
+        .where(F.col("__cum") - F.col("__w") < budget)
+        .drop("__h", "__b", "__w", "__run", "__g", "__ob", "__off")
+    )
+    return out if keep_cum else out.drop("__cum")
+
+
 def apply_mixture(
     df: DataFrame,
     plan: DataFrame,

@@ -5630,6 +5630,51 @@ def domain_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_sample",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum - n_tok < 5000
+    """,
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-source TOKEN budget sampling
+    (operators/sampling.py:per_group_budget) — keep docs in
+    deterministic md5 order until each source has contributed 5000
+    tokens (the mixture-building unit that matters for training is
+    tokens, not documents).  The oracle states the semantics as one
+    PARTITION BY cumulative-sum window; the engine computes the
+    identical cumsum with the 256-way bucketed two-level prefix sum
+    (offsets carry SUMS), so no hot source ever sorts in one task —
+    the same lever family as domain_cap_sample and
+    sequence_packing."""
+    from telemetry_streaming_spark.functions import text as T
+    from telemetry_streaming_spark.operators.sampling import per_group_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tok")
+    )
+    return per_group_budget(
+        docs, "source", "doc_id", "n_tok", budget=5000, keep_cum=True
+    ).select(
+        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("__cum").cast("long").alias("cum_tokens"),
+    )
+
+
+@query(
     "doc_length_buckets",
     oracle=r"""
     SELECT source, bucket,
@@ -7368,13 +7413,12 @@ _FRONT_WINDOW = [
     "logit_training_stats", "fit_quality_logit",
     "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
     "bigram_surprisal_stats", "bigram_lm_score",
-    "pq_codes", "pq_topk",
+    "pq_codes", "pq_topk", "token_budget_sample",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "range_join", "event_type_pivot",
     "kmeans_assign", "kmeans_update", "quality_logit",
-    "asof_join",
 ]
 
 

@@ -198,3 +198,39 @@ def test_span_island_merge_matches_replica_fuzz(sess, seed, n):
         if start is not None:
             want.append((i, start, end))
     assert got == sorted(want)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    budget=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=6, deadline=None)
+def test_per_group_budget_matches_naive_reference_fuzz(sess, seed, budget):
+    """The 256-way bucketed two-level prefix sum must keep EXACTLY the
+    rows a naive per-group md5-ordered cumulative sum keeps, for any
+    budget and any weight mix (zeros, boundary hits, huge rows)."""
+    import hashlib
+
+    from telemetry_streaming_spark.operators.sampling import per_group_budget
+
+    rng = random.Random(seed)
+    rows = []
+    for g in ("a", "b", None):
+        for i in range(rng.randint(0, 25)):
+            key = g if g else "n"
+            rows.append((f"{key}{i}", g, rng.choice([0, 1, 2, 7, 40])))
+    df = sess.createDataFrame(rows, "k string, g string, w long")
+    got = {
+        r.k for r in per_group_budget(df, "g", "k", "w", budget=budget).collect()
+    }
+    want = set()
+    by_g = {}
+    for k, g, w in rows:
+        by_g.setdefault(g, []).append((hashlib.md5(k.encode()).hexdigest(), k, w))
+    for g, items in by_g.items():
+        cum = 0
+        for _, k, w in sorted(items):
+            if cum < budget:
+                want.add(k)
+            cum += w
+    assert got == want
