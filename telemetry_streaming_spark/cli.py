@@ -897,6 +897,20 @@ def run_curate(spark, args):
     elif args.near_dup == "simhash":
         pairs = simhash_pairs(docs)
     out = curate(docs, cfg, near_dup_pairs=pairs, benchmark=bench)
+    if args.token_budget_per_source:
+        # final mixture bound: cap each source's TOKEN contribution
+        # (deterministic md5 order, bucketed two-level prefix sum — no
+        # hot source sorts in one task)
+        from pyspark.sql import functions as F
+
+        from telemetry_streaming_spark.functions.text import token_count
+        from telemetry_streaming_spark.operators.sampling import per_group_budget
+
+        out = per_group_budget(
+            out.withColumn("__n_tok", token_count(F.col("text"))),
+            "source", "doc_id", "__n_tok",
+            budget=args.token_budget_per_source,
+        ).drop("__n_tok")
     if args.explain:
         out.explain("formatted")
         return
@@ -1134,6 +1148,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--benchmark-path", help="decontaminate against this parquet")
     p.add_argument("--chunk-dedup-words", type=int, help="chunk-dedup rewrite width")
+    p.add_argument(
+        "--token-budget-per-source", type=int,
+        help="cap each source's TOKEN contribution (deterministic md5 order)",
+    )
     p.add_argument(
         "--checkpoint-mode",
         choices=("local", "reliable"),

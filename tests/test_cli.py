@@ -819,3 +819,38 @@ def test_cli_ann_index_ivf_pq_build_and_query(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(idx, "codebooks")).collect()
     )
     assert after == before
+
+
+def test_cli_curate_token_budget_bounds_each_source(spark, tmp_path):
+    """--token-budget-per-source caps every source's token total at
+    budget + (one boundary-crossing doc), deterministically."""
+    from telemetry_streaming_spark.functions.text import token_count
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 21 tokens each, distinct (exact-dedup upstream must keep all)
+        (i, " ".join(f"w{j}" for j in range(20)) + f" doc{i}",
+         "en", "big" if i < 30 else "small")
+        for i in range(36)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated")
+    main([
+        "curate", "--input-path", src, "--output-path", out,
+        "--min-tokens", "1", "--min-quality", "0.0",
+        "--keep-langs", "en,und", "--eval-rate", "0.0",
+        "--num-parquet-files", "2", "--token-budget-per-source", "100",
+    ], spark=spark)
+    got = spark.read.parquet(out)
+    totals = {
+        r.source: r.t
+        for r in got.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    # budget 100, docs are 21 tokens: 5 docs survive per source (the
+    # 5th STARTS at 84 < 100, the 6th would start at 105) = 105 tokens
+    assert totals == {"big": 105, "small": 105}
