@@ -6406,6 +6406,94 @@ def source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ks_drift",
+    oracle=r"""
+    WITH h AS (
+        SELECT source,
+               length(bin(len(string_split_regex(trim(text), '\s+')))) AS bucket,
+               COUNT(*) AS n
+        FROM documents GROUP BY source, bucket
+    ),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM h GROUP BY source),
+    grid AS (
+        SELECT s.source, b.bucket FROM tot s
+        CROSS JOIN (SELECT DISTINCT bucket FROM h) b
+    ),
+    cum AS (
+        SELECT g.source, g.bucket,
+               SUM(COALESCE(h.n, 0)) OVER (
+                   PARTITION BY g.source ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) AS c
+        FROM grid g LEFT JOIN h ON h.source = g.source AND h.bucket = g.bucket
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(MAX(ABS(ca.c * b.t - cb.c * a.t)) AS BIGINT) AS ks_scaled,
+           CAST(MIN(a.t) AS BIGINT) AS t_a, CAST(MIN(b.t) AS BIGINT) AS t_b
+    FROM tot a
+    JOIN tot b ON a.source < b.source
+    JOIN cum ca ON ca.source = a.source
+    JOIN cum cb ON cb.source = b.source AND cb.bucket = ca.bucket
+    GROUP BY 1, 2
+    """,
+)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: pairwise Kolmogorov–Smirnov drift between sources
+    over the token-bit-length distribution — max CDF gap, the
+    complement to source_drift's total-variation L1 (KS localizes
+    WHERE the distributions diverge; L1 totals it).  Exact integers by
+    the same cross-multiplication: max |cum_a·t_b − cum_b·t_a| (the KS
+    statistic scaled by t_a·t_b — identical ordering, zero rounding).
+    Histograms and CDFs are aggregate-sized (sources × ~20 buckets);
+    only the corpus scan touches data rows."""
+    from pyspark.sql import Window
+
+    from telemetry_streaming_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        docs.select(
+            "source",
+            F.length(F.bin(T.token_count(F.col("text")))).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = h.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    grid = tot.select("source").crossJoin(h.select("bucket").distinct())
+    filled = grid.join(h, ["source", "bucket"], "left")
+    cum = filled.select(
+        "source",
+        "bucket",
+        F.sum(F.coalesce(F.col("n"), F.lit(0)))
+        .over(
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("c"),
+    )
+    ca = cum.join(tot, "source").select(
+        F.col("source").alias("source_a"), "bucket",
+        F.col("c").alias("ca"), F.col("t").alias("ta"),
+    )
+    cb = cum.join(tot, "source").select(
+        F.col("source").alias("source_b"), F.col("bucket").alias("bb"),
+        F.col("c").alias("cb"), F.col("t").alias("tb"),
+    )
+    pairs = ca.join(
+        cb, (F.col("source_a") < F.col("source_b")) & (F.col("bucket") == F.col("bb"))
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.max(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")))
+        .cast("long")
+        .alias("ks_scaled"),
+        F.min("ta").cast("long").alias("t_a"),
+        F.min("tb").cast("long").alias("t_b"),
+    )
+
+
+@query(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (
@@ -7413,12 +7501,12 @@ _FRONT_WINDOW = [
     "logit_training_stats", "fit_quality_logit",
     "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
     "bigram_surprisal_stats", "bigram_lm_score",
-    "pq_codes", "pq_topk", "token_budget_sample",
+    "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "range_join", "event_type_pivot",
-    "kmeans_assign", "kmeans_update", "quality_logit",
+    "kmeans_assign", "kmeans_update",
 ]
 
 
