@@ -105,6 +105,8 @@ HEADLINE = [
     "logit_training_stats",
     "part_supplier_breadth",
     "bigram_surprisal_stats",
+    "token_budget_sample",
+    "ks_drift",
 ]
 
 
