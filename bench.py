@@ -126,6 +126,9 @@ TREND = [
     # self-join + TakeOrdered), bounded cumsum window, two-level hash
     # aggregate respectively
     "market_basket_pairs", "weighted_median_price", "ttr_by_source",
+    # r5: the only >=1s, >2x-ratio newcomer (two gram-count aggregates
+    # + a probe join over a shared lineage-cut gram frame)
+    "bigram_surprisal_stats",
 ]
 
 

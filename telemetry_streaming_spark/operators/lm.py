@@ -51,14 +51,19 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def bigram_lm_table(
-    lm_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """The trained LM: (p_h, g_h, c2, c1) — bigram count and its
     prefix's total continuation count.  c1 is derived by re-aggregating
     the ALREADY-reduced bigram table (vocabulary²-sized), never the
     corpus stream, then joined back — both sides aggregate-sized, AQE
-    plans the join."""
-    grams = _doc_bigrams(lm_docs, text_col, id_col)
+    plans the join.  ``grams`` lets a SELF-scoring caller pass its own
+    (lineage-cut) gram frame so the corpus explodes once, not twice."""
+    if grams is None:
+        grams = _doc_bigrams(lm_docs, text_col, id_col)
     c2 = grams.groupBy("p_h", "g_h").agg(F.count(F.lit(1)).alias("c2"))
     c2 = cut_lineage(c2)  # feeds both the c1 rollup and the output join
     c1 = c2.groupBy("p_h").agg(F.sum("c2").alias("c1"))
@@ -96,14 +101,19 @@ def bigram_lm_score(
     where a stopword prefix concentrates; its build side is
     vocabulary-sized (AQE broadcasts it when it fits, splits skew
     otherwise)."""
-    lm = (
-        lm_table
-        if lm_table is not None
-        else bigram_lm_table(lm_docs if lm_docs is not None else docs, text_col, id_col)
-    )
+    grams = _doc_bigrams(docs, text_col, id_col)
+    if lm_table is not None:
+        lm = lm_table
+    elif lm_docs is not None:
+        lm = bigram_lm_table(lm_docs, text_col, id_col)
+    else:
+        # self-scoring: ONE gram explode feeds both the LM build and
+        # the probe side (the rare_token_score lineage-cut pattern) —
+        # halving the corpus scan+explode work
+        grams = cut_lineage(grams)
+        lm = bigram_lm_table(docs, text_col, id_col, grams=grams)
     c1_tbl = lm.select("p_h", "c1").distinct()
     vocab = c1_tbl.agg(F.count(F.lit(1)).alias("v"))
-    grams = _doc_bigrams(docs, text_col, id_col)
     scored = (
         grams.join(lm.select("g_h", "c2"), "g_h", "left")
         .join(c1_tbl, "p_h", "left")

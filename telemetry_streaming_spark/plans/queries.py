@@ -3099,14 +3099,17 @@ def bigram_surprisal_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the probe join runs on the full pair key so a hot prefix
     spreads over its distinct continuations (rare_token_score's
     anti-straggler argument, one gram order up)."""
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
     from telemetry_streaming_spark.operators.lm import (
         _doc_bigrams,
         bigram_lm_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    lm = bigram_lm_table(docs)
-    grams = _doc_bigrams(docs, "text", "doc_id")
+    # ONE gram explode feeds both the LM build and the probe side
+    # (rare_token_score's lineage-cut reuse — halves the corpus work)
+    grams = cut_lineage(_doc_bigrams(docs, "text", "doc_id"))
+    lm = bigram_lm_table(docs, grams=grams)
     return (
         grams.join(lm.select("g_h", "c2", "c1"), "g_h")
         .groupBy("doc_id")
