@@ -897,6 +897,8 @@ def run_curate(spark, args):
     elif args.near_dup == "simhash":
         pairs = simhash_pairs(docs)
     out = curate(docs, cfg, near_dup_pairs=pairs, benchmark=bench)
+    if args.token_budget_per_source is not None and args.token_budget_per_source <= 0:
+        raise SystemExit("--token-budget-per-source must be positive")
     if args.token_budget_per_source:
         # final mixture bound: cap each source's TOKEN contribution
         # (deterministic md5 order, bucketed two-level prefix sum — no

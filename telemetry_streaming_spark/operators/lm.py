@@ -107,11 +107,16 @@ def bigram_lm_score(
     elif lm_docs is not None:
         lm = bigram_lm_table(lm_docs, text_col, id_col)
     else:
-        # self-scoring: ONE gram explode feeds both the LM build and
-        # the probe side (the rare_token_score lineage-cut pattern) —
-        # halving the corpus scan+explode work
-        grams = cut_lineage(grams)
-        lm = bigram_lm_table(docs, text_col, id_col, grams=grams)
+        # self-scoring recomputes the gram explode for the LM build
+        # rather than lineage-cutting the shared frame: an eager
+        # localCheckpoint would materialize the CORPUS-SIZED gram
+        # stream to executor storage (and ignore any reliable-
+        # checkpoint policy), which costs more than the one extra
+        # codegen'd scan+explode it saves — measured equal-or-worse at
+        # sf0.1, and strictly worse storage at scale.  Callers who DO
+        # want sharing (a persisted/cached gram frame) pass ``grams``
+        # to bigram_lm_table themselves.
+        lm = bigram_lm_table(docs, text_col, id_col)
     c1_tbl = lm.select("p_h", "c1").distinct()
     vocab = c1_tbl.agg(F.count(F.lit(1)).alias("v"))
     scored = (

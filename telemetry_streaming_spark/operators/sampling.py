@@ -284,9 +284,13 @@ def per_group_budget(
 
     A row survives iff it STARTS strictly under the budget
     (``cum - weight < budget``), so the boundary-crossing row is kept
-    and every group with any rows contributes at least one.
-    Membership is a pure function of (group, key, weight) — the same
-    determinism contract as ``per_group_cap``.
+    and every group with any rows contributes at least one (budget
+    must be positive).  Membership is a pure function of
+    (group, key, weight) — with ``per_group_cap``'s caveat one step
+    stronger: rows sharing a KEY within a group tie on the entire sort
+    key, so when a budget boundary falls between tied rows, WHICH of
+    them survives is arbitrary (and here ties also shift every later
+    row's cumulative start).  Give rows unique keys if that matters.
 
     Scale shape mirrors ``per_group_cap``: 256 md5-prefix sub-buckets,
     a within-(group, bucket) running SUM window, and an

@@ -3099,17 +3099,18 @@ def bigram_surprisal_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the probe join runs on the full pair key so a hot prefix
     spreads over its distinct continuations (rare_token_score's
     anti-straggler argument, one gram order up)."""
-    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
     from telemetry_streaming_spark.operators.lm import (
         _doc_bigrams,
         bigram_lm_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # ONE gram explode feeds both the LM build and the probe side
-    # (rare_token_score's lineage-cut reuse — halves the corpus work)
-    grams = cut_lineage(_doc_bigrams(docs, "text", "doc_id"))
-    lm = bigram_lm_table(docs, grams=grams)
+    # the LM build recomputes its gram explode instead of lineage-
+    # cutting a shared frame: eager checkpointing the corpus-sized
+    # gram stream costs more than the extra codegen'd explode
+    # (measured; see operators/lm.py:bigram_lm_score)
+    lm = bigram_lm_table(docs)
+    grams = _doc_bigrams(docs, "text", "doc_id")
     return (
         grams.join(lm.select("g_h", "c2", "c1"), "g_h")
         .groupBy("doc_id")
@@ -5639,7 +5640,7 @@ def domain_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                len(string_split_regex(trim(text), '\s+')) AS n_tok,
                md5(CAST(doc_id AS VARCHAR)) AS h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     c AS (
         SELECT doc_id, source, n_tok,
@@ -5666,8 +5667,13 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.functions import text as T
     from telemetry_streaming_spark.operators.sampling import per_group_budget
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", T.token_count(F.col("text")).alias("n_tok")
+    # NULL-text docs are excluded in BOTH engines (a NULL weight would
+    # coalesce to 0 here while the oracle's NULL comparison drops the
+    # row — the explicit filter makes the semantics one thing)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", T.token_count(F.col("text")).alias("n_tok"))
     )
     return per_group_budget(
         docs, "source", "doc_id", "n_tok", budget=5000, keep_cum=True
@@ -6415,7 +6421,7 @@ def source_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                length(bin(len(string_split_regex(trim(text), '\s+')))) AS bucket,
                COUNT(*) AS n
-        FROM documents GROUP BY source, bucket
+        FROM documents WHERE text IS NOT NULL GROUP BY source, bucket
     ),
     tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM h GROUP BY source),
     grid AS (
@@ -6448,12 +6454,15 @@ def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cross-multiplication: max |cum_a·t_b − cum_b·t_a| (the KS
     statistic scaled by t_a·t_b — identical ordering, zero rounding).
     Histograms and CDFs are aggregate-sized (sources × ~20 buckets);
-    only the corpus scan touches data rows."""
+    only the corpus scan touches data rows.  NULL-text docs are
+    excluded in BOTH engines: a NULL bucket would count in a source's
+    total but never in its CDF, inflating the max gap for sources with
+    asymmetric NULL-text shares."""
     from pyspark.sql import Window
 
     from telemetry_streaming_spark.functions import text as T
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     h = (
         docs.select(
             "source",

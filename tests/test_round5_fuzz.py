@@ -234,3 +234,39 @@ def test_per_group_budget_matches_naive_reference_fuzz(sess, seed, budget):
                 want.add(k)
             cum += w
     assert got == want
+
+
+def test_null_text_docs_parity_for_budget_and_drift(sess, tmp_path):
+    """Third-review pin: NULL-text documents must not diverge the
+    engines — token_budget_sample once kept a NULL row (coalesced
+    weight 0) that the oracle's NULL comparison dropped, and ks_drift
+    once counted NULL-bucket docs in totals but never in CDFs.  Both
+    now exclude NULL-text docs explicitly, in BOTH engines."""
+    import duckdb
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+    from tests.oracle_harness import compare_query
+
+    rows = [
+        (1, "alpha beta gamma delta", "a"),
+        (2, None, "a"),
+        (3, "one two three four five six", "a"),
+        (4, "x " * 30, "b"),
+        (5, None, "b"),
+        (6, "y z " * 10, "b"),
+    ]
+    d = str(tmp_path / "sf_null")
+    import os
+
+    import pandas as pd
+
+    os.makedirs(d)
+    # single parquet FILE (not a Spark part-dir): DuckDB's
+    # read_parquet in the harness expects the testdata layout
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    duck = duckdb.connect()
+    for name in ("token_budget_sample", "ks_drift"):
+        spec = QUERIES[name]
+        compare_query(sess, duck, name, spec.fn, spec.oracle, d)
