@@ -7487,11 +7487,16 @@ def supplier_balance_pct_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are appended to the window as they land; tests/test_rotation.py
 # asserts no oracle-backed query can silently miss rotation.
 #
-# r6 ROTATION PLAN: assuming CORRECTNESS_r05 greens the 28 below,
-# every oracle-backed registry query as of r5-open is driver-green
-# cumulatively. Front-load any r5 row that did NOT green, then all
-# never-checked r5 additions (test_rotation.py enumerates them), then
-# anchors.
+# r6 ROTATION PLAN: the r5 window below holds the 27 late-r4 queued
+# queries + 12 r5 additions (logit_training_stats, fit_quality_logit,
+# part_supplier_breadth, bpe_pair_stats, bpe_train,
+# bigram_surprisal_stats, bigram_lm_score, pq_codes, pq_topk,
+# token_budget_sample, ks_drift — plus rows-only pca_top_component)
+# + 11 double-green anchors.  If CORRECTNESS_r05 greens them all,
+# every oracle-backed registry query is driver-green cumulatively.
+# For r6: front-load any r5 row that did NOT green, then any new r6
+# additions (test_rotation.py enumerates misses mechanically), then
+# refill with anchors — ALWAYS keep the list at exactly 50.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     # oracle-backed, never hash-green in r1-r4 (late-r4 additions):
