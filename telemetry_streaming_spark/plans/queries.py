@@ -7324,6 +7324,67 @@ def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT seg, cents,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY cents, cust) AS i,
+               COUNT(*) OVER (PARTITION BY seg) AS n
+        FROM spend
+    )
+    SELECT seg,
+           CAST(2 * SUM(i * cents) - (MIN(n) + 1) * SUM(cents)
+                AS BIGINT) AS gini_num,
+           CAST(MIN(n) * SUM(cents) AS BIGINT) AS gini_den,
+           CAST(MIN(n) AS BIGINT) AS n_customers
+    FROM ranked GROUP BY seg
+    """,
+)
+def revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: revenue concentration (Gini coefficient) per market
+    segment — how unequal customer spend is, the curation-adjacent
+    'is one whale dominating this slice' diagnostic.  The Gini is
+    emitted as an exact INTEGER fraction (num = 2·Σi·x − (n+1)·Σx over
+    ascending spend, den = n·Σx): divisions happen in the consumer,
+    so the result hash-matches across engines, the pct_rank/decile
+    discipline one aggregate further.
+
+    Spend reduces per (segment, customer) FIRST (map-side combine),
+    so the rank window runs over customers, not orders.  The window
+    partitions by segment — low cardinality, same single-task-sort
+    note as balance_deciles; the routing note there names the
+    two-level rank rewrite when a segment's customer count outgrows a
+    task."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("cust"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "cust")
+    ranked = spend.select(
+        "seg", "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    return ranked.groupBy("seg").agg(
+        (2 * F.sum(F.col("i") * F.col("cents"))
+         - (F.min("n") + 1) * F.sum("cents")).cast("long").alias("gini_num"),
+        (F.min("n") * F.sum("cents")).cast("long").alias("gini_den"),
+        F.min("n").cast("long").alias("n_customers"),
+    )
+
+
+@query(
     "balance_deciles",
     oracle="""
     WITH d AS (
@@ -7519,11 +7580,12 @@ _FRONT_WINDOW = [
     "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
     "bigram_surprisal_stats", "bigram_lm_score",
     "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
+    "revenue_gini",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum", "conditional_counts",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "range_join", "event_type_pivot",
-    "kmeans_assign", "kmeans_update",
+    "kmeans_assign",
 ]
 
 

@@ -159,11 +159,29 @@ def op_trailing_sliced(spark: SparkSession, factor: int) -> DataFrame:
     )
 
 
+def op_bigram_lm(spark: SparkSession, factor: int) -> DataFrame:
+    """Self-scoring bigram LM over a key-shifted replicated documents
+    corpus: replicas multiply every bigram's count by K (gram table
+    size constant, counts scale), and the probe stream grows K-fold —
+    runtime should track corpus volume, not any vocab² term."""
+    from telemetry_streaming_spark.operators.lm import bigram_lm_score
+
+    docs = replicate(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+        factor,
+        ["doc_id"],
+    )
+    return bigram_lm_score(docs)
+
+
 OPS = {
     "asof_join": op_asof,
     "sessionize": op_sessionize,
     "weighted_median_price": op_weighted_median,
     "trailing_window_stats_sliced": op_trailing_sliced,
+    "bigram_lm_score": op_bigram_lm,
 }
 
 
