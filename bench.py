@@ -107,6 +107,7 @@ HEADLINE = [
     "bigram_surprisal_stats",
     "token_budget_sample",
     "ks_drift",
+    "revenue_gini",
 ]
 
 
