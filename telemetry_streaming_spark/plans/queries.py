@@ -7520,6 +7520,122 @@ def supplier_balance_pct_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "experiment_chisq",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+                   AS branch,
+               event_type
+        FROM events
+    ),
+    cells AS (
+        SELECT branch, event_type, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM base GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT branch, event_type, n_obs,
+               CAST(SUM(n_obs) OVER (PARTITION BY branch) AS BIGINT) AS r_tot,
+               CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS c_tot,
+               CAST(SUM(n_obs) OVER () AS BIGINT) AS g_tot
+        FROM cells
+    )
+    SELECT branch, event_type, n_obs,
+           CAST(n_obs * g_tot - r_tot * c_tot AS BIGINT) AS delta,
+           CAST(FLOOR(CAST(n_obs * g_tot - r_tot * c_tot AS DOUBLE)
+                      * CAST(n_obs * g_tot - r_tot * c_tot AS DOUBLE)
+                      / CAST(g_tot * r_tot * c_tot AS DOUBLE) * 1e6)
+                AS BIGINT) AS chi2_micro
+    FROM m
+    """,
+)
+def experiment_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-cell chi-squared decomposition of the experiment
+    branch x event-type contingency table
+    (operators/experiment.py:chi_square_cells) — the in-engine
+    counterpart of the dashboards the reference ships enrollment
+    counts to (ExperimentsEnrollmentsToTestTube.scala:21-44).  Branch
+    is the standard deterministic user-id split.  One shuffle on the
+    tiny cell key space; marginals are window sums over the
+    aggregate-sized cell frame; ``delta`` is the exact cross-
+    multiplied deviation and ``chi2_micro`` a single IEEE
+    square/divide on exactly-representable integers (hash-portable)."""
+    from telemetry_streaming_spark.operators.experiment import chi_square_cells
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("branch"),
+        "event_type",
+    )
+    return chi_square_cells(base, "branch", "event_type").select(
+        F.col("row_key").alias("branch"),
+        F.col("col_key").alias("event_type"),
+        "n_obs",
+        "delta",
+        "chi2_micro",
+    )
+
+
+@query(
+    "survival_churn",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               MIN(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   AS first_day,
+               MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   AS last_day
+        FROM orders GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(last_day) AS end_day FROM per),
+    subj AS (
+        SELECT last_day - first_day AS t,
+               CASE WHEN last_day < end_day - 90 THEN 1 ELSE 0 END AS observed
+        FROM per, horizon
+    ),
+    g AS (
+        SELECT t,
+               CAST(SUM(observed) AS BIGINT) AS d,
+               CAST(SUM(1 - observed) AS BIGINT) AS c
+        FROM subj GROUP BY 1
+    )
+    SELECT t, d, c,
+           CAST(SUM(d + c) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_risk
+    FROM g
+    """,
+)
+def survival_churn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Kaplan-Meier customer-churn risk table
+    (operators/experiment.py:kaplan_meier).  Subjects are customers;
+    duration is days between first and last order; a customer is an
+    observed churn if their last order predates the corpus horizon by
+    more than 90 days, else right-censored.  All-integer sufficient
+    statistics (d, c, n_at_risk) — the survival product is left to the
+    consumer (float products are not hash-portable).  One shuffle on
+    o_custkey reduces the fact table; everything after runs on the
+    aggregate-sized duration frame; the horizon is a broadcast 1-row
+    aggregate (allowed crossJoin pattern)."""
+    from telemetry_streaming_spark.operators.experiment import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 1000000 div 86400")
+    per = orders.groupBy("o_custkey").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    horizon = per.agg(F.max("last_day").alias("end_day"))
+    subj = per.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_day") - F.col("first_day")).alias("duration"),
+        F.when(F.col("last_day") < F.col("end_day") - 90, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("observed"),
+    )
+    return kaplan_meier(subj)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -7581,10 +7697,13 @@ _FRONT_WINDOW = [
     "bigram_surprisal_stats", "bigram_lm_score",
     "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
     "revenue_gini",
+    # late-r5 additions (verified at sf0.001 + sf0.01 before landing);
+    # each claims a former anchor slot — the window stays exactly 50:
+    "experiment_chisq", "survival_churn",
     # double-green anchors fill the remaining slots:
-    "pricing_summary", "windowed_sum", "conditional_counts",
+    "pricing_summary", "windowed_sum",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
-    "sessionize", "range_join", "event_type_pivot",
+    "sessionize", "event_type_pivot",
     "kmeans_assign",
 ]
 
