@@ -492,3 +492,55 @@ def trailing_window_stats(
         .where(F.col("__carry") == 0)
         .drop("__carry")
     )
+
+
+def power_decay_ewma(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+    window_days: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average with
+    power-of-two decay over a DAY-GRAIN frame: for each observed day
+    ``d``, ``ewma_num = sum_j value(d-j) * 2^(K-1-j)`` and
+    ``ewma_den = sum_j 2^(K-1-j)`` over the lags ``j in [0, K)`` that
+    actually have a row (missing days contribute to neither side), so
+    ``ewma_num / ewma_den`` is the half-life-one-day EWMA restricted
+    to a K-day horizon.  The smoothed value itself is left as an exact
+    integer fraction — both engines compute identical BIGINTs, and a
+    consumer wanting the float does one division.
+
+    Decay is by CALENDAR distance, not row offset: a day's value is
+    fanned out to the K target days it influences (``explode`` over
+    the lag sequence) and re-aggregated on the target day, which
+    handles gaps exactly where a ``lag(value, j)`` window formulation
+    would silently mis-shift.  Input contract: one row per (group,
+    day) — i.e. an already day-aggregated frame, which is also why
+    the x``K`` fan-out is free at any corpus scale (it multiplies the
+    AGGREGATE row count, never the fact table; the one shuffle is on
+    the (group, day) key of that aggregate frame).
+
+    Exactness: ``value * 2^(K-1)`` must fit int64 — with cent-scaled
+    daily totals that allows ~7e16/2^(K-1) cents per day; assert
+    upstream if K is raised past the default.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    k = window_days
+    contrib = df.select(
+        *group_cols,
+        F.col(day_col).alias("__src_day"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
+    ).select(
+        *group_cols,
+        (F.col("__src_day") + F.col("__j")).alias(day_col),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({k - 1} - __j AS INT))").alias("__w"),
+        "__v",
+    )
+    agg = contrib.groupBy(*group_cols, day_col).agg(
+        F.sum(F.col("__v") * F.col("__w")).alias("ewma_num"),
+        F.sum("__w").alias("ewma_den"),
+    )
+    return df.join(agg, on=[*group_cols, day_col], how="inner")

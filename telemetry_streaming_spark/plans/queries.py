@@ -7636,6 +7636,54 @@ def survival_churn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj)
 
 
+@query(
+    "ewma_revenue",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day_idx,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    js AS (SELECT unnest(generate_series(0, 7)) AS j),
+    c AS (
+        SELECT priority, day_idx + j AS day_idx,
+               rev_cents * (1 << (7 - j)) AS wnum,
+               CAST(1 << (7 - j) AS BIGINT) AS wden
+        FROM d CROSS JOIN js
+    ),
+    a AS (
+        SELECT priority, day_idx,
+               CAST(SUM(wnum) AS BIGINT) AS ewma_num,
+               CAST(SUM(wden) AS BIGINT) AS ewma_den
+        FROM c GROUP BY 1, 2
+    )
+    SELECT d.priority, d.day_idx, d.rev_cents, a.ewma_num, a.ewma_den
+    FROM d JOIN a USING (priority, day_idx)
+    """,
+)
+def ewma_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: truncated power-of-two-decay EWMA of daily revenue
+    per order priority (operators/timeseries.py:power_decay_ewma).
+    The decay runs on the aggregate-sized day table (the fact table is
+    reduced first), weights are exact powers of two, and the smoothed
+    value is emitted as an exact integer fraction (ewma_num /
+    ewma_den) — no float accumulation anywhere, so the result hashes
+    bit-exactly.  Calendar-distance decay handles date gaps exactly
+    where a row-offset lag() would mis-shift."""
+    from telemetry_streaming_spark.operators.timeseries import power_decay_ewma
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 1000000 div 86400")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"), day.alias("day_idx")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    return power_decay_ewma(
+        daily, ["priority"], "day_idx", "rev_cents", window_days=8
+    ).select("priority", "day_idx", "rev_cents", "ewma_num", "ewma_den")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -7699,12 +7747,11 @@ _FRONT_WINDOW = [
     "revenue_gini",
     # late-r5 additions (verified at sf0.001 + sf0.01 before landing);
     # each claims a former anchor slot — the window stays exactly 50:
-    "experiment_chisq", "survival_churn",
+    "experiment_chisq", "survival_churn", "ewma_revenue",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum",
     "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
     "sessionize", "event_type_pivot",
-    "kmeans_assign",
 ]
 
 
