@@ -1,0 +1,150 @@
+"""Iterative graph ranking: fixed-point integer PageRank.
+
+Companion to :mod:`operators/components` (connected components for
+dup-cluster analysis): components answers "which docs form one
+near-dup cluster"; PageRank answers "which nodes matter" — the
+standard centrality for link/co-occurrence graphs (seed-URL
+prioritization, canonical-doc election inside a dup cluster, supplier
+criticality).
+
+The twist that makes an ITERATIVE float algorithm oracle-checkable:
+ranks are kept in scaled fixed-point BIGINTs and every per-edge
+contribution is an integer floor division
+
+    contrib(u->v) = (rank_u * 17 * w_uv) div (20 * outw_u)
+
+so each iteration is a deterministic function of exact integers —
+bit-identical across engines, partitionings, and runs (float PageRank
+sums in nondeterministic order and drifts in the last ulp; the floor
+quantization loses a bounded trickle of mass instead, at most one
+micro-unit per in-edge per iteration, identically everywhere).  The
+damping factor is the rational 17/20 = 0.85; the per-node base term is
+``scale * 3 div 20`` = 150000 micro-units.  Dangling mass (nodes with
+no out-edges) is dropped, the common simplification — documented, and
+irrelevant for symmetric co-occurrence graphs where in- and out-edges
+coincide.
+
+Plan shape per iteration: ranks ⋈ edges on ``src`` (edges carry their
+precomputed ``outw``), partial-aggregated SUM on ``dst``, left join
+back to the node set for the base term — two key shuffles per
+iteration on the edge frame, which is the textbook distributed
+PageRank schedule.  The edge frame is cached once (reused every
+iteration); rank lineage grows linearly in the (small, fixed)
+iteration count.  At 100TB-scale graphs the same plan holds with the
+edge frame bucketed by ``src`` so the per-iteration join is
+shuffle-free on one side; power-law hubs skew the ``dst`` aggregate —
+the standard salt/two-level-combine guard applies (Spark's partial
+aggregation already absorbs most of it).
+
+Overflow contract: ``rank * 17 * max_w`` must fit int64.  Total mass
+is bounded by ``n_nodes * scale``, so with the default scale=1e6 the
+product stays exact up to ~5e11/max_w nodes — assert upstream for
+larger graphs or lower ``scale``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark import StorageLevel
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank over weighted directed ``edges``
+    (columns ``src``, ``dst``, ``w``; one row per (src, dst)).
+
+    Returns ``(node, rank_micros)`` after ``iterations`` synchronous
+    updates from a uniform ``scale`` start.  ``nodes`` (single-column
+    ``node``) widens the vertex set beyond edge endpoints — isolated
+    vertices hold the base term; default is the endpoints.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select(F.col("node").cast("long").alias("node"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = (
+        edges.join(outw, on="src")
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("long").alias("w"),
+            F.col("outw").cast("long").alias("outw"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .select(
+                "dst",
+                F.expr(
+                    f"(r * {damping_num} * w) div ({damping_den} * outw)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_micros"))
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_items_per_group: int | None = 64,
+) -> DataFrame:
+    """Symmetric co-occurrence edge list: ``(src, dst, w)`` where
+    ``w`` counts the groups in which both items appear.  The distinct
+    (group, item) frame self-joins on the group — the O(k^2)-per-group
+    blowup is capped the same way as market_basket_pairs: groups over
+    ``max_items_per_group`` distinct items are dropped BEFORE the
+    self-join (hubs there are degenerate anyway; pass None only when
+    the group arity is bounded upstream)."""
+    pairs = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_items_per_group is not None:
+        sizes = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("__k"))
+        pairs = (
+            pairs.join(
+                sizes.where(F.col("__k") <= max_items_per_group).select("g"),
+                on="g",
+            )
+        )
+    a = pairs.select("g", F.col("item").alias("src"))
+    b = pairs.select("g", F.col("item").alias("dst"))
+    return (
+        a.join(b, on="g")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )

@@ -1,0 +1,82 @@
+"""Replica pins for operators/graph.py — the fixed-point PageRank must
+be BIT-exact against a pure-python integer replica (that exactness is
+what makes the iterative oracle possible), and the co-occurrence edge
+builder must cap hub groups before the self-join."""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from telemetry_streaming_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank_fixed_point,
+)
+
+
+def _replica(edges, nodes, iterations, num=17, den=20, scale=1_000_000):
+    outw = {}
+    for s, d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    base = (scale * (den - num)) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        nxt = {n: base for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += (r[s] * num * w) // (den * outw[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_integer_replica_bit_exactly(spark):
+    rng = random.Random(17)
+    nodes = list(range(30))
+    edge_set = {}
+    for _ in range(150):
+        s, d = rng.sample(nodes, 2)
+        edge_set[(s, d)] = rng.randint(1, 5)
+    edges = [(s, d, w) for (s, d), w in edge_set.items()]
+    df = spark.createDataFrame([Row(src=s, dst=d, w=w) for s, d, w in edges])
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(df, ndf, iterations=5).collect()
+    }
+    assert got == _replica(edges, nodes, 5)
+
+
+def test_pagerank_isolated_node_holds_base_mass(spark):
+    df = spark.createDataFrame([Row(src=1, dst=2, w=1)])
+    ndf = spark.createDataFrame([Row(node=n) for n in (1, 2, 3)])
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(df, ndf, iterations=3).collect()
+    }
+    # 1 and 3 have no in-edges: base term only; 2 receives 1's mass
+    assert got[1] == got[3] == 150_000
+    assert got[2] > 150_000
+
+
+def test_pagerank_validates_params(spark):
+    df = spark.createDataFrame([Row(src=1, dst=2, w=1)])
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, damping_num=20, damping_den=20)
+
+
+def test_cooccurrence_edges_symmetric_and_capped(spark):
+    rows = (
+        # group a: items 1,2 -> one symmetric pair
+        [Row(g="a", item=1), Row(g="a", item=2), Row(g="a", item=2)]
+        # group b: 5 items, above the cap of 4 -> dropped entirely
+        + [Row(g="b", item=i) for i in range(10, 15)]
+        # group c: items 1,2 again -> pair weight accumulates to 2
+        + [Row(g="c", item=1), Row(g="c", item=2)]
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in cooccurrence_edges(df, "g", "item", max_items_per_group=4).collect()
+    }
+    assert got == {(1, 2): 2, (2, 1): 2}
