@@ -7839,8 +7839,10 @@ def pagerank_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries + 12 r5 additions (logit_training_stats, fit_quality_logit,
 # part_supplier_breadth, bpe_pair_stats, bpe_train,
 # bigram_surprisal_stats, bigram_lm_score, pq_codes, pq_topk,
-# token_budget_sample, ks_drift — plus rows-only pca_top_component)
-# + 11 double-green anchors.  If CORRECTNESS_r05 greens them all,
+# token_budget_sample, ks_drift, revenue_gini — plus rows-only
+# pca_top_component) + 5 late-r5 additions (experiment_chisq,
+# survival_churn, ewma_revenue, bloom_semi_join, pagerank_top)
+# + 5 double-green anchors.  If CORRECTNESS_r05 greens them all,
 # every oracle-backed registry query is driver-green cumulatively.
 # For r6: front-load any r5 row that did NOT green, then any new r6
 # additions (test_rotation.py enumerates misses mechanically), then
