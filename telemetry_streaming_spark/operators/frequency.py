@@ -138,3 +138,104 @@ def heavy_hitters_verified(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def windowed_l1_drift(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    window: str = "1 day",
+    reference: dict | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window categorical distribution drift as an exact integer
+    fraction: for each tumbling window, the L1 distance between the
+    window's ``key_col`` distribution and a reference distribution,
+    cross-multiplied so no division ever happens —
+
+        l1_num = sum_k |n_{w,k} * T_ref  -  ref_k * T_w|
+        l1_den = T_w * T_ref
+
+    (``l1_num/l1_den`` is the L1 / twice the total-variation distance,
+    in [0, 2]).  Keys observed on one side only contribute their full
+    mass, so mass is never silently dropped.
+
+    Two reference tiers:
+
+    - ``reference=None`` (batch only): the reference is ``df``'s own
+      GLOBAL distribution — the "which window looks unlike the whole"
+      monitor.  One grouped count over the raw rows; global and
+      per-window totals are window sums over that aggregate-sized cell
+      frame (bounded by windows x keys, never the corpus).
+    - ``reference={key: count}`` (STREAM-SAFE): the reference rides the
+      plan as literals — one conditional sum per reference key plus an
+      others bucket, i.e. a single stateful aggregate, so it runs
+      under a watermark with append emission exactly like
+      :func:`windowed_top_keys`.  Contract: the reference domain is
+      bounded (plan-literal discipline — the quality-weights /
+      centroid pattern); unseen keys fold into one |n_other * T_ref|
+      term.
+
+    Overflow contract: ``count * T_ref`` must fit int64 (~3e9 rows
+    each side) — pre-aggregate per shard past that, as with
+    chi_square_cells.
+
+    Returns ``(window_start, window_end, n_window, l1_num, l1_den)``.
+    """
+    from pyspark.sql import Window as W
+
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    win = F.window(ts_col, window).alias("w")
+    if reference is None:
+        if watermark is not None:
+            raise ValueError(
+                "self-referenced drift needs the global distribution — "
+                "batch only; pass an explicit reference for streams"
+            )
+        cells = src.groupBy(win, F.col(key_col).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        m = cells.select(
+            "w",
+            "k",
+            "n",
+            F.sum("n").over(W.partitionBy("w")).alias("t_w"),
+            F.sum("n").over(W.partitionBy("k")).alias("r_k"),
+            F.sum("n").over(W.partitionBy()).alias("t"),
+        )
+        out = m.groupBy("w").agg(
+            F.min("t_w").alias("n_window"),
+            (
+                F.sum(F.abs(F.col("n") * F.col("t") - F.col("r_k") * F.col("t_w")))
+                + (F.min("t") - F.sum("r_k")) * F.min("t_w")
+            ).alias("l1_num"),
+            (F.min("t_w") * F.min("t")).alias("l1_den"),
+        )
+    else:
+        if not reference or any(v <= 0 for v in reference.values()):
+            raise ValueError("reference must be non-empty with positive counts")
+        t_ref = int(sum(reference.values()))
+        key = F.col(key_col)
+        n_of = {
+            k: F.sum(F.when(key == F.lit(k), 1).otherwise(0)) for k in reference
+        }
+        n_other = F.sum(
+            F.when(~key.isin(*reference.keys()), 1).otherwise(0)
+        )
+        t_w = F.count(F.lit(1))
+        l1 = n_other * F.lit(t_ref)
+        for k, ref_k in reference.items():
+            l1 = l1 + F.abs(n_of[k] * F.lit(t_ref) - F.lit(int(ref_k)) * t_w)
+        out = src.groupBy(win).agg(
+            t_w.alias("n_window"),
+            l1.alias("l1_num"),
+            (t_w * F.lit(t_ref)).alias("l1_den"),
+        )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_window",
+        F.col("l1_num").cast("long").alias("l1_num"),
+        F.col("l1_den").cast("long").alias("l1_den"),
+    )

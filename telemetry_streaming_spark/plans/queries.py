@@ -7807,6 +7807,50 @@ def pagerank_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "windowed_drift",
+    oracle="""
+    WITH cells AS (
+        SELECT 86400 * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS ws,
+               event_type AS k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT ws, k, n,
+               CAST(SUM(n) OVER (PARTITION BY ws) AS BIGINT) AS t_w,
+               CAST(SUM(n) OVER (PARTITION BY k) AS BIGINT) AS r_k,
+               CAST(SUM(n) OVER () AS BIGINT) AS t
+        FROM cells
+    )
+    SELECT ws AS window_start_s,
+           CAST(MIN(t_w) AS BIGINT) AS n_window,
+           CAST(SUM(ABS(n * t - r_k * t_w))
+                + (MIN(t) - SUM(r_k)) * MIN(t_w) AS BIGINT) AS l1_num,
+           CAST(MIN(t_w) * MIN(t) AS BIGINT) AS l1_den
+    FROM m GROUP BY ws
+    """,
+)
+def windowed_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-day categorical drift monitor
+    (operators/frequency.py:windowed_l1_drift, self-referenced tier) —
+    for each day window, the L1 distance between that day's event-type
+    mix and the corpus-wide mix, as an exact cross-multiplied integer
+    fraction (one-sided keys contribute full mass; no division, no
+    floats).  The same operator runs stream-side against a
+    plan-literal reference (tests/test_frequency_drift.py pins
+    streaming == batch)."""
+    from telemetry_streaming_spark.operators.frequency import windowed_l1_drift
+
+    events = _t(spark, sf_dir, "events")
+    out = windowed_l1_drift(events, "ts", "event_type", window="1 day")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "n_window",
+        "l1_num",
+        "l1_den",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -7873,10 +7917,10 @@ _FRONT_WINDOW = [
     # late-r5 additions (verified at sf0.001 + sf0.01 before landing);
     # each claims a former anchor slot — the window stays exactly 50:
     "experiment_chisq", "survival_churn", "ewma_revenue",
-    "bloom_semi_join", "pagerank_top",
+    "bloom_semi_join", "pagerank_top", "windowed_drift",
     # double-green anchors fill the remaining slots:
     "pricing_summary", "windowed_sum",
-    "dedup_exact", "dedup_ngram_jaccard", "similarity_topk",
+    "dedup_exact", "dedup_ngram_jaccard",
 ]
 
 
