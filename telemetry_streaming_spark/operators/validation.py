@@ -1,0 +1,175 @@
+"""Declarative data-quality constraint validation (Deequ-style).
+
+A pipeline ingesting 100TB needs its contracts CHECKED, not assumed:
+null keys, out-of-range measures, malformed strings, duplicate
+primary keys, dangling foreign keys.  This module turns a rule list
+into the cheapest plan that counts every violation exactly:
+
+- **row-local rules** (:func:`not_null`, :func:`in_range`,
+  :func:`matches`, :func:`accepted_values`) all fold into ONE
+  conditional-sum aggregate over a single scan — adding a rule adds a
+  sum, never a pass.  The 1-row result unpivots to (rule, count).
+- **:func:`unique`** — primary-key violations as
+  ``COUNT(*) - COUNT(DISTINCT key)`` (the extra rows beyond the first
+  per key): a two-level partial-distinct aggregate, one shuffle on
+  the key.  Rows with a NULL key component are ignored here (both
+  engines' DISTINCT semantics) — pair with :func:`not_null`.
+- **:func:`referential`** — dangling-FK count, Bloom-accelerated via
+  :mod:`operators/bloomfilter`: a probe MISS is a *definite*
+  violation (Bloom has no false negatives) and is counted map-side
+  with zero shuffle; only probe HITS — true members plus the ~1%
+  false positives — reach the exact anti-join.  At scale this turns
+  the full-fact anti-join shuffle into (members + fp_rate) of it.
+  NULL foreign keys are skipped (cover with :func:`not_null`).
+
+Each rule family is its own aggregate branch; Catalyst prunes every
+branch's scan to the referenced columns, so the multi-branch plan
+re-reads narrow columns, not the table.  Callers validating many
+rules on a hot frame can cache it first.
+
+Regex note: :func:`matches` uses Java regex in Spark and whatever
+dialect the comparison engine has — keep patterns in the common
+subset (character classes, anchors, counts), per the events_to_
+amplitude tier-dialect note.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str  # 'row' | 'unique' | 'referential'
+    predicate: Column | None = None  # row kind: True == violation
+    cols: tuple[str, ...] = ()
+    ref: DataFrame | None = field(default=None, compare=False)
+    ref_col: str | None = None
+    use_bloom: bool = True
+
+
+def not_null(name: str, *cols: str) -> Rule:
+    pred = None
+    for c in cols:
+        t = F.col(c).isNull()
+        pred = t if pred is None else (pred | t)
+    if pred is None:
+        raise ValueError("not_null needs at least one column")
+    return Rule(name, "row", predicate=pred)
+
+
+def in_range(name: str, col: str, lo, hi) -> Rule:
+    """Violation: non-NULL value outside [lo, hi] (NULLs are
+    not_null's business)."""
+    c = F.col(col)
+    return Rule(name, "row", predicate=c.isNotNull() & ~c.between(lo, hi))
+
+
+def matches(name: str, col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(name, "row", predicate=c.isNotNull() & ~c.rlike(pattern))
+
+
+def accepted_values(name: str, col: str, values) -> Rule:
+    vals = list(values)
+    if not vals:
+        raise ValueError("accepted_values needs a non-empty domain")
+    c = F.col(col)
+    return Rule(name, "row", predicate=c.isNotNull() & ~c.isin(*vals))
+
+
+def unique(name: str, *cols: str) -> Rule:
+    if not cols:
+        raise ValueError("unique needs at least one column")
+    return Rule(name, "unique", cols=tuple(cols))
+
+
+def referential(
+    name: str, col: str, ref: DataFrame, ref_col: str, *, use_bloom: bool = True
+) -> Rule:
+    return Rule(
+        name, "referential", cols=(col,), ref=ref, ref_col=ref_col, use_bloom=use_bloom
+    )
+
+
+def _count_referential(df: DataFrame, rule: Rule) -> DataFrame:
+    keys = df.select(F.col(rule.cols[0]).alias("__fk")).where(
+        F.col("__fk").isNotNull()
+    )
+    ref_keys = rule.ref.select(F.col(rule.ref_col).alias("__fk")).distinct()
+    if rule.use_bloom:
+        from telemetry_streaming_spark.operators.bloomfilter import (
+            build_bloom,
+            with_bloom_probe,
+        )
+
+        table = build_bloom(ref_keys, "__fk")
+        probed = with_bloom_probe(keys, "__fk", table, m_bits=1 << 16, n_hashes=3)
+        misses = probed.where(~F.col("__bloom_hit"))
+        hits = probed.where(F.col("__bloom_hit")).drop("__bloom_hit")
+        dangling_hits = hits.join(ref_keys, on="__fk", how="left_anti")
+        violations = misses.select("__fk").union(dangling_hits.select("__fk"))
+    else:
+        violations = keys.join(ref_keys, on="__fk", how="left_anti")
+    return violations.agg(
+        F.lit(rule.name).alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+    )
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Count every rule's violations exactly; returns ``(rule,
+    n_violations)`` with one row per rule (0 when clean)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    import re
+
+    bad = [n for n in names if not re.fullmatch(r"[A-Za-z0-9_.:-]+", n or "")]
+    if bad:
+        raise ValueError(f"rule names must be simple identifiers: {bad}")
+    parts: list[DataFrame] = []
+    row_rules = [r for r in rules if r.kind == "row"]
+    if row_rules:
+        agg = df.agg(
+            *[
+                F.sum(F.when(r.predicate, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__v{i}")
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        stack_args = ", ".join(
+            f"'{r.name}', __v{i}" for i, r in enumerate(row_rules)
+        )
+        parts.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(row_rules)}, {stack_args}) AS (rule, n_violations)"
+                )
+            )
+        )
+    for r in rules:
+        if r.kind == "unique":
+            parts.append(
+                df.agg(
+                    F.lit(r.name).alias("rule"),
+                    (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in r.cols]))
+                    .cast("long")
+                    .alias("n_violations"),
+                )
+            )
+        elif r.kind == "referential":
+            parts.append(_count_referential(df, r))
+        elif r.kind != "row":
+            raise ValueError(f"unknown rule kind {r.kind!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
