@@ -108,6 +108,19 @@ HEADLINE = [
     "token_budget_sample",
     "ks_drift",
     "revenue_gini",
+    # late-r5 additions.  pagerank_top is the heavy one (4 iterative
+    # join+aggregate rounds — Spark beats the unrolled-CTE oracle);
+    # bloom_semi_join / constraint_violations are multi-job shapes
+    # (bloom build + probe + confirm branches) whose ratio is
+    # scheduling+plan-analysis floor, TREND-defended; the rest are
+    # sub-second aggregate-frame shapes kept for regression visibility.
+    "experiment_chisq",
+    "survival_churn",
+    "ewma_revenue",
+    "bloom_semi_join",
+    "pagerank_top",
+    "windowed_drift",
+    "constraint_violations",
 ]
 
 
@@ -130,6 +143,12 @@ TREND = [
     # r5: the only >=1s, >2x-ratio newcomer (two gram-count aggregates
     # + a probe join over a shared lineage-cut gram frame)
     "bigram_surprisal_stats",
+    # late-r5 >=1s, >2x newcomers: bloom_semi_join pays the bloom
+    # build job + a 1024-long word-table literal's analysis cost;
+    # constraint_violations schedules six aggregate branches (incl. a
+    # bloom build) over tables DuckDB scans in ~20ms — both fixed
+    # costs that amortize with SF
+    "bloom_semi_join", "constraint_violations",
 ]
 
 
