@@ -114,3 +114,40 @@ def dedup_clusters(
         "n_members",
         F.col("component").alias("keeper_id"),
     )
+
+
+def quality_representatives(
+    cc: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-based keeper per duplicate cluster — the end step of
+    near-dup dedup when "keep the lowest id" (dedup_clusters) is the
+    wrong policy: keep the BEST copy (longest / highest-scored), drop
+    the rest.
+
+    ``cc`` is connected_components output (id, component — the
+    representative row itself is not emitted and is folded back in
+    here); ``quality`` maps id -> quality_col.  Returns (component,
+    keep_id, keep_quality, csize).  Ties break to the LOWEST id, so
+    the keeper is deterministic.
+
+    Plan: the member list is cluster-membership-sized (not corpus-
+    sized); one shuffle joins quality on id, one narrow aggregation
+    folds to per-cluster argmax via max_by over the (quality, -id)
+    struct — no window sort, no collect."""
+    members = cc.select(F.col("id"), "component").union(
+        cc.select(F.col("component").alias("id"), F.col("component"))
+    ).distinct()
+    q = quality.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(quality_col).cast("long").alias("__q"),
+    )
+    joined = members.join(q, "id")
+    rank = F.struct(F.col("__q"), (-F.col("id")).alias("__negid"))
+    return joined.groupBy("component").agg(
+        F.max_by("id", rank).alias("keep_id"),
+        F.max(rank).getField("__q").alias("keep_quality"),
+        F.count(F.lit(1)).alias("csize"),
+    )

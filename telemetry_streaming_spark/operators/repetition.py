@@ -76,3 +76,133 @@ def repetition_flags(
         "top_count",
         flagged.cast("int").cast("long").alias("flagged"),
     )
+
+
+def _chunk_doc_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    words_per_chunk: int,
+) -> DataFrame:
+    """Per-(group, doc, chunk-hash) occurrence/token counts over
+    NON-overlapping word windows — the shared first stage of the
+    boilerplate ops below.  Chunking reuses the retrieval tier's
+    tokenizer (contamination.text_chunks, overlap=0) so one chunking
+    convention serves dedup, contamination, and hygiene; only the
+    16-byte-equivalent md5 hex of each chunk crosses the exchange,
+    never chunk text.  One shuffle, map-side combine."""
+    from telemetry_streaming_spark.operators.contamination import text_chunks
+
+    ch = text_chunks(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=words_per_chunk,
+        overlap=0,
+        keep_cols=(group_col,),
+    )
+    return ch.groupBy(group_col, id_col, F.md5(F.col("chunk")).alias("h")).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum("n_tokens").alias("toks"),
+    )
+
+
+def chunk_boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    words_per_chunk: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style within-source boilerplate detection, per-document
+    stats (Raffel et al. 2020 §2.2 drop lines occurring in >= 3 docs;
+    RefinedWeb's line-wise filter is the same rule).  A chunk is
+    boilerplate within its group (source / domain) when it appears in
+    at least ``min_docs`` DISTINCT documents of that group —
+    navigation chrome, footers, templated headers.
+
+    Returns (id, n_chunks, n_boiler, kept_tokens), all exact BIGINTs:
+    ``n_boiler`` counts occurrences of boilerplate chunks (all
+    occurrences are removable), ``kept_tokens`` the token mass that
+    survives removal.
+
+    Plan (scales to 100TB): chunk+hash map-side, then three count-
+    grain exchanges — (group, doc, hash) occurrence counts [the
+    distinct-docs-per-chunk prerequisite], (group, hash) doc
+    frequency [small: |groups| x |chunk vocab|], and the join-back +
+    per-doc fold.  Raw chunk text never crosses an exchange.  The
+    frequency side joins on (group, hash), so a hot template line in
+    ONE source cannot skew a global key."""
+    per_doc = _chunk_doc_counts(df, text_col, id_col, group_col, words_per_chunk)
+    freq = per_doc.groupBy(group_col, "h").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.col("n_docs") >= F.lit(min_docs)
+    return (
+        per_doc.join(freq, [group_col, "h"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_chunks"),
+            F.sum(F.when(boiler, F.col("occ")).otherwise(F.lit(0))).alias("n_boiler"),
+            F.sum(F.when(boiler, F.lit(0)).otherwise(F.col("toks"))).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    words_per_chunk: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLY step of :func:`chunk_boilerplate_stats`: rebuild each
+    document from its non-boilerplate chunks, in original order.
+
+    Returns (id, group, clean_text, n_kept) — documents whose every
+    chunk is boilerplate survive with ``clean_text = ''`` (the caller
+    length-filters; silently dropping rows would break joins keyed on
+    the corpus).  The rebuild is whitespace-normalized (chunks re-join
+    on single spaces), same contract as the dedup tier's normalized
+    text.  The per-doc collect_list is bounded by document size — the
+    same bound the chunker itself already assumes."""
+    from telemetry_streaming_spark.operators.contamination import text_chunks
+
+    ch = text_chunks(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=words_per_chunk,
+        overlap=0,
+        keep_cols=(group_col,),
+    )
+    per_doc = _chunk_doc_counts(df, text_col, id_col, group_col, words_per_chunk)
+    boiler = (
+        per_doc.groupBy(group_col, "h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+        .select(group_col, "h")
+    )
+    kept = ch.withColumn("h", F.md5(F.col("chunk"))).join(
+        boiler, [group_col, "h"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col, group_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    all_docs = df.where(F.col(text_col).rlike(r"\S")).select(id_col, group_col)
+    return all_docs.join(rebuilt, [id_col, group_col], "left").select(
+        id_col,
+        group_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )

@@ -118,3 +118,72 @@ def token_entropy(
             .alias("entropy"),
         )
     )
+
+
+def target_likeness(
+    df: DataFrame,
+    is_target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"), integer-exact
+    variant: score every document by how much its unigram mass looks
+    like the TARGET slice vs the rest of the corpus.
+
+    DSIR proper weights by sum of log(p_target/p_source) over hashed
+    n-gram features; ``ln`` is not bit-identical across engines, so
+    this emits the EXACT sufficient statistics instead — score_t =
+    sum over token occurrences of the target-corpus count of that
+    token, score_s likewise for the source/background — and the
+    linearized verdict ``target_like`` via one cross-multiplied
+    integer comparison against the corpus totals:
+
+        score_t * s_total > score_s * t_total
+        (i.e. mean target-frequency ratio exceeds mean source ratio)
+
+    Per-token products fit BIGINT up to ~1e9-count vocabularies; past
+    that (trillion-token corpora with billion-count heads) cast the
+    two comparison operands to DECIMAL(38,0) — the flag stays exact.
+
+    Plan: one shuffle builds the (token, t_cnt, s_cnt) frequency table
+    (vocabulary-sized), one shuffle joins it back to token occurrences
+    (count grains only — 8B counts ride the wire, never text), one
+    narrow fold to per-doc sums; the corpus totals are a broadcast
+    1-row aggregate.  Degenerate slices are well-defined: an all-
+    target corpus has s_total = 0, so no document tests target_like
+    (0 > score_s * t_total never holds) — callers gate on slice
+    sizes, not this operator."""
+    toks = df.where(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col),
+        F.col(is_target_col).cast("long").alias("__t"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    stats = toks.groupBy("token").agg(
+        F.sum("__t").alias("t_cnt"),
+        F.sum(F.lit(1) - F.col("__t")).alias("s_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("t_cnt").alias("__t_tot"), F.sum("s_cnt").alias("__s_tot")
+    )
+    scored = (
+        toks.join(stats, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("t_cnt").alias("score_t"),
+            F.sum("s_cnt").alias("score_s"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_tokens",
+        "score_t",
+        "score_s",
+        (F.col("score_t") * F.col("__s_tot") > F.col("score_s") * F.col("__t_tot"))
+        .cast("int")
+        .cast("long")
+        .alias("target_like"),
+    )

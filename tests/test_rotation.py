@@ -16,7 +16,11 @@ from pathlib import Path
 
 import pytest
 
-from telemetry_streaming_spark.plans.queries import QUERIES, _FRONT_WINDOW
+from telemetry_streaming_spark.plans.queries import (
+    QUERIES,
+    _FRONT_WINDOW,
+    _QUEUED_NEXT_WINDOW,
+)
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 WINDOW_SIZE = 50
@@ -60,21 +64,53 @@ def test_window_is_registry_prefix():
 
 
 def test_every_oracle_backed_query_is_green_or_windowed():
+    """Not green + not in window is a SILENT miss unless the query is
+    consciously deferred via _QUEUED_NEXT_WINDOW (allowed only when
+    the window is already saturated — see the anchor test below)."""
     rows = _correctness_rows()
     window = set(list(QUERIES)[:WINDOW_SIZE])
+    queued = set(_QUEUED_NEXT_WINDOW)
     missed = []
     for name, spec in QUERIES.items():
         if spec.oracle is None:
             continue
         row = rows.get(name)
         green = bool(row and row.get("hash_match") is True)
-        if not green and name not in window:
+        if not green and name not in window and name not in queued:
             missed.append(name)
     assert not missed, (
         "oracle-backed queries with no hash-green driver row that are "
         f"outside the first-{WINDOW_SIZE} window (add them to "
-        f"_FRONT_WINDOW): {missed}"
+        f"_FRONT_WINDOW, or to _QUEUED_NEXT_WINDOW if the window is "
+        f"full): {missed}"
     )
+
+
+def test_queue_only_used_when_window_is_saturated():
+    """_QUEUED_NEXT_WINDOW exists for the one legitimate case — more
+    never-checked queries than window slots.  If the window still has
+    anchor slack (or stale queue entries are already green), queueing
+    would just postpone a check for no reason; refuse it."""
+    rows = _correctness_rows()
+    if not _QUEUED_NEXT_WINDOW:
+        return
+    never_checked = [
+        n
+        for n, s in QUERIES.items()
+        if not (rows.get(n) and rows[n].get("hash_match") is True)
+        and (s.oracle is not None or n not in rows)
+    ]
+    assert len(never_checked) > WINDOW_SIZE, (
+        f"window has slack ({len(never_checked)} never-checked <= "
+        f"{WINDOW_SIZE} slots) — move queued entries into _FRONT_WINDOW: "
+        f"{_QUEUED_NEXT_WINDOW}"
+    )
+    stale = [
+        n
+        for n in _QUEUED_NEXT_WINDOW
+        if rows.get(n) and rows[n].get("hash_match") is True
+    ]
+    assert not stale, f"queued entries already hash-green: {stale}"
 
 
 def test_every_rows_only_query_is_seen_or_windowed():
