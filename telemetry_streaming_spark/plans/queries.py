@@ -8213,13 +8213,19 @@ def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r05 greens them all, every oracle-backed registry query
 # except the explicit _QUEUED_NEXT_WINDOW deferrals is driver-green
 # cumulatively.
-# For r6: front-load _QUEUED_NEXT_WINDOW (kmeans_silhouette), then any
-# r5 row that did NOT green, then new r6 additions (test_rotation.py
-# enumerates misses mechanically), then refill with anchors — ALWAYS
-# keep the list at exactly 50.
+# r6 WINDOW (executed): CORRECTNESS_r05 greened all 44 oracle-backed
+# rows in the r5 window and drove the 6 rows-only entries, so the only
+# never-checked query left is kmeans_silhouette (queued in r5 because
+# the window was saturated).  It takes slot 1; the remaining 49 slots
+# are double-green anchors from the r5 window, spread across families.
+# New r6 queries claim anchor slots as they land — ALWAYS keep the
+# list at exactly 50.
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    # oracle-backed, never hash-green in r1-r4 (late-r4 additions):
+    # the one never-driver-checked registry query (queued in r5):
+    "kmeans_silhouette",
+    # anchors (hash-green in CORRECTNESS_r05); r6 additions replace
+    # these one-for-one as they land:
     "dedup_normalized", "conversion_delay_buckets",
     "source_length_quantiles", "rolling_anomaly_flags",
     "interval_coverage", "cumulative_unique_users",
@@ -8232,32 +8238,22 @@ _FRONT_WINDOW = [
     "name_linkage", "activity_overlap", "revenue_wow",
     "dow_seasonality", "balance_deciles", "basket_rules",
     "supplier_balance_pct_rank",
-    # rows-only, never in any driver window:
-    "pca_top_component",
-    # r5 additions (parity-checked at sf0.001 + sf0.01 before landing):
     "logit_training_stats", "fit_quality_logit",
     "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
     "bigram_surprisal_stats", "bigram_lm_score",
     "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
     "revenue_gini",
-    # late-r5 additions (verified at sf0.001 + sf0.01 before landing);
-    # each claims a former anchor slot — the window stays exactly 50:
     "experiment_chisq", "survival_churn", "ewma_revenue",
     "bloom_semi_join", "pagerank_top", "windowed_drift",
     "constraint_violations",
-    # final late-r5 additions: these three take the last anchor slots,
-    # so the window is now 50 never-checked entries with NO anchors:
     "boilerplate_chunks", "dup_cluster_keep", "target_likeness",
+    "pca_top_component",
 ]
 
-# The window is full (50 never-checked entries, zero anchor slack), so
-# additions past this point are consciously deferred to the next
-# round's window rather than silently missed — tests/test_rotation.py
-# checks queue membership explicitly and refuses a non-empty queue
-# whenever the window has anchor slack.
-_QUEUED_NEXT_WINDOW = [
-    "kmeans_silhouette",
-]
+# Empty: the window has anchor slack, so nothing may be deferred
+# (tests/test_rotation.py refuses a non-empty queue whenever the
+# window has slack).
+_QUEUED_NEXT_WINDOW = []
 
 
 def _reorder_registry() -> None:
