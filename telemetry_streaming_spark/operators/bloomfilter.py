@@ -29,6 +29,12 @@ probe — property-tested), so confirm-after-probe loses nothing.  All
 hashes are ``xxhash64`` with fixed integer salts: the filter is
 deterministic across runs, engines, and partitionings.
 
+``xxhash64`` is TYPE-sensitive (hash(5 AS INT) != hash(5 AS BIGINT)),
+so build and probe canonicalize the key to STRING before hashing —
+otherwise a build/probe type mismatch (e.g. an INT fact key probing a
+BIGINT dimension build) makes every true member miss and silently
+breaks the no-false-negative guarantee the confirm join relies on.
+
 Sizing: fp_rate ~= (1 - e^{-k*n/m})^k; the default (m=2^16, k=3)
 holds ~1.3% at n=6500 keys.  Callers with larger key sets raise
 ``m_bits`` (capped) or accept a weaker pre-filter — correctness never
@@ -50,6 +56,13 @@ from pyspark.sql import functions as F
 MAX_BLOOM_BITS = 1 << 24
 
 
+def _canonical_key(key_col: str):
+    """Canonical hash input: xxhash64 hashes the VALUE+TYPE, so an INT
+    build probed by a BIGINT key would miss every true member.  Casting
+    to string unifies all integral/char widths of the same value."""
+    return F.col(key_col).cast("string")
+
+
 def build_bloom(
     keys: DataFrame,
     key_col: str,
@@ -69,7 +82,10 @@ def build_bloom(
         F.explode(
             F.array(
                 *[
-                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                    F.pmod(
+                        F.xxhash64(_canonical_key(key_col), F.lit(i)),
+                        F.lit(m_bits),
+                    )
                     for i in range(n_hashes)
                 ]
             )
@@ -115,7 +131,8 @@ def with_bloom_probe(
     for i in range(n_hashes):
         c = f"__bloom_pos_{i}"
         tmp = tmp.withColumn(
-            c, F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+            c,
+            F.pmod(F.xxhash64(_canonical_key(key_col), F.lit(i)), F.lit(m_bits)),
         )
         pos_cols.append(c)
     cond = None

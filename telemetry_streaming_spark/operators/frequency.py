@@ -220,8 +220,11 @@ def windowed_l1_drift(
         n_of = {
             k: F.sum(F.when(key == F.lit(k), 1).otherwise(0)) for k in reference
         }
+        # NULL keys fold into the others bucket: ~isin(...) is NULL for
+        # NULL input (lands in neither branch), which would drop their
+        # mass from l1_num while still counting them in n_window/l1_den.
         n_other = F.sum(
-            F.when(~key.isin(*reference.keys()), 1).otherwise(0)
+            F.when(key.isNull() | ~key.isin(*reference.keys()), 1).otherwise(0)
         )
         t_w = F.count(F.lit(1))
         l1 = n_other * F.lit(t_ref)

@@ -157,10 +157,22 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
     for r in rules:
         if r.kind == "unique":
+            # Minuend counts only fully-non-null key rows: COUNT(*)
+            # would charge every NULL-key row as a duplicate (DISTINCT
+            # skips them), double-counting NULLs already covered by
+            # not_null and contradicting the "NULL keys are ignored"
+            # contract above.
+            all_non_null = None
+            for c in r.cols:
+                t = F.col(c).isNotNull()
+                all_non_null = t if all_non_null is None else (all_non_null & t)
             parts.append(
                 df.agg(
                     F.lit(r.name).alias("rule"),
-                    (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in r.cols]))
+                    (
+                        F.sum(F.when(all_non_null, 1).otherwise(0))
+                        - F.count_distinct(*[F.col(c) for c in r.cols])
+                    )
                     .cast("long")
                     .alias("n_violations"),
                 )

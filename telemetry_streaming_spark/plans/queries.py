@@ -7865,7 +7865,9 @@ def windowed_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'orders.one_order_per_customer',
-           CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT)
+           -- COUNT(col) skips NULL keys, matching unique()'s
+           -- fully-non-null minuend (NULL keys are not_null's business)
+           CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'lineitem.qty_range',

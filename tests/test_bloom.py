@@ -91,3 +91,32 @@ def test_bloom_build_validates_params(spark):
         build_bloom(df, "k", n_hashes=0)
     with pytest.raises(ValueError):
         with_bloom_probe(df, "k", [0] * 10, m_bits=1 << 16, n_hashes=3)
+
+
+def test_bloom_is_type_insensitive_across_build_and_probe(spark):
+    """xxhash64 hashes value+type; the canonical string cast must make
+    an INT-keyed build serve a BIGINT-keyed probe (and vice versa) —
+    otherwise every true member misses and the 'EXACT semi-join'
+    contract silently breaks (ADVICE r5)."""
+    members = [1, 5, 42, 999, 777]
+    keys_int = spark.createDataFrame(
+        [Row(k=v) for v in members], schema="k int"
+    )
+    big_bigint = spark.createDataFrame(
+        [Row(k=v, payload=v * 7) for v in range(1_000)],
+        schema="k bigint, payload bigint",
+    )
+    table = build_bloom(keys_int, "k")
+    probed = with_bloom_probe(
+        big_bigint, "k", table, m_bits=1 << 16, n_hashes=3
+    )
+    hit = sorted(
+        r["k"]
+        for r in probed.where(F.col("__bloom_hit")).collect()
+        if r["k"] in members
+    )
+    assert hit == sorted(members), "true members missed across key types"
+    got = sorted(
+        r["k"] for r in bloom_semi_join(big_bigint, "k", keys_int, "k").collect()
+    )
+    assert got == sorted(members)

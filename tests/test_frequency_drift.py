@@ -87,6 +87,31 @@ def test_literal_reference_equals_self_reference_when_ref_is_global(spark):
     assert self_ref == lit_ref
 
 
+def test_null_keys_fold_into_others_bucket(spark):
+    """~isin(...) is NULL for NULL input, so without the explicit
+    isNull() fold NULL-key rows vanish from l1_num while still counting
+    in n_window/l1_den — drift under-reported on streams with NULL
+    categories (ADVICE r5).  NULL must behave exactly like an
+    unseen key: full |n_other * T_ref| mass."""
+    spec_known = [(BASE, "a")] * 2
+    df = spark.createDataFrame(
+        [Row(ts=t, k=k) for t, k in spec_known]
+        + [Row(ts=BASE, k=None), Row(ts=BASE, k=None)]
+    ).select(F.timestamp_seconds("ts").alias("ts"), F.col("k"))
+    ref = {"a": 1}  # T_ref = 1
+    (row,) = windowed_l1_drift(df, "ts", "k", reference=ref).collect()
+    # T_w=4, T_ref=1: |n_a*1 - 1*4| + n_other*1 = |2-4| + 2 = 4
+    assert (row["n_window"], row["l1_num"], row["l1_den"]) == (4, 4, 4)
+    # and the literal branch must agree with the batch (self-ref uses
+    # groupBy, which keeps NULL as its own key) on mass conservation:
+    unseen = spark.createDataFrame(
+        [Row(ts=BASE, k="zzz"), Row(ts=BASE, k="zzz")]
+    ).select(F.timestamp_seconds("ts").alias("ts"), F.col("k"))
+    both = df.where(F.col("k").isNotNull()).unionByName(unseen)
+    (row2,) = windowed_l1_drift(both, "ts", "k", reference=ref).collect()
+    assert (row2["l1_num"], row2["l1_den"]) == (row["l1_num"], row["l1_den"])
+
+
 def test_validation(spark):
     df = _events(spark, [(BASE, "a")])
     with pytest.raises(ValueError):

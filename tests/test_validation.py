@@ -68,6 +68,25 @@ def test_unique_counts_extra_rows(spark):
     assert got == {"k_uni": 2, "kj_uni": 1}
 
 
+def test_unique_ignores_null_key_rows(spark):
+    """NULL-key rows are not_null's business: 2 dup rows + 3 NULL-key
+    rows must report 1 violation, not 4 (ADVICE r5 — COUNT(*) in the
+    minuend double-counted NULLs across the two rules)."""
+    df = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=None), Row(k=None), Row(k=None)],
+        schema="k int",
+    )
+    got = _counts(validate(df, [unique("k_uni", "k"), not_null("k_nn", "k")]))
+    assert got == {"k_uni": 1, "k_nn": 3}
+    # composite key: a row with ANY NULL component is skipped
+    df2 = spark.createDataFrame(
+        [Row(k=1, j=1), Row(k=1, j=1), Row(k=1, j=None), Row(k=None, j=1)],
+        schema="k int, j int",
+    )
+    got2 = _counts(validate(df2, [unique("kj_uni", "k", "j")]))
+    assert got2 == {"kj_uni": 1}
+
+
 @pytest.mark.parametrize("use_bloom", [True, False])
 def test_referential_counts_dangling_fks(spark, use_bloom):
     df = spark.createDataFrame(
