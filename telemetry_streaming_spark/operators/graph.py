@@ -29,8 +29,13 @@ precomputed ``outw``), partial-aggregated SUM on ``dst``, left join
 back to the node set for the base term — two key shuffles per
 iteration on the edge frame, which is the textbook distributed
 PageRank schedule.  The edge frame is cached once (reused every
-iteration); rank lineage grows linearly in the (small, fixed)
-iteration count.  At 100TB-scale graphs the same plan holds with the
+iteration) and RELEASED before returning: the final ranks are
+materialized via ``localCheckpoint`` so the caches can be unpersisted
+in a ``finally`` without invalidating the returned frame — a
+long-lived session accumulates nothing across calls.  The same
+checkpoint runs every ``checkpoint_every`` iterations to cut rank
+lineage, which otherwise grows linearly and dominates planning time
+past ~8 iterations.  At 100TB-scale graphs the same plan holds with the
 edge frame bucketed by ``src`` so the per-iteration join is
 shuffle-free on one side; power-law hubs skew the ``dst`` aggregate —
 the standard salt/two-level-combine guard applies (Spark's partial
@@ -50,6 +55,21 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed frame's storage blocks eagerly.
+
+    ``DataFrame.localCheckpoint`` persists the materialized RDD and
+    exposes no public release handle; without this, every mid-loop
+    lineage cut leaks node-set-sized blocks until the JVM GCs the RDD
+    object and ContextCleaner notices.  Reaches through the LogicalRDD
+    plan node (private API) — on any mismatch, falls back to that GC
+    path, which is correct just slower to reclaim."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -58,6 +78,7 @@ def pagerank_fixed_point(
     damping_num: int = 17,
     damping_den: int = 20,
     scale: int = 1_000_000,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point integer PageRank over weighted directed ``edges``
     (columns ``src``, ``dst``, ``w``; one row per (src, dst)).
@@ -71,6 +92,8 @@ def pagerank_fixed_point(
         raise ValueError("iterations must be >= 1")
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -91,28 +114,48 @@ def pagerank_fixed_point(
     )
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     base = (scale * (damping_den - damping_num)) // damping_den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
-    for _ in range(iterations):
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), on="src")
-            .select(
-                "dst",
-                F.expr(
-                    f"(r * {damping_num} * w) div ({damping_den} * outw)"
-                ).alias("c"),
+    try:
+        ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+        last_ckpt: DataFrame | None = None
+        for i in range(iterations):
+            contribs = (
+                e.join(ranks.withColumnRenamed("node", "src"), on="src")
+                .select(
+                    "dst",
+                    F.expr(
+                        f"(r * {damping_num} * w) div ({damping_den} * outw)"
+                    ).alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
-        ).select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
-            .cast("long")
-            .alias("r"),
-        )
-    return ranks.select("node", F.col("r").alias("rank_micros"))
+            ranks = nodes.join(
+                contribs, nodes["node"] == contribs["dst"], "left"
+            ).select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            # cut lineage periodically: planning cost grows linearly
+            # with unrolled iterations otherwise
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = ranks.localCheckpoint(eager=True)
+                if last_ckpt is not None:
+                    _release_local_checkpoint(last_ckpt)
+                last_ckpt = ranks
+        # materialize the result so the persisted inputs can be
+        # released without invalidating the returned frame; its blocks
+        # are the ONLY storage the call leaves behind
+        out = ranks.select(
+            "node", F.col("r").alias("rank_micros")
+        ).localCheckpoint(eager=True)
+        if last_ckpt is not None:
+            _release_local_checkpoint(last_ckpt)
+        return out
+    finally:
+        e.unpersist()
+        nodes.unpersist()
 
 
 def cooccurrence_edges(

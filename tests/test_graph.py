@@ -57,6 +57,41 @@ def test_pagerank_isolated_node_holds_base_mass(spark):
     assert got[2] > 150_000
 
 
+def test_pagerank_releases_its_caches_and_checkpoints_lineage(spark):
+    """A long-lived session must not accumulate cached frames across
+    calls (r5 verdict): after pagerank_fixed_point returns, no RDD may
+    remain persisted, and the returned frame must still be usable
+    (localCheckpoint materializes it before the unpersist).  Also pin
+    that a checkpoint_every smaller than iterations — which cuts
+    lineage mid-loop — leaves the bit-exact result unchanged."""
+    rng = random.Random(19)
+    nodes = list(range(20))
+    edge_set = {}
+    for _ in range(80):
+        s, d = rng.sample(nodes, 2)
+        edge_set[(s, d)] = rng.randint(1, 5)
+    edges = [(s, d, w) for (s, d), w in edge_set.items()]
+    df = spark.createDataFrame([Row(src=s, dst=d, w=w) for s, d, w in edges])
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    out = pagerank_fixed_point(df, ndf, iterations=6, checkpoint_every=2)
+    got = {r["node"]: r["rank_micros"] for r in out.collect()}
+    assert got == _replica(edges, nodes, 6)
+    # the ONLY storage left behind is the localCheckpoint backing the
+    # returned frame itself (one RDD); edge/node caches and mid-loop
+    # checkpoint blocks are all released before returning
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    leaked = {k: v for k, v in after.items() if k not in before}
+    assert len(leaked) <= 1, f"leaked persisted RDDs: {leaked}"
+    from telemetry_streaming_spark.operators.graph import (
+        _release_local_checkpoint,
+    )
+
+    _release_local_checkpoint(out)  # simulate the caller dropping it
+    end = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert end <= before, f"leaked persisted RDDs: {end - before}"
+
+
 def test_pagerank_validates_params(spark):
     df = spark.createDataFrame([Row(src=1, dst=2, w=1)])
     with pytest.raises(ValueError):
