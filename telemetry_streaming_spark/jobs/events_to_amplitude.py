@@ -224,10 +224,39 @@ _NATURAL_TYPES = {
 }
 
 
+# Regex constructs whose semantics (or very compilability) diverge
+# between Java regex — what the compiled tier's rlike/regexp_count
+# executes — and Python `re`, which the general jsonschema tier and
+# _first_match_indices execute.  A `pattern` containing any of these
+# routes the whole schema to the general tier, so BOTH matching paths
+# evaluate it with the same engine and classification cannot depend on
+# which tier a config lands in (the reference validates uniformly via
+# everit, EventsToAmplitude.scala:191-206).  The scan is conservative:
+# a false positive merely costs the compiled fast path, never
+# correctness.
+_DIALECT_UNSAFE_RE = re.compile(
+    r"""\\[pP]\{        # \p{...} unicode/POSIX property classes: Java-only
+      | [*+?}]\+        # possessive quantifiers (*+ ++ ?+ {n}+): Java-only
+      | \(\?(?![:=!])   # group constructs beyond (?: (?= (?! — named
+                        #   groups, lookbehind, inline flags: divergent
+      | \\[AzZGkR]      # absolute anchors / backrefs with differing
+                        #   semantics (\Z newline rule, \G, \k, \R)
+      | &&              # char-class intersection [a&&b]: Java-only
+    """,
+    re.X,
+)
+
+
+def _pattern_is_dialect_safe(pattern: str) -> bool:
+    return not _DIALECT_UNSAFE_RE.search(pattern)
+
+
 def schema_is_compiled(schema: dict) -> bool:
     """True iff the compiled Column translation covers EVERY keyword in
-    ``schema`` with reference semantics.  Detected at config-compile
-    time (parse_config callers), not per row."""
+    ``schema`` with reference semantics — including that every
+    ``pattern`` stays inside the Java/Python shared regex dialect (see
+    ``_DIALECT_UNSAFE_RE``).  Detected at config-compile time
+    (parse_config callers), not per row."""
     if set(schema) - _COMPILED_TOP_KEYWORDS:
         return False
     if schema.get("type", "object") != "object":
@@ -243,6 +272,8 @@ def schema_is_compiled(schema: dict) -> bool:
         if "minimum" in pspec and fname != "timestamp":
             # JSON-schema `minimum` ignores non-numbers; a string-field
             # comparison would wrongly apply lexicographic order.
+            return False
+        if "pattern" in pspec and not _pattern_is_dialect_safe(pspec["pattern"]):
             return False
     return True
 
@@ -325,14 +356,12 @@ def event_predicate(ev: Column, schema: dict) -> Column:
     tier — and ``_first_match_indices``, which routes EVERY spec
     through the jsonschema library like the reference's uniform everit
     validation (Ping.scala:354-377) — evaluates it with Python ``re``.
-    The dialects agree on the production config corpus's patterns
-    (anchors, literals, alternation, character classes), but exotic
-    constructs (possessive quantifiers ``*+``, ``\\p{...}`` classes,
-    conditional groups) are Java-only or Python-only; a config using
-    one could classify an event differently depending on which tier it
-    lands in.  Keep config patterns inside the shared dialect subset,
-    or force a config to the general tier by adding any non-compiled
-    keyword."""
+    ``schema_is_compiled`` enforces the shared dialect mechanically: a
+    ``pattern`` using a construct the engines disagree on (possessive
+    quantifiers, ``\\p{...}`` classes, char-class intersection,
+    lookbehind/named groups, ``\\Z``-family anchors — see
+    ``_DIALECT_UNSAFE_RE``) routes the schema to the general tier, so
+    classification can never depend on which tier a config lands in."""
     if not schema_is_compiled(schema):
         return _general_schema_predicate(ev, schema)
     preds: list[Column] = [F.lit(True)]

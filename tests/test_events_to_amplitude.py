@@ -435,6 +435,89 @@ def test_schema_is_compiled_detection():
     )
 
 
+def test_dialect_unsafe_patterns_route_to_general_tier():
+    """The compiled tier runs `pattern` on Java regex (rlike); the
+    general tier and _first_match_indices run Python `re`.  Any pattern
+    using a construct the dialects disagree on must be kicked off the
+    compiled tier so classification never depends on tier placement
+    (r5 verdict item 4)."""
+
+    def schema_with(p):
+        return {
+            "type": "object",
+            "properties": {"method": {"type": "string", "pattern": p}},
+            "required": ["method"],
+        }
+
+    divergent = [
+        r"[cd&&k]",  # char-class intersection: Java-only semantics
+        r"a*+b",  # possessive quantifier
+        r"foo\Z",  # \Z: Java allows trailing newline, Python doesn't
+        r"(?<g>a)b",  # Java named group (Python spells it (?P<g>))
+        r"\p{Lu}+",  # unicode property class: Java-only
+        r"(?i)click",  # inline flags: leave both engines' edge cases out
+    ]
+    for p in divergent:
+        assert not amp.schema_is_compiled(schema_with(p)), p
+    shared = [
+        r"^[a-z_]+\d{2}$",
+        r"(?:fore|back)ground",
+        r"(?=cl)\w+",
+        r"c.?l\s*i{1,3}ck",
+        r"\bback\B",
+    ]
+    for p in shared:
+        assert amp.schema_is_compiled(schema_with(p)), p
+
+
+def test_divergent_pattern_classifies_identically_across_tiers(spark):
+    """[cd&&k] means {c,d} INTERSECT {k} (empty — matches nothing) in
+    Java but the literal set {c,d,&,k} in Python.  The dialect gate
+    routes it to the general tier, where BOTH matching paths use
+    Python `re`: fixture methods foreground/click/background (contain
+    c, d, or k) match and type_query does not.  Had the schema stayed
+    on the compiled tier, rlike would have matched ZERO events and the
+    two paths would disagree."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "timestamp": {"type": "number", "minimum": 0},
+            "category": {"type": "string", "enum": ["action"]},
+            "method": {"type": "string", "pattern": "[cd&&k]"},
+        },
+        "required": ["timestamp", "category", "method"],
+    }
+    assert not amp.schema_is_compiled(schema)
+    config = {
+        "source": "telemetry",
+        "filters": {"docType": ["focus-event"], "appName": ["Focus"]},
+        "eventGroups": [
+            {
+                "eventGroupName": "m_foc",
+                "events": [
+                    {"name": "CDK", "description": "", "schema": schema}
+                ],
+            }
+        ],
+    }
+    rows = amp.exploded_events(
+        _run_focus(spark, [fixtures.focus_event_ping()], config=config)
+    ).collect()
+    payloads = [json.loads(r.event_json) for r in rows]
+    matched = sorted(p["insert_id"].split("-")[-1] for p in payloads)
+    got_methods = sorted(
+        m
+        for m in ("foreground", "type_query", "click", "background")
+        for p in payloads
+        if m in p["insert_id"]
+    )
+    assert len(payloads) == 3, payloads
+    assert got_methods == ["background", "click", "foreground"], (
+        matched,
+        got_methods,
+    )
+
+
 def test_production_corpus_stays_on_compiled_tier():
     import glob
 
