@@ -268,6 +268,10 @@ def trend_main() -> None:
 
 
 def main() -> None:
+    # captured before the JVM boots: >~1 here means the machine was
+    # already busy and the run is suspect (the end-of-run value mostly
+    # reflects our own executors and is recorded for completeness)
+    load_at_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -320,12 +324,40 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(sorted(ts)[len(ts) // 2], 4)
 
+    # Contention self-identification (r5: the driver artifact was
+    # inflated ~1.8x by a concurrent workload and nothing in the JSON
+    # said so).  Two markers make an inflated run self-identifying:
+    # the host's 1-min load average before/after, and a re-run of the
+    # first headline query at the END — on an idle machine it repeats
+    # its own median within noise, under contention it spreads.
+    recheck_name = next((n for n in HEADLINE if n in timings), None)
+    recheck: dict = {}
+    if recheck_name is not None:
+        spec = QUERIES[recheck_name]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        recheck_sec = round(time.perf_counter() - t0, 4)
+        first_sec = timings[recheck_name]
+        spread = round(
+            max(recheck_sec, first_sec) / max(min(recheck_sec, first_sec), 1e-9), 2
+        )
+        recheck = {
+            "query": recheck_name,
+            "median_sec": first_sec,
+            "end_of_run_sec": recheck_sec,
+            "spread": spread,
+            "contention_suspected": spread > 1.5,
+        }
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_1m_start": load_at_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "recheck": recheck,
     }
     print(json.dumps(out))
     spark.stop()
