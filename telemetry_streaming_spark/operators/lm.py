@@ -241,3 +241,47 @@ def bigram_lm_score_stream(
         s["n_unseen"].alias("n_unseen"),
         s["avg_neg_logprob"].alias("avg_neg_logprob"),
     )
+
+
+def bigram_path_stats(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer sufficient statistics of :func:`bigram_lm_score`'s
+    scoring path — the hash-checkable companion to the rows-only score
+    (whose ``log`` is not bit-portable across engines).
+
+    Per document: ``(id, n_bigrams, n_unseen, sum_c2, sum_c1,
+    lm_vocab)`` where ``sum_c2``/``sum_c1`` total the pair and prefix
+    counts the scorer's two left joins recover and ``lm_vocab`` is the
+    smoothing vocabulary size V.  All BIGINT-exact in any aggregation
+    order; together they determine ``avg_neg_logprob`` modulo the log,
+    so an oracle hash over these checks the ENTIRE scoring join
+    machinery (pair join, prefix join, unseen detection, V broadcast)
+    — only the final transcendental stays replica-pinned.
+
+    Same plan shape as the scorer: gram explode, two joins keyed on
+    8-byte hashes, broadcast 1-row V, one per-doc aggregate.
+    """
+    grams = _doc_bigrams(docs, text_col, id_col)
+    lm = bigram_lm_table(
+        lm_docs if lm_docs is not None else docs, text_col, id_col
+    )
+    c1_tbl = lm.select("p_h", "c1").distinct()
+    vocab = c1_tbl.agg(F.count(F.lit(1)).alias("v"))
+    joined = (
+        grams.join(lm.select("g_h", "c2"), "g_h", "left")
+        .join(c1_tbl, "p_h", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum((F.coalesce(F.col("c2"), F.lit(0)) == 0).cast("int"))
+        .cast("long")
+        .alias("n_unseen"),
+        F.sum(F.coalesce(F.col("c2"), F.lit(0))).cast("long").alias("sum_c2"),
+        F.sum(F.coalesce(F.col("c1"), F.lit(0))).cast("long").alias("sum_c1"),
+        F.min("v").cast("long").alias("lm_vocab"),
+    )

@@ -32,6 +32,8 @@ both (IVF-PQ).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -202,4 +204,102 @@ def pq_topk(
         .select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(k)
+    )
+
+
+def pq_distortion_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Integer-exact E-step cost of the SEEDED (iteration-0) codebook:
+    per subspace, the count of assigned vectors, the summed squared-L2
+    distortion, and the summed assigned code index.
+
+    This is the hash-checkable companion to the rows-only ``pq_train``
+    / ``pq_encode`` tier: vectors are quantized to BIGINT
+    (``floor(x*scale + 0.5)``, the gram-matrix convention) BEFORE any
+    arithmetic, the codebook is the same deterministic seed rule the
+    trainer uses (the ``k`` lowest-``id_col`` rows' subvectors), and
+    assignment ties break to the lowest code via a combined
+    ``d2 * k + code`` min — so every output cell is exact in any
+    engine and any aggregation order, and an independent SQL engine
+    can replay the whole assignment geometry (subvector slicing,
+    argmin, tie-break) from the raw table.
+
+    Pure JVM expressions — the m*k distance terms are codegen'd
+    zip_with/aggregate folds over plan-literal centroids (the
+    kmeans_update pattern); one narrow scan, one m-row aggregate.
+    Overflow: ``d2 * k`` with d2 <= d_sub * (2*scale*|x|_max)^2 must
+    fit int64 — at scale=1e4 and unit-normalized embeddings that
+    leaves ~6 orders of magnitude of headroom.
+    """
+    first = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if first is None:
+        raise ValueError("pq_distortion_stats: empty input")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+
+    seeds = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"pq_distortion_stats: need >= {k} vectors, got {len(seeds)}")
+    # quantize seeds EXACTLY as the vectors are quantized below
+    seed_q = [
+        [int(math.floor(float(x) * scale + 0.5)) for x in r[0]]
+        for r in seeds
+    ]
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    vecs = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(qv.alias("__q"))
+
+    per_sub = []
+    for j in range(m):
+        sv = F.slice("__q", j * d_sub + 1, d_sub)
+        combined = []
+        for code in range(k):
+            cent = F.array(
+                *[
+                    F.lit(seed_q[code][j * d_sub + i]).cast("long")
+                    for i in range(d_sub)
+                ]
+            )
+            d2 = F.aggregate(
+                F.zip_with(sv, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            combined.append(d2 * k + code)
+        per_sub.append(
+            F.struct(
+                F.lit(j).alias("subspace"), F.least(*combined).alias("best")
+            )
+        )
+    return (
+        vecs.select(F.explode(F.array(*per_sub)).alias("s"))
+        .groupBy(F.col("s.subspace").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.expr(f"s.best div {k}")).cast("long").alias("distortion_q2"),
+            F.sum(F.pmod("s.best", F.lit(k))).cast("long").alias("code_sum"),
+        )
     )

@@ -3138,6 +3138,54 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+@query(
+    "bigram_path_stats",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text), E' \t\r\n'), '\s+') AS toks
+        FROM documents WHERE regexp_matches(text, '\S')
+    ),
+    g AS (
+        SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1,
+               toks[CAST(i AS INT) + 1] AS w2
+        FROM d, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+    ),
+    lm AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM g WHERE lang = 'en' GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN lm.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen,
+           CAST(SUM(COALESCE(lm.c2, 0)) AS BIGINT) AS sum_c2,
+           CAST(SUM(COALESCE(c1.c1, 0)) AS BIGINT) AS sum_c1,
+           CAST(MIN(v.v) AS BIGINT) AS lm_vocab
+    FROM g
+    LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2
+    LEFT JOIN c1 ON g.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY 1
+    """,
+)
+def bigram_path_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the hash-checked companion to the rows-only
+    ``bigram_lm_score`` (operators/lm.py:bigram_path_stats) — per
+    document, the BIGINT-exact pair/prefix count sums, unseen count,
+    and smoothing vocabulary V that the CCNet scorer's two left joins
+    recover; together they determine avg_neg_logprob modulo the
+    non-bit-portable log.  LM trained on the lang='en' slice, scoring
+    the WHOLE corpus, so the unseen path (cross-corpus near-misses) is
+    exercised, not just the self-scoring happy path."""
+    from telemetry_streaming_spark.operators.lm import bigram_path_stats
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return bigram_path_stats(docs, lm_docs=docs.where(F.col("lang") == "en"))
+
+
 @query("pq_codes")
 def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: product quantization (operators/pq.py) — train m=4
@@ -3195,6 +3243,66 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = pq_topk(pq_encode(emb, cbs), list(qrow[0]), cbs, k=10)
     return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+@query(
+    "pq_distortion_stats",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+        FROM q ORDER BY vec_id LIMIT 8
+    ),
+    pairs AS (
+        SELECT q.vec_id, j.j, s.code,
+               list_sum([
+                   (q.qv[j.j*16 + i] - s.qv[j.j*16 + i])
+                   * (q.qv[j.j*16 + i] - s.qv[j.j*16 + i])
+                   FOR i IN range(1, 17)
+               ]) AS d2
+        FROM q, seeds s, (SELECT unnest(range(4)) AS j) j
+    ),
+    best AS (
+        SELECT vec_id, j, MIN(d2 * 8 + code) AS b
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT CAST(j AS INT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(b // 8) AS BIGINT) AS distortion_q2,
+           CAST(SUM(b % 8) AS BIGINT) AS code_sum
+    FROM best GROUP BY 1
+    """,
+)
+def pq_distortion_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the hash-checked companion to the rows-only PQ tier
+    (operators/pq.py:pq_distortion_stats) — per subspace, the
+    integer-exact E-step cost of the seeded (iteration-0) codebook:
+    assigned-vector count, summed quantized squared-L2 distortion, and
+    summed assigned code (ties to the lowest code via a combined
+    d2*k+code min).  Vectors quantize to BIGINT before any arithmetic
+    (the gram-matrix convention), the codebook is the trainer's own
+    deterministic seed rule (k lowest vec_ids), so an independent
+    engine replays the full assignment geometry — subvector slicing,
+    argmin, tie-break — cell-exactly.  m=4, k=8 over the dim-64
+    embeddings; m*k codegen'd fold terms, one narrow scan, one 4-row
+    aggregate."""
+    from telemetry_streaming_spark.operators.pq import pq_distortion_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    try:
+        return pq_distortion_stats(emb, m=4, k=8)
+    except ValueError as exc:
+        if "empty input" not in str(exc):
+            raise
+        return spark.createDataFrame(
+            [], "subspace int, n_vectors long, distortion_q2 long, code_sum long"
+        )
 
 
 @query("bpe_train")
@@ -8226,6 +8334,9 @@ def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT_WINDOW = [
     # the one never-driver-checked registry query (queued in r5):
     "kmeans_silhouette",
+    # r6 additions (parity-checked at sf0.001 + sf0.01 before landing);
+    # each claims an anchor slot — the window stays exactly 50:
+    "pq_distortion_stats", "bigram_path_stats",
     # anchors (hash-green in CORRECTNESS_r05); r6 additions replace
     # these one-for-one as they land:
     "dedup_normalized", "conversion_delay_buckets",
@@ -8248,8 +8359,7 @@ _FRONT_WINDOW = [
     "experiment_chisq", "survival_churn", "ewma_revenue",
     "bloom_semi_join", "pagerank_top", "windowed_drift",
     "constraint_violations",
-    "boilerplate_chunks", "dup_cluster_keep", "target_likeness",
-    "pca_top_component",
+    "boilerplate_chunks", "dup_cluster_keep",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

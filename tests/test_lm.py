@@ -234,3 +234,59 @@ class TestLmScoreStream:
         assert got[1].n_unseen == 0
         assert got[2].n_unseen == 2
         assert got[2].avg_neg_logprob > got[1].avg_neg_logprob
+
+
+class TestBigramPathStats:
+    def test_matches_python_replica_exactly(self, spark):
+        """The hash-checked companion must reproduce the integer
+        sufficient statistics of the scorer's join path exactly,
+        including the unseen path when the LM is a sub-corpus."""
+        from telemetry_streaming_spark.operators.lm import bigram_path_stats
+
+        lm_ids = {1, 2, 4}  # the "reference corpus" slice
+        c2, c1 = _py_lm([CORPUS[i] for i in sorted(lm_ids)])
+        v = len(c1)
+        want = {}
+        for i, t in CORPUS.items():
+            bgs = _py_bigrams(t)
+            if not bgs:
+                continue
+            want[i] = (
+                len(bgs),
+                sum(1 for b in bgs if c2.get(b, 0) == 0),
+                sum(c2.get(b, 0) for b in bgs),
+                sum(c1.get(b[0], 0) for b in bgs),
+                v,
+            )
+        docs = _docs(spark)
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["n_unseen"],
+                r["sum_c2"],
+                r["sum_c1"],
+                r["lm_vocab"],
+            )
+            for r in bigram_path_stats(
+                docs, lm_docs=docs.where(F.col("doc_id").isin(*lm_ids))
+            ).collect()
+        }
+        assert got == want
+
+    def test_consistent_with_the_rows_only_scorer(self, spark):
+        """n_bigrams / n_unseen must agree with bigram_lm_score on the
+        same inputs — the companion and the scorer share one join
+        path, so a divergence means the paths drifted apart."""
+        from telemetry_streaming_spark.operators.lm import bigram_path_stats
+
+        docs = _docs(spark)
+        lm = docs.where(F.col("doc_id") < 4)
+        stats = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"])
+            for r in bigram_path_stats(docs, lm_docs=lm).collect()
+        }
+        score = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"])
+            for r in bigram_lm_score(docs, lm_docs=lm).collect()
+        }
+        assert stats == score

@@ -197,3 +197,47 @@ class TestPqStreaming:
         finally:
             stop_quietly(q)
         assert got == {r.vec_id: batch_codes[r.vec_id] for r in sample}
+
+
+class TestPqDistortionStats:
+    def test_matches_integer_replica_exactly(self, spark, emb):
+        """The hash-checked companion query's cells must be BIT-exact
+        against an integer replica of the seeded E-step: quantize,
+        slice, argmin with lowest-code tie-break, sum."""
+        from telemetry_streaming_spark.operators.pq import pq_distortion_stats
+
+        df, X, _ = emb
+        m, k, scale = 4, 8, 10_000
+        d_sub = X.shape[1] // m
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        seeds = Q[:k]
+        want = {}
+        for j in range(m):
+            sub = Q[:, j * d_sub : (j + 1) * d_sub]
+            cent = seeds[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            combined = d2 * k + np.arange(k)[None, :]
+            best = combined.min(axis=1)
+            want[j] = (
+                len(best),
+                int((best // k).sum()),
+                int((best % k).sum()),
+            )
+        got = {
+            r["subspace"]: (r["n_vectors"], r["distortion_q2"], r["code_sum"])
+            for r in pq_distortion_stats(df, m=m, k=k, scale=scale).collect()
+        }
+        assert got == want
+
+    def test_guards(self, spark):
+        from telemetry_streaming_spark.operators.pq import pq_distortion_stats
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="empty input"):
+            pq_distortion_stats(empty)
+        few = spark.createDataFrame(
+            [(i, [float(i)] * 4) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="need >="):
+            pq_distortion_stats(few, m=2, k=8)
