@@ -732,6 +732,164 @@ def run_ann_index(spark, args):
     print(f"results: {spark.read.parquet(args.output_path).count()}")
 
 
+def _index_content_stats(spark, path: str) -> tuple[int, int]:
+    """Order-independent content fingerprint of a parquet dir: row
+    count + sum of per-row xxhash64 over all columns (sorted by name).
+    Two dirs with the same fingerprint hold the same multiset of rows
+    regardless of file layout — the equivalence compaction must
+    preserve."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a BIGINT sum of int64 hashes
+        # overflows (ANSI mode raises) after a handful of rows
+        F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _recover_index_swap(index_path: str) -> None:
+    """Complete or roll back an atomic-swap interrupted by a crash.
+
+    The swap sequence (run only AFTER staging content is verified) is
+    rename(live -> .old), rename(.staging -> live), rmtree(.old); a
+    crash leaves exactly one recoverable state: live missing with a
+    verified .staging (finish the second rename) or stale .old/.staging
+    beside a healthy live (delete them — .staging is only unverified
+    when live still exists)."""
+    import shutil
+
+    staging, old = index_path + ".staging", index_path + ".old"
+    if not os.path.isdir(index_path):
+        if os.path.isdir(staging):
+            os.rename(staging, index_path)
+        elif os.path.isdir(old):
+            os.rename(old, index_path)
+        else:
+            raise SystemExit(
+                f"index missing with nothing to recover: {index_path}"
+            )
+    for d in (staging, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def run_maintain(spark, args):
+    """Nightly index maintenance in ONE idempotent invocation:
+    admit -> compact -> re-probe-verify over the persisted MinHash
+    band index.
+
+    1. **admit**: drain the watched dir through the checkpointed
+       availableNow stream (run_minhash_index admit semantics with
+       --update-index); replayed micro-batches rewrite their epoch
+       subdir, so a crash-rerun never duplicates output rows.
+    2. **compact**: the nightly band appends accumulate small files;
+       rewrite the index into ~--target-file-mb files clustered by
+       band (band_key-sorted within files for row-group skipping on
+       the probe join).  Crash-safe: write to <index>.staging, verify
+       the content fingerprint matches the live index EXACTLY, only
+       then swap via two renames; _recover_index_swap completes or
+       discards an interrupted swap on the next invocation, so a kill
+       anywhere leaves a rerun producing a content-identical index.
+    3. **verify**: re-probe every admitted document against the
+       compacted index — each must rediscover ITSELF (its bands were
+       appended in step 1), proving the compacted index still serves
+       admission.  A shortfall exits non-zero before any downstream
+       consumer trusts the index.
+
+    Mirrors the reference's restart-recovery discipline for stateful
+    sinks (FederatedLearningSearchOptimizerS3Sink.scala:104-145):
+    every stage is either checkpointed, staged-then-swapped, or
+    read-only."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    _require(
+        args,
+        "index-path",
+        "corpus-path",
+        "output-path",
+        "stream-input",
+        "checkpoint-path",
+    )
+    if args.target_file_mb <= 0:
+        raise SystemExit("--target-file-mb must be positive")
+
+    # stage 0: a previous invocation may have died mid-swap
+    _recover_index_swap(args.index_path)
+
+    # stage 1: admit (checkpointed drain; idempotent on replay)
+    args.mode = "admit"
+    args.update_index = True
+    run_minhash_index(spark, args)
+
+    # stage 2: compact behind a verified staging dir + atomic swap
+    n_live, h_live = _index_content_stats(spark, args.index_path)
+    total = 0
+    for root, _dirs, files in os.walk(args.index_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // (args.target_file_mb * 1024 * 1024)))
+    staging = args.index_path + ".staging"
+    (
+        spark.read.parquet(args.index_path)
+        .repartition(int(n_files), F.col("band"))
+        .sortWithinPartitions("band_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(staging)
+    )
+    n_stag, h_stag = _index_content_stats(spark, staging)
+    if (n_stag, h_stag) != (n_live, h_live):
+        shutil.rmtree(staging)
+        raise SystemExit(
+            f"compaction changed index content "
+            f"(rows {n_live}->{n_stag}, hash {h_live}->{h_stag}); "
+            "live index left untouched"
+        )
+    os.rename(args.index_path, args.index_path + ".old")
+    os.rename(staging, args.index_path)
+    shutil.rmtree(args.index_path + ".old")
+
+    # stage 3: re-probe — every admitted doc must find itself in the
+    # compacted index (read-only; rerun-safe)
+    admitted = spark.read.parquet(args.output_path)
+    n_adm = admitted.select("doc_id").distinct().count()
+    n_found = 0
+    if n_adm:
+        pairs = incremental_minhash_dedup(
+            admitted,
+            spark.read.parquet(args.corpus_path),
+            num_perm=args.num_perm,
+            bands=args.bands,
+            threshold=args.near_dup_threshold,
+            corpus_bands=spark.read.parquet(args.index_path),
+        )
+        n_found = (
+            pairs.where(F.col("batch_id") == F.col("corpus_id"))
+            .select("batch_id")
+            .distinct()
+            .count()
+        )
+    print(f"maintain_index_rows: {n_stag}")
+    print(f"maintain_index_files: {int(n_files)}")
+    print(f"maintain_admitted_total: {n_adm}")
+    print(f"maintain_reprobe_found: {n_found}")
+    if n_found != n_adm:
+        raise SystemExit(
+            f"re-probe verification failed: {n_found} of {n_adm} admitted "
+            "documents rediscover themselves in the compacted index"
+        )
+
+
 def run_compact(spark, args):
     """Small-files compaction: rewrite a parquet dir into
     ~--target-file-mb files (sized from the actual on-disk bytes, so
@@ -1223,6 +1381,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-files-per-trigger", type=int, default=1,
                    help="files per admission micro-batch (1 honors per-drop admission)")
 
+    p = sub.add_parser(
+        "maintain",
+        help="index maintenance: admit + compact + re-probe verify, restartable",
+    )
+    p.add_argument("--index-path", help="persisted band-index parquet dir")
+    p.add_argument("--corpus-path", help="corpus documents parquet")
+    p.add_argument("--output-path", help="admitted documents parquet")
+    p.add_argument("--stream-input", help="watched parquet dir of nightly drops")
+    p.add_argument("--checkpoint-path", help="admission stream checkpoint dir")
+    p.add_argument("--num-perm", type=int, default=8)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--max-files-per-trigger", type=int, default=1)
+    p.add_argument("--target-file-mb", type=int, default=256,
+                   help="compacted index file sizing")
+
     p = sub.add_parser("ann_index", help="persisted IVF ANN index build/query")
     p.add_argument("--mode", choices=("build", "query"), default="build")
     p.add_argument("--input-path", help="embeddings (build) / queries (query) parquet")
@@ -1281,6 +1455,7 @@ RUNNERS = {
     "train": run_train,
     "export": run_export,
     "minhash_index": run_minhash_index,
+    "maintain": run_maintain,
     "ann_index": run_ann_index,
     "sql": run_sql,
     "report": run_report,

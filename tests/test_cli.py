@@ -19,7 +19,8 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "ann_index", "sql", "report", "compact", "train",
+        "minhash_index", "maintain", "ann_index", "sql", "report", "compact",
+        "train",
     }
 
 
@@ -854,3 +855,83 @@ def test_cli_curate_token_budget_bounds_each_source(spark, tmp_path):
     # budget 100, docs are 21 tokens: 5 docs survive per source (the
     # 5th STARTS at 84 < 100, the 6th would start at 105) = 105 tokens
     assert totals == {"big": 105, "small": 105}
+
+
+def test_cli_maintain_admit_compact_verify_with_crash_restart(spark, tmp_path, capsys):
+    """The orchestrated nightly loop: admit -> compact -> re-probe
+    verify in one invocation, idempotent under a kill at every stage
+    boundary.  After each simulated crash the rerun must converge to a
+    content-identical index (same row multiset) and an unchanged
+    admitted set."""
+    import os
+    import shutil
+
+    from telemetry_streaming_spark.cli import _index_content_stats, main
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    corpus = spark.createDataFrame(
+        [(i, base % (i % 7)) for i in range(30)], "doc_id long, text string"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    idx = str(tmp_path / "idx")
+    main(["minhash_index", "--mode", "build",
+          "--input-path", corpus_path, "--index-path", idx], spark=spark)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    novel = "a genuinely novel document about distributed execution engines"
+    spark.createDataFrame(
+        [(200, base % 1), (201, novel)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(watch / "night1"))
+    args = ["maintain",
+            "--stream-input", str(watch) + "/*", "--corpus-path", corpus_path,
+            "--index-path", idx, "--output-path", out,
+            "--checkpoint-path", ckpt, "--target-file-mb", "64"]
+
+    main(args, spark=spark)
+    out1 = capsys.readouterr().out
+    assert "maintain_reprobe_found: 1" in out1 and "maintain_admitted_total: 1" in out1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {201}
+    fp = _index_content_stats(spark, idx)
+
+    # crash A: killed between admit and compact (nothing new to admit;
+    # the checkpoint makes the admit stage a no-op on rerun)
+    main(args, spark=spark)
+    capsys.readouterr()
+    assert _index_content_stats(spark, idx) == fp
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {201}
+
+    # crash B: killed mid-swap, after rename(live -> .old) — live is
+    # missing, the verified staging is gone (already renamed in) or
+    # present; reconstruct the worst state: live gone, staging present
+    shutil.copytree(idx, idx + ".staging")
+    shutil.move(idx, idx + ".old")
+    os.rename(idx + ".old", idx + ".old")  # keep .old too: both leftovers
+    main(args, spark=spark)
+    capsys.readouterr()
+    assert not os.path.exists(idx + ".staging") and not os.path.exists(idx + ".old")
+    assert _index_content_stats(spark, idx) == fp
+
+    # crash C: killed after the swap, before cleanup — stale .old
+    # beside a healthy live index
+    shutil.copytree(idx, idx + ".old")
+    main(args, spark=spark)
+    capsys.readouterr()
+    assert not os.path.exists(idx + ".old")
+    assert _index_content_stats(spark, idx) == fp
+
+    # night 2 still admits through the maintained index: a near-dup of
+    # the night-1 admit is rejected, a fresh doc is admitted
+    spark.createDataFrame(
+        [(300, novel + " again and again"),
+         (301, "completely different fresh words entirely")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(watch / "night2"))
+    main(args, spark=spark)
+    out2 = capsys.readouterr().out
+    assert "maintain_admitted_total: 2" in out2
+    assert "maintain_reprobe_found: 2" in out2
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {201, 301}
