@@ -108,6 +108,40 @@ def build_bloom(
     return table
 
 
+def shrink_bloom(
+    table: list[int],
+    *,
+    max_density: float = 0.125,
+    min_words: int = 16,
+) -> list[int]:
+    """EXACTLY fold a power-of-two Bloom table down to the smallest
+    size whose set-bit density stays under ``max_density``.
+
+    Because ``m`` is a power of two, ``h % (m/2) == (h % m) % (m/2)``,
+    so OR-ing the upper half of the word table onto the lower half
+    yields precisely the filter that a direct build at ``m/2`` would
+    have produced — no false negatives can be introduced, only the
+    false-positive rate rises (bounded by ``max_density**n_hashes``).
+
+    Why: the probe ships the table as ONE array literal; a 2^16-bit
+    build is 1024 elements, and measured client-side plan construction
+    plus first analysis of that literal costs ~2s — dominating small
+    key sets that only need a few words.  Build big (cheap server-side
+    bit_or), then shrink the LITERAL to what the key count actually
+    needs."""
+    def density(words: list[int]) -> float:
+        bits = sum((w & 0xFFFFFFFFFFFFFFFF).bit_count() for w in words)
+        return bits / (len(words) * 64)
+
+    while len(table) > max(1, min_words) and len(table) % 2 == 0:
+        half = len(table) // 2
+        folded = [table[i] | table[i + half] for i in range(half)]
+        if density(folded) > max_density:
+            break
+        table = folded
+    return table
+
+
 def with_bloom_probe(
     df: DataFrame,
     key_col: str,
@@ -156,9 +190,16 @@ def bloom_semi_join(
 ) -> DataFrame:
     """EXACT semi-join of ``big`` against ``keys``: Bloom probe
     (map-side, zero shuffle on the big side) then a confirming
-    ``leftsemi`` join over the survivors only."""
-    table = build_bloom(keys, key_col, m_bits=m_bits, n_hashes=n_hashes)
-    pruned = with_bloom_probe(big, big_key, table, m_bits=m_bits, n_hashes=n_hashes)
+    ``leftsemi`` join over the survivors only.  The built table is
+    shrink-folded to the key count's actual size before riding the
+    plan (see :func:`shrink_bloom`) — exactness is unaffected (the
+    confirm join removes false positives; folding adds no false
+    negatives)."""
+    table = shrink_bloom(
+        build_bloom(keys, key_col, m_bits=m_bits, n_hashes=n_hashes)
+    )
+    eff_bits = len(table) * 64
+    pruned = with_bloom_probe(big, big_key, table, m_bits=eff_bits, n_hashes=n_hashes)
     survivors = pruned.where(F.col("__bloom_hit")).drop("__bloom_hit")
     return survivors.join(
         keys.select(F.col(key_col).alias(big_key)).distinct(),

@@ -104,11 +104,14 @@ def _count_referential(df: DataFrame, rule: Rule) -> DataFrame:
     if rule.use_bloom:
         from telemetry_streaming_spark.operators.bloomfilter import (
             build_bloom,
+            shrink_bloom,
             with_bloom_probe,
         )
 
-        table = build_bloom(ref_keys, "__fk")
-        probed = with_bloom_probe(keys, "__fk", table, m_bits=1 << 16, n_hashes=3)
+        table = shrink_bloom(build_bloom(ref_keys, "__fk"))
+        probed = with_bloom_probe(
+            keys, "__fk", table, m_bits=len(table) * 64, n_hashes=3
+        )
         misses = probed.where(~F.col("__bloom_hit"))
         hits = probed.where(F.col("__bloom_hit")).drop("__bloom_hit")
         dangling_hits = hits.join(ref_keys, on="__fk", how="left_anti")
@@ -135,28 +138,18 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     if bad:
         raise ValueError(f"rule names must be simple identifiers: {bad}")
     parts: list[DataFrame] = []
-    row_rules = [r for r in rules if r.kind == "row"]
-    if row_rules:
-        agg = df.agg(
-            *[
-                F.sum(F.when(r.predicate, 1).otherwise(0))
-                .cast("long")
-                .alias(f"__v{i}")
-                for i, r in enumerate(row_rules)
-            ]
-        )
-        stack_args = ", ".join(
-            f"'{r.name}', __v{i}" for i, r in enumerate(row_rules)
-        )
-        parts.append(
-            agg.select(
-                F.expr(
-                    f"stack({len(row_rules)}, {stack_args}) AS (rule, n_violations)"
-                )
-            )
-        )
+    # row-local AND unique rules fuse into ONE aggregate over one scan
+    # (unique is itself just an aggregate of this frame; a separate
+    # branch would pay another scan + job for no reason — the
+    # multi-branch scheduling floor is the dominant cost of a
+    # many-rule validate at small per-rule work)
+    fused: list[tuple[str, object]] = []
     for r in rules:
-        if r.kind == "unique":
+        if r.kind == "row":
+            fused.append(
+                (r.name, F.sum(F.when(r.predicate, 1).otherwise(0)).cast("long"))
+            )
+        elif r.kind == "unique":
             # Minuend counts only fully-non-null key rows: COUNT(*)
             # would charge every NULL-key row as a duplicate (DISTINCT
             # skips them), double-counting NULLs already covered by
@@ -166,21 +159,34 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             for c in r.cols:
                 t = F.col(c).isNotNull()
                 all_non_null = t if all_non_null is None else (all_non_null & t)
-            parts.append(
-                df.agg(
-                    F.lit(r.name).alias("rule"),
+            fused.append(
+                (
+                    r.name,
                     (
                         F.sum(F.when(all_non_null, 1).otherwise(0))
                         - F.count_distinct(*[F.col(c) for c in r.cols])
-                    )
-                    .cast("long")
-                    .alias("n_violations"),
+                    ).cast("long"),
                 )
             )
         elif r.kind == "referential":
             parts.append(_count_referential(df, r))
-        elif r.kind != "row":
+        else:
             raise ValueError(f"unknown rule kind {r.kind!r}")
+    if fused:
+        agg = df.agg(
+            *[col.alias(f"__v{i}") for i, (_n, col) in enumerate(fused)]
+        )
+        stack_args = ", ".join(
+            f"'{name}', __v{i}" for i, (name, _c) in enumerate(fused)
+        )
+        parts.insert(
+            0,
+            agg.select(
+                F.expr(
+                    f"stack({len(fused)}, {stack_args}) AS (rule, n_violations)"
+                )
+            ),
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -120,3 +120,36 @@ def test_bloom_is_type_insensitive_across_build_and_probe(spark):
         r["k"] for r in bloom_semi_join(big_bigint, "k", keys_int, "k").collect()
     )
     assert got == sorted(members)
+
+
+def test_shrink_bloom_folding_is_exact(spark):
+    """h % (m/2) == (h % m) % (m/2) for power-of-two m: the folded
+    table must behave identically to a direct build at the folded size
+    — no false negatives, and bit-for-bit the same words."""
+    from telemetry_streaming_spark.operators.bloomfilter import shrink_bloom
+
+    rng = random.Random(7)
+    members = sorted(rng.sample(range(1_000_000), 300))
+    big_table = build_bloom(_keys_df(spark, members), "k", m_bits=1 << 16)
+    folded = shrink_bloom(big_table, max_density=0.5, min_words=16)
+    assert len(folded) < len(big_table) and len(big_table) % len(folded) == 0
+    direct = build_bloom(
+        _keys_df(spark, members), "k", m_bits=len(folded) * 64
+    )
+    assert folded == direct
+    probed = with_bloom_probe(
+        _keys_df(spark, members), "k", folded,
+        m_bits=len(folded) * 64, n_hashes=3,
+    )
+    assert probed.where(~F.col("__bloom_hit")).count() == 0
+
+
+def test_shrink_bloom_respects_density_and_floor():
+    from telemetry_streaming_spark.operators.bloomfilter import shrink_bloom
+
+    # saturated table refuses to fold below the density cap
+    dense = [-1] * 64  # all bits set
+    assert shrink_bloom(dense, max_density=0.5, min_words=1) == dense
+    # sparse table folds down to the word floor, never past it
+    sparse = [1] + [0] * 1023
+    assert len(shrink_bloom(sparse, min_words=16)) == 16
