@@ -144,10 +144,11 @@ TREND = [
     # + a probe join over a shared lineage-cut gram frame)
     "bigram_surprisal_stats",
     # late-r5 >=1s, >2x newcomers: bloom_semi_join pays the bloom
-    # build job + a 1024-long word-table literal's analysis cost;
-    # constraint_violations schedules six aggregate branches (incl. a
-    # bloom build) over tables DuckDB scans in ~20ms — both fixed
-    # costs that amortize with SF
+    # build job (its word literal now shrink-folds to the key count,
+    # SCALE.md r6); constraint_violations schedules aggregate branches
+    # (incl. a bloom build) over tables DuckDB scans in ~20ms — both
+    # fixed costs that amortize with SF (TREND_r06.json: 174x->56x and
+    # 106x->55x, all 13 entries falling)
     "bloom_semi_join", "constraint_violations",
 ]
 
