@@ -124,3 +124,47 @@ def kaplan_meier(
         "c",
         F.sum(F.col("d") + F.col("c")).over(w).alias("n_at_risk"),
     )
+
+
+def rank_corr_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Integer sufficient statistics of the Spearman rank correlation
+    per group: ``(group..., n, sum_rx, sum_ry, sum_rx2, sum_ry2,
+    sum_rxy)`` over ``RANK()`` ranks (min-rank tie semantics —
+    deterministic and identical across engines, unlike average-rank
+    which is fractional).
+
+    Spearman-with-ties is Pearson over the ranks, so these BIGINT
+    moment sums determine rho exactly; the final float division is the
+    consumer's one-liner — the same transcendental-free contract as
+    ``chi_square_cells`` / ``logistic_sufficient_stats``.
+
+    Plan: one exchange on the group key, two in-partition sorts (one
+    per rank order — Catalyst reuses the exchange), one hash aggregate
+    to a group-sized frame.  NULL x or y rows are excluded up front
+    (both ranks must exist).  Overflow contract: ``sum(rank^2) <=
+    n^3/3`` must fit int64 — n per group below ~2e6; shard or lift to
+    DECIMAL(38,0) past that.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    src = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    wx = Window.partitionBy(*group_cols).orderBy(x_col)
+    wy = Window.partitionBy(*group_cols).orderBy(y_col)
+    ranked = src.select(
+        *group_cols,
+        F.rank().over(wx).cast("long").alias("__rx"),
+        F.rank().over(wy).cast("long").alias("__ry"),
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rx").cast("long").alias("sum_rx"),
+        F.sum("__ry").cast("long").alias("sum_ry"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("long").alias("sum_rx2"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("long").alias("sum_ry2"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("long").alias("sum_rxy"),
+    )

@@ -303,3 +303,59 @@ def pq_distortion_stats(
             F.sum(F.pmod("s.best", F.lit(k))).cast("long").alias("code_sum"),
         )
     )
+
+
+def int8_quant_error_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Integer-exact reconstruction-error profile of int8 SCALAR
+    quantization — the simplest compressed-vector tier (4 bytes/dim ->
+    1 byte/dim; PQ's m-bytes-per-VECTOR is the next step down).
+
+    Per group: ``(group, n_vectors, sum_sq_err_q, max_abs_err_q)``
+    where each element's error is measured between the e4-quantized
+    original (``floor(x*scale+0.5)``, the gram-matrix convention) and
+    the int8 code (``clamp(floor(x*127+0.5), -127, 127)``), cross-
+    scaled to the common grid: ``err = qx*127 - q8*scale``.  All
+    BIGINT, exact in any engine/order — the hash-checkable audit a
+    deployment runs before switching its ANN scan to the int8 column.
+
+    Plan: pure codegen'd array expressions (transform/zip_with/
+    aggregate) -> one group-sized hash aggregate; the vector column is
+    scanned once and never shuffled.  Contract: elements in ~[-1, 1]
+    (clamping past that inflates err by design and the BIGINT sum
+    holds to ~5e9 vectors/group at dim 64); larger corpora shard the
+    group key first.
+    """
+    vec = F.col(vec_col)
+    qx = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    q8 = F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * 127 + F.lit(0.5)).cast("long"),
+            ),
+        ),
+    )
+    err = F.zip_with(qx, q8, lambda a, b: a * 127 - b * scale)
+    sq = F.aggregate(
+        err, F.lit(0).cast("long"), lambda acc, e: acc + e * e
+    )
+    mx = F.array_max(F.transform(err, lambda e: F.abs(e)))
+    return (
+        df.where(vec.isNotNull() & (F.size(vec) > 0))
+        .select(F.col(group_col), sq.alias("__sq"), mx.alias("__mx"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("__sq").cast("long").alias("sum_sq_err_q"),
+            F.max("__mx").cast("long").alias("max_abs_err_q"),
+        )
+    )

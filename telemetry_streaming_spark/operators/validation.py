@@ -191,3 +191,103 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def validate_windowed(
+    df: DataFrame,
+    rules: list[Rule],
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Windowed data-quality monitor: per tumbling window and rule, the
+    exact violation count — ``(window_start, window_end, rule,
+    n_violations)``.  The streaming tier of :func:`validate`: a
+    100 TB ingest wants its contracts watched per arrival window, not
+    only audited in batch.
+
+    STREAM-SAFE by construction: every rule is evaluated as a ROW-level
+    flag before aggregation, so the whole monitor is ONE stateful
+    windowed aggregate (append emission under ``watermark``) no matter
+    how many rules ride it:
+
+    - row-local rules flag via their predicate (stateless);
+    - :func:`referential` rules flag via the Bloom literal probe (a
+      definite violation on miss) plus a stream-static LEFT join
+      against the reference keys for the probe hits — the join key is
+      NULLed for misses so they never look up, and a hit with no match
+      is the exact dangling-FK flag.  No false positives survive: the
+      result is exactly batch ``validate``'s count.
+    - :func:`unique` is rejected: primary-key uniqueness is global
+      state, not a window property (run it in the batch audit).
+
+    Plan: scan -> flags (codegen'd) -> optional broadcast left join ->
+    one windowed hash aggregate -> stack unpivot.  Shuffle carries
+    O(windows x rules) cells after map-side combine.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    if any(r.kind == "unique" for r in rules):
+        raise ValueError(
+            "unique() is global state, not a window property — "
+            "run it in the batch validate()"
+        )
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    flags: list[tuple[str, Column]] = []
+    for i, r in enumerate(rules):
+        if r.kind == "row":
+            flags.append((r.name, r.predicate))
+        elif r.kind == "referential":
+            from telemetry_streaming_spark.operators.bloomfilter import (
+                build_bloom,
+                shrink_bloom,
+                with_bloom_probe,
+            )
+
+            fk = F.col(r.cols[0])
+            ref_keys = (
+                r.ref.select(F.col(r.ref_col).alias(f"__ref{i}")).distinct()
+            )
+            table = shrink_bloom(build_bloom(ref_keys, f"__ref{i}"))
+            src = with_bloom_probe(
+                src,
+                r.cols[0],
+                table,
+                m_bits=len(table) * 64,
+                n_hashes=3,
+                flag_col=f"__hit{i}",
+            )
+            # NULL the join key for probe misses (definite violations,
+            # no lookup needed) and for NULL FKs (not_null's business)
+            src = src.withColumn(
+                f"__jk{i}",
+                F.when(fk.isNotNull() & F.col(f"__hit{i}"), fk),
+            ).join(
+                F.broadcast(ref_keys),
+                F.col(f"__jk{i}") == F.col(f"__ref{i}"),
+                "left",
+            )
+            flags.append(
+                (
+                    r.name,
+                    fk.isNotNull()
+                    & (~F.col(f"__hit{i}") | F.col(f"__ref{i}").isNull()),
+                )
+            )
+        else:
+            raise ValueError(f"unsupported rule kind for windows: {r.kind!r}")
+    agg = src.groupBy(F.window(ts_col, window).alias("w")).agg(
+        *[
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+            for i, (_n, flag) in enumerate(flags)
+        ]
+    )
+    stack_args = ", ".join(f"'{name}', __v{i}" for i, (name, _f) in enumerate(flags))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.expr(f"stack({len(flags)}, {stack_args}) AS (rule, n_violations)"),
+    )

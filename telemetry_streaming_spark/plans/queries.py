@@ -3186,6 +3186,41 @@ def bigram_path_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_path_stats(docs, lm_docs=docs.where(F.col("lang") == "en"))
 
 
+@query(
+    "int8_quant_error",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               [CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) * 127
+                - greatest(CAST(-127 AS BIGINT),
+                           least(CAST(127 AS BIGINT),
+                                 CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5)
+                                      AS BIGINT))) * 10000
+                FOR x IN embedding] AS err
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(list_sum([v * v FOR v IN err])) AS BIGINT) AS sum_sq_err_q,
+           CAST(MAX(list_max([abs(v) FOR v IN err])) AS BIGINT) AS max_abs_err_q
+    FROM e GROUP BY label
+    """,
+)
+def int8_quant_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: int8 scalar-quantization reconstruction-error audit
+    (operators/pq.py:int8_quant_error_stats) — per label, the exact
+    BIGINT sum of squared cross-scaled errors between the e4-quantized
+    original and the clamped int8 code, plus the worst element.  The
+    check a deployment runs before switching its ANN scan from the
+    float column to a 1-byte-per-dim one; codegen'd array expressions,
+    one scan, no shuffle wider than the group key."""
+    from telemetry_streaming_spark.operators.pq import int8_quant_error_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return int8_quant_error_stats(emb)
+
+
 @query("pq_codes")
 def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: product quantization (operators/pq.py) — train m=4
@@ -7629,6 +7664,41 @@ def supplier_balance_pct_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_qty_rank_corr",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rx,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS ry
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rx) AS BIGINT) AS sum_rx,
+           CAST(SUM(ry) AS BIGINT) AS sum_ry,
+           CAST(SUM(rx * rx) AS BIGINT) AS sum_rx2,
+           CAST(SUM(ry * ry) AS BIGINT) AS sum_ry2,
+           CAST(SUM(rx * ry) AS BIGINT) AS sum_rxy
+    FROM r GROUP BY 1
+    """,
+)
+def price_qty_rank_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Spearman rank-correlation sufficient statistics per
+    return flag (operators/experiment.py:rank_corr_stats) — BIGINT moment
+    sums over RANK() ranks (min-rank ties, engine-portable), from which
+    rho is one float division away.  The monotone-dependence screen an
+    analyst runs where Pearson is distorted by heavy tails.  One
+    exchange on the group key, two in-partition sorts, one aggregate."""
+    from telemetry_streaming_spark.operators.experiment import rank_corr_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return rank_corr_stats(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+
+
+@query(
     "experiment_chisq",
     oracle="""
     WITH base AS (
@@ -8048,6 +8118,80 @@ def constraint_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "windowed_violations",
+    oracle="""
+    WITH w AS (
+        SELECT 86400 * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS ws,
+               value, event_type, user_id
+        FROM events
+    )
+    SELECT ws AS window_start_s, 'events.value_range' AS rule,
+           CAST(SUM(CASE WHEN value IS NOT NULL
+                         AND NOT (value BETWEEN 0 AND 400)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM w GROUP BY 1
+    UNION ALL
+    SELECT ws, 'events.type_domain',
+           CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                         ('click', 'view', 'purchase', 'signup')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM w GROUP BY 1
+    UNION ALL
+    SELECT ws, 'events.user_not_null',
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM w GROUP BY 1
+    UNION ALL
+    SELECT ws, 'events.user_in_small_cohort',
+           CAST(SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN
+                         (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM w GROUP BY 1
+    """,
+)
+def windowed_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the STREAMING tier of constraint validation
+    (operators/validation.py:validate_windowed) — per tumbling day and
+    rule, the exact violation count.  Every rule evaluates as a
+    row-level flag before aggregation (referential = Bloom-literal
+    probe + broadcast stream-static left join, misses never look up),
+    so the whole monitor is ONE stateful windowed aggregate no matter
+    how many rules ride it — stream == batch pinned in
+    tests/test_validation.py."""
+    from telemetry_streaming_spark.operators.validation import (
+        accepted_values,
+        in_range,
+        not_null,
+        referential,
+        validate_windowed,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    cohort = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    out = validate_windowed(
+        events,
+        [
+            in_range("events.value_range", "value", 0, 400),
+            accepted_values(
+                "events.type_domain",
+                "event_type",
+                ["click", "view", "purchase", "signup"],
+            ),
+            not_null("events.user_not_null", "user_id"),
+            referential(
+                "events.user_in_small_cohort", "user_id", cohort, "c_custkey"
+            ),
+        ],
+        "ts",
+        window="1 day",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "rule",
+        "n_violations",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hygiene: C4-style within-source boilerplate (Raffel et al. 2020 §2.2 /
 # RefinedWeb line-wise filter) over the shared chunking convention.
@@ -8336,7 +8480,8 @@ _FRONT_WINDOW = [
     "kmeans_silhouette",
     # r6 additions (parity-checked at sf0.001 + sf0.01 before landing);
     # each claims an anchor slot — the window stays exactly 50:
-    "pq_distortion_stats", "bigram_path_stats",
+    "pq_distortion_stats", "bigram_path_stats", "windowed_violations",
+    "int8_quant_error", "price_qty_rank_corr",
     # anchors (hash-green in CORRECTNESS_r05); r6 additions replace
     # these one-for-one as they land:
     "dedup_normalized", "conversion_delay_buckets",
@@ -8358,8 +8503,6 @@ _FRONT_WINDOW = [
     "revenue_gini",
     "experiment_chisq", "survival_churn", "ewma_revenue",
     "bloom_semi_join", "pagerank_top", "windowed_drift",
-    "constraint_violations",
-    "boilerplate_chunks", "dup_cluster_keep",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

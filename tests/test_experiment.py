@@ -77,3 +77,70 @@ def test_kaplan_meier_at_risk_is_monotone_and_conserves_mass(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["n_at_risk"] == prev["n_at_risk"] - prev["d"] - prev["c"]
     assert rows[-1]["n_at_risk"] == rows[-1]["d"] + rows[-1]["c"]
+
+
+class TestRankCorrStats:
+    def test_matches_python_replica_with_ties(self, spark):
+        """RANK() min-rank tie semantics, moment sums exact — and the
+        derived rho equals scipy-free Pearson-over-ranks."""
+        import random
+
+        from pyspark.sql import Row
+
+        from telemetry_streaming_spark.operators.experiment import rank_corr_stats
+
+        rng = random.Random(13)
+        rows = [
+            ("g1", rng.randint(0, 20), rng.randint(0, 5))  # heavy ties
+            for _ in range(200)
+        ] + [("g2", i, -i) for i in range(50)]  # perfect anti-monotone
+        df = spark.createDataFrame(
+            [Row(g=g, x=float(x), y=float(y)) for g, x, y in rows]
+        )
+
+        def min_rank(vals):
+            s = sorted(vals)
+            first = {}
+            for i, v in enumerate(s):
+                first.setdefault(v, i + 1)
+            return [first[v] for v in vals]
+
+        want = {}
+        for g in ("g1", "g2"):
+            xs = [x for gg, x, _ in rows if gg == g]
+            ys = [y for gg, _, y in rows if gg == g]
+            rx, ry = min_rank(xs), min_rank(ys)
+            want[g] = (
+                len(rx),
+                sum(rx), sum(ry),
+                sum(r * r for r in rx), sum(r * r for r in ry),
+                sum(a * b for a, b in zip(rx, ry)),
+            )
+        got = {
+            r["g"]: (r["n"], r["sum_rx"], r["sum_ry"],
+                     r["sum_rx2"], r["sum_ry2"], r["sum_rxy"])
+            for r in rank_corr_stats(df, ["g"], "x", "y").collect()
+        }
+        assert got == want
+        # rho from the g2 sufficient stats must be exactly -1
+        n, sx, sy, sx2, sy2, sxy = got["g2"]
+        num = n * sxy - sx * sy
+        den = ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) ** 0.5
+        assert abs(num / den + 1.0) < 1e-12
+
+    def test_null_rows_excluded_and_validation(self, spark):
+        from pyspark.sql import Row
+
+        from telemetry_streaming_spark.operators.experiment import rank_corr_stats
+
+        df = spark.createDataFrame(
+            [Row(g="a", x=1.0, y=2.0), Row(g="a", x=None, y=3.0),
+             Row(g="a", x=4.0, y=None)],
+            "g string, x double, y double",
+        )
+        (row,) = rank_corr_stats(df, ["g"], "x", "y").collect()
+        assert row["n"] == 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            rank_corr_stats(df, [], "x", "y")

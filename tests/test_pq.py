@@ -241,3 +241,45 @@ class TestPqDistortionStats:
         )
         with pytest.raises(ValueError, match="need >="):
             pq_distortion_stats(few, m=2, k=8)
+
+
+class TestInt8QuantError:
+    def test_matches_integer_replica(self, spark, emb):
+        from telemetry_streaming_spark.operators.pq import int8_quant_error_stats
+
+        df = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rows = df.orderBy("vec_id").collect()
+        want = {}
+        for r in rows:
+            if r.embedding is None or not len(r.embedding):
+                continue
+            sq = mx = 0
+            for x in r.embedding:
+                qx = int(np.floor(float(x) * 10_000 + 0.5))
+                q8 = max(-127, min(127, int(np.floor(float(x) * 127 + 0.5))))
+                e = qx * 127 - q8 * 10_000
+                sq += e * e
+                mx = max(mx, abs(e))
+            n, s, m = want.get(r.label, (0, 0, 0))
+            want[r.label] = (n + 1, s + sq, max(m, mx))
+        got = {
+            r["label"]: (r["n_vectors"], r["sum_sq_err_q"], r["max_abs_err_q"])
+            for r in int8_quant_error_stats(df).collect()
+        }
+        assert got == want
+
+    def test_clamps_out_of_range_elements(self, spark):
+        from pyspark.sql import Row
+
+        from telemetry_streaming_spark.operators.pq import int8_quant_error_stats
+
+        df = spark.createDataFrame(
+            [Row(label=1, embedding=[2.0]), Row(label=1, embedding=None)],
+            "label int, embedding array<float>",
+        )
+        (row,) = int8_quant_error_stats(df).collect()
+        # qx = 20000, q8 clamps to 127: err = 20000*127 - 127*10000
+        e = 20_000 * 127 - 127 * 10_000
+        assert (row["n_vectors"], row["sum_sq_err_q"], row["max_abs_err_q"]) == (
+            1, e * e, e,
+        )

@@ -134,3 +134,169 @@ def test_clean_table_reports_zero_rows_per_rule(spark):
     df = spark.createDataFrame([Row(a=1), Row(a=2)])
     got = _counts(validate(df, [not_null("nn", "a"), unique("u", "a")]))
     assert got == {"nn": 0, "u": 0}
+
+
+def test_validate_windowed_hand_case(spark):
+    """Per-window exact counts, including an exact referential flag:
+    bloom miss OR confirmed-dangling hit, NULL FK skipped."""
+    from telemetry_streaming_spark.operators.validation import validate_windowed
+
+    base = 1_600_000_000  # window-aligned
+    hour = 3600
+    rows = [
+        # window A: one range violation, one dangling fk, one NULL fk
+        (base + 10, 500.0, 1),
+        (base + 20, 5.0, 999),
+        (base + 30, 5.0, None),
+        # window B: clean
+        (base + hour + 10, 5.0, 2),
+    ]
+    df = spark.createDataFrame(
+        [Row(ts=t, v=v, fk=k) for t, v, k in rows],
+        "ts long, v double, fk int",
+    ).select(F.timestamp_seconds("ts").alias("ts"), "v", "fk")
+    ref = spark.createDataFrame([Row(pk=i) for i in range(10)])
+    out = validate_windowed(
+        df,
+        [
+            in_range("rng", "v", 0, 100),
+            not_null("nn", "fk"),
+            referential("ref", "fk", ref, "pk"),
+        ],
+        "ts",
+        window="1 hour",
+    )
+    got = {
+        (int(r["window_start"].timestamp()), r["rule"]): r["n_violations"]
+        for r in out.collect()
+    }
+    wa = base - base % hour
+    assert got == {
+        (wa, "rng"): 1, (wa, "nn"): 1, (wa, "ref"): 1,
+        (wa + hour, "rng"): 0, (wa + hour, "nn"): 0, (wa + hour, "ref"): 0,
+    }
+
+
+def test_validate_windowed_sums_to_batch_validate(spark):
+    """Window totals summed over all windows must equal the batch
+    audit's counts — the two tiers share one definition."""
+    import random
+
+    from telemetry_streaming_spark.operators.validation import validate_windowed
+
+    rng = random.Random(41)
+    rows = [
+        (1_600_000_000 + rng.randint(0, 3 * 86_400),
+         float(rng.randint(-50, 150)),
+         rng.choice([rng.randint(0, 30), None]))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [Row(ts=t, v=v, fk=k) for t, v, k in rows], "ts long, v double, fk int"
+    ).select(F.timestamp_seconds("ts").alias("ts"), "v", "fk")
+    ref = spark.createDataFrame([Row(pk=i) for i in range(0, 30, 2)])
+    rules = lambda: [
+        in_range("rng", "v", 0, 100),
+        not_null("nn", "fk"),
+        referential("ref", "fk", ref, "pk"),
+    ]
+    windowed = validate_windowed(df, rules(), "ts", window="6 hours")
+    summed = {
+        r["rule"]: r["total"]
+        for r in windowed.groupBy("rule")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    batch = _counts(validate(df, rules()))
+    assert summed == batch
+
+
+def test_validate_windowed_rejects_unique(spark):
+    from telemetry_streaming_spark.operators.validation import validate_windowed
+
+    df = spark.createDataFrame([Row(ts=1, k=1)]).select(
+        F.timestamp_seconds("ts").alias("ts"), "k"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        validate_windowed(df, [unique("u", "k")], "ts")
+    with pytest.raises(ValueError):
+        validate_windowed(df, [], "ts")
+
+
+def test_validate_windowed_streams_and_matches_batch(spark, tmp_path):
+    """The monitor is ONE stateful windowed aggregate: it runs under a
+    watermark with append emission, and a closed window's rows equal
+    the batch run on the same events."""
+    import json
+    import uuid
+
+    from telemetry_streaming_spark.operators.validation import validate_windowed
+    from telemetry_streaming_spark.streaming.core import (
+        checkpoint_path,
+        drain,
+        stop_quietly,
+        text_file_source,
+    )
+
+    base = 1_600_000_000
+    win_a = [
+        (base + 10, 500.0, 1),
+        (base + 20, 5.0, 999),
+        (base + 30, 5.0, 3),
+    ]
+    flusher = [(base + 7_200, 5.0, 2)]
+
+    def write(rows):
+        import os
+
+        d = str(tmp_path / "in")
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/{uuid.uuid4().hex}.txt", "w") as f:
+            f.write("\n".join(
+                json.dumps({"ts_s": t, "v": v, "fk": k}) for t, v, k in rows
+            ) + "\n")
+        return d
+
+    in_dir = write(win_a)
+    raw = text_file_source(spark, in_dir)
+    parsed = raw.select(
+        F.timestamp_seconds(
+            F.get_json_object("value", "$.ts_s").cast("long")
+        ).alias("ts"),
+        F.get_json_object("value", "$.v").cast("double").alias("v"),
+        F.get_json_object("value", "$.fk").cast("int").alias("fk"),
+    )
+    ref = spark.createDataFrame([Row(pk=i) for i in range(10)])
+    rules = lambda: [
+        in_range("rng", "v", 0, 100),
+        referential("ref", "fk", ref, "pk"),
+    ]
+    monitored = validate_windowed(
+        parsed, rules(), "ts", window="1 hour", watermark="0 seconds"
+    )
+    name = f"viol_test_{uuid.uuid4().hex[:8]}"
+    query = (
+        monitored.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path("viol", str(tmp_path / "ck")))
+        .start()
+    )
+    try:
+        drain(query)
+        write(flusher)
+        drain(query)
+        got = sorted(
+            (int(r["window_start"].timestamp()), r["rule"], r["n_violations"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+    finally:
+        stop_quietly(query)
+    batch_df = spark.createDataFrame(
+        [Row(ts=t, v=v, fk=k) for t, v, k in win_a], "ts long, v double, fk int"
+    ).select(F.timestamp_seconds("ts").alias("ts"), "v", "fk")
+    batch = sorted(
+        (int(r["window_start"].timestamp()), r["rule"], r["n_violations"])
+        for r in validate_windowed(batch_df, rules(), "ts", window="1 hour").collect()
+    )
+    assert got == batch and len(got) == 2
