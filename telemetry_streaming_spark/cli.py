@@ -915,9 +915,27 @@ def run_compact(spark, args):
         )
     n_files = max(1, -(-total // (args.target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(args.input_path)
-    out = df.repartition(int(n_files))
-    if args.sort_by:
-        out = out.sortWithinPartitions(*args.sort_by.split(","))
+    if getattr(args, "zorder_by", None):
+        if args.sort_by:
+            raise SystemExit("--sort-by and --zorder-by are mutually exclusive")
+        from pyspark.sql import functions as F
+
+        from telemetry_streaming_spark.functions.zorder import with_zorder_key
+
+        # Morton-cluster: contiguous z-key ranges per file tighten the
+        # per-file min/max of EVERY interleaved column, so conjunctive
+        # filters prune files multiplicatively (single-column sort only
+        # bounds its own column)
+        keyed = with_zorder_key(df, args.zorder_by.split(","))
+        out = (
+            keyed.repartitionByRange(int(n_files), F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        out = df.repartition(int(n_files))
+        if args.sort_by:
+            out = out.sortWithinPartitions(*args.sort_by.split(","))
     out.write.mode("overwrite").parquet(args.output_path)
     written = [
         f for root, _d, fs in os.walk(args.output_path)
@@ -1424,6 +1442,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-path")
     p.add_argument("--target-file-mb", type=int, default=256)
     p.add_argument("--sort-by", help="comma-separated within-file clustering columns")
+    p.add_argument("--zorder-by",
+                   help="comma-separated numeric columns to Morton-cluster "
+                        "(multi-column min/max skipping; excludes --sort-by)")
 
     p = sub.add_parser("report", help="dataset-card JSON over a documents parquet")
     p.add_argument("--input-path")
