@@ -890,6 +890,70 @@ def run_maintain(spark, args):
         )
 
 
+def run_rollup(spark, args):
+    """Incremental materialized rollup with a crash-safe manifest —
+    the reference's daily batch aggregation (``--from/--to`` over
+    date-named S3 subdirs, ErrorAggregatorBase.scala:280-300) run as a
+    self-maintaining materialized view: each invocation aggregates
+    ONLY the input date directories the manifest has not seen and
+    appends them as ``date=<d>`` partitions of the rollup.
+
+    Idempotent restart without staging: the per-date aggregate is
+    deterministic and written with dynamic overwrite of exactly its
+    own partition, and the manifest (``_manifest.json`` — the
+    underscore keeps Spark's readers from treating it as data) is
+    replaced atomically AFTER each date commits.  A crash mid-write
+    leaves the date out of the manifest, so the rerun overwrites the
+    same partition with the same bytes-equivalent rows; a crash after
+    the write but before the manifest update does the same.  At 100 TB
+    this is the cheap nightly path: touched partitions only, never a
+    full recompute.
+
+    Aggregate grain: ``--group-by`` columns, row count, and an exact
+    integer-cents sum of ``--sum-col`` (the windowed_sum convention).
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    _require(args, "input-path", "output-path", "group-by")
+    manifest_path = os.path.join(args.output_path, "_manifest.json")
+    done: set[str] = set()
+    if os.path.exists(manifest_path):
+        done = set(_json.loads(open(manifest_path).read())["dates"])
+    dates = sorted(
+        d
+        for d in os.listdir(args.input_path)
+        if os.path.isdir(os.path.join(args.input_path, d)) and not d.startswith(("_", "."))
+    )
+    todo = [d for d in dates if d not in done]
+    group_cols = args.group_by.split(",")
+    os.makedirs(args.output_path, exist_ok=True)
+    for d in todo:
+        df = spark.read.parquet(os.path.join(args.input_path, d))
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        if args.sum_col:
+            aggs.append(
+                F.sum(
+                    F.floor(F.col(args.sum_col) * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias(f"sum_{args.sum_col}_cents")
+            )
+        agg = df.groupBy(*group_cols).agg(*aggs)
+        agg.write.mode("overwrite").parquet(
+            os.path.join(args.output_path, f"date={d}")
+        )
+        done.add(d)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps({"dates": sorted(done)}))
+        os.replace(tmp, manifest_path)  # atomic commit per date
+    print(f"rollup_dates_total: {len(dates)}")
+    print(f"rollup_dates_processed: {len(todo)}")
+    print(f"rollup_dates_skipped: {len(dates) - len(todo)}")
+
+
 def run_compact(spark, args):
     """Small-files compaction: rewrite a parquet dir into
     ~--target-file-mb files (sized from the actual on-disk bytes, so
@@ -1437,6 +1501,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--explain", action="store_true")
 
+    p = sub.add_parser("rollup", help="incremental date-partitioned rollup (manifest-driven)")
+    p.add_argument("--input-path", help="dir of date-named parquet subdirs")
+    p.add_argument("--output-path", help="rollup dir (date=<d> partitions + _manifest.json)")
+    p.add_argument("--group-by", help="comma-separated grain columns")
+    p.add_argument("--sum-col", help="numeric column summed as exact integer cents")
+
     p = sub.add_parser("compact", help="small-files parquet compaction")
     p.add_argument("--input-path")
     p.add_argument("--output-path")
@@ -1481,6 +1551,7 @@ RUNNERS = {
     "sql": run_sql,
     "report": run_report,
     "compact": run_compact,
+    "rollup": run_rollup,
 }
 
 

@@ -20,7 +20,7 @@ def test_parser_covers_all_jobs():
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
         "minhash_index", "maintain", "ann_index", "sql", "report", "compact",
-        "train",
+        "rollup", "train",
     }
 
 
@@ -935,3 +935,73 @@ def test_cli_maintain_admit_compact_verify_with_crash_restart(spark, tmp_path, c
     assert "maintain_admitted_total: 2" in out2
     assert "maintain_reprobe_found: 2" in out2
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {201, 301}
+
+
+def test_cli_rollup_incremental_with_crash_restart(spark, tmp_path, capsys):
+    """Manifest-driven incremental rollup: first run materializes all
+    date partitions, a second run is a no-op, a new date processes
+    alone, and a simulated crash (partition written, manifest not yet
+    committed) converges on rerun — the rollup always equals a direct
+    full aggregate."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.cli import main
+
+    src = tmp_path / "in"
+    def day(d, rows):
+        spark.createDataFrame(
+            [Row(event_type=t, value=float(v)) for t, v in rows]
+        ).write.mode("overwrite").parquet(str(src / d))
+
+    day("20240101", [("click", 1.25), ("click", 2.0), ("view", 0.5)])
+    day("20240102", [("view", 3.0)])
+    out = str(tmp_path / "roll")
+    args = ["rollup", "--input-path", str(src), "--output-path", out,
+            "--group-by", "event_type", "--sum-col", "value"]
+
+    def rollup_totals():
+        df = spark.read.parquet(out)
+        return {
+            (r["event_type"],): (r["n"], r["s"])
+            for r in df.groupBy("event_type")
+            .agg(F.sum("n_rows").alias("n"), F.sum("sum_value_cents").alias("s"))
+            .collect()
+        }
+
+    main(args, spark=spark)
+    assert "rollup_dates_processed: 2" in capsys.readouterr().out
+    assert rollup_totals() == {("click",): (2, 325), ("view",): (2, 350)}
+
+    # rerun: nothing new
+    main(args, spark=spark)
+    assert "rollup_dates_processed: 0" in capsys.readouterr().out
+
+    # new date processes alone
+    day("20240103", [("click", 10.0)])
+    main(args, spark=spark)
+    assert "rollup_dates_processed: 1" in capsys.readouterr().out
+    assert rollup_totals()[("click",)] == (3, 1325)
+
+    # crash window: partition written but manifest not committed —
+    # rewind the manifest and rerun; the overwrite converges
+    m = _json.loads(open(os.path.join(out, "_manifest.json")).read())
+    m["dates"].remove("20240103")
+    open(os.path.join(out, "_manifest.json"), "w").write(_json.dumps(m))
+    main(args, spark=spark)
+    assert "rollup_dates_processed: 1" in capsys.readouterr().out
+    assert rollup_totals() == {("click",): (3, 1325), ("view",): (2, 350)}
+
+    # crash window: partition half-written (dir exists, no manifest
+    # entry) — overwrite mode replaces it wholesale
+    shutil.rmtree(os.path.join(out, "date=20240102"))
+    os.makedirs(os.path.join(out, "date=20240102"))
+    m["dates"] = ["20240101", "20240103"]
+    open(os.path.join(out, "_manifest.json"), "w").write(_json.dumps(m))
+    main(args, spark=spark)
+    capsys.readouterr()
+    assert rollup_totals() == {("click",): (3, 1325), ("view",): (2, 350)}
