@@ -1082,6 +1082,78 @@ def run_report(spark, args):
             f.write(out + "\n")
 
 
+PLAN_LINT_RULES = (
+    # (severity, pattern, message)
+    ("error", "CartesianProduct",
+     "non-broadcast cross join: O(n*m) at scale — broadcast the small "
+     "side or add an equi-join key"),
+    ("error", "BatchEvalPython",
+     "row-at-a-time Python UDF in the plan — use built-in functions or "
+     "an Arrow-batched pandas UDF (ArrowEvalPython)"),
+)
+
+
+def lint_plan(plan: str) -> list[tuple[str, str]]:
+    """Scan a formatted physical plan for the anti-patterns that
+    silently kill a 100TB run.  Returns (severity, message) findings;
+    the same patterns the repo's plan-shape tests gate, exposed as an
+    operator-facing pre-launch check."""
+    import re as _re
+
+    findings = []
+    for sev, pat, msg in PLAN_LINT_RULES:
+        if pat in plan:
+            findings.append((sev, f"{pat}: {msg}"))
+    # a GLOBAL sort (the `true` flag in the Sort node's Arguments; in
+    # formatted mode the detail block reads `(n) Sort ... Arguments:
+    # [...], true, 0`) that is not a TakeOrdered top-k is an all-data
+    # sort — warn
+    if "TakeOrderedAndProject" not in plan:
+        if _re.search(
+            r"\(\d+\) Sort\b[^(]*?Arguments: \[[^\]]*\], true,", plan, _re.S
+        ) or _re.search(r"\bSort \[[^\]]*\], true,", plan):
+            findings.append(
+                ("warn",
+                 "global Sort without a limit: all rows sort on one "
+                 "ordering — confirm this is a deliberate final "
+                 "ordering, or use TakeOrdered/top-k")
+            )
+    return findings
+
+
+def run_lint(spark, args):
+    """Pre-launch plan review for registry queries: build each plan
+    (no execution beyond what plan construction itself requires) and
+    report scale anti-patterns.  --strict exits nonzero on any
+    error-severity finding — the CI hook form."""
+    from telemetry_streaming_spark.plans.queries import QUERIES
+
+    names = list(QUERIES) if args.all else (args.query or "").split(",")
+    bad = [n for n in names if n not in QUERIES]
+    if bad or not names or names == [""]:
+        raise SystemExit(f"unknown or missing query names: {bad or '(none given)'}")
+    n_errors = 0
+    for name in names:
+        try:
+            df = QUERIES[name].fn(spark, args.sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # a query that cannot even plan is a finding
+            print(f"{name}: error: failed to build plan: {exc}")
+            n_errors += 1
+            continue
+        findings = lint_plan(plan)
+        for sev, msg in findings:
+            print(f"{name}: {sev}: {msg}")
+            if sev == "error":
+                n_errors += 1
+        if not findings:
+            print(f"{name}: clean")
+    if args.strict and n_errors:
+        raise SystemExit(f"lint: {n_errors} error finding(s)")
+
+
 def run_sql(spark, args):
     """Ad-hoc SQL over the registered tables — the query-engine face
     of the repo: every parquet table in --sf-dir becomes a temp view
@@ -1521,6 +1593,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-path", help="also write the JSON here")
     p.add_argument("--span-ngram", type=int, default=8)
 
+    p = sub.add_parser("lint", help="scale anti-pattern scan over registry query plans")
+    p.add_argument("--query", help="comma-separated registry query names")
+    p.add_argument("--all", action="store_true", help="lint every registry query")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    p.add_argument("--strict", action="store_true", help="exit nonzero on error findings")
+
     p = sub.add_parser("sql", help="ad-hoc SQL over the registered tables")
     p.add_argument("--query", help="the SQL statement")
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -1549,6 +1627,7 @@ RUNNERS = {
     "maintain": run_maintain,
     "ann_index": run_ann_index,
     "sql": run_sql,
+    "lint": run_lint,
     "report": run_report,
     "compact": run_compact,
     "rollup": run_rollup,

@@ -19,8 +19,8 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "maintain", "ann_index", "sql", "report", "compact",
-        "rollup", "train",
+        "minhash_index", "maintain", "ann_index", "sql", "lint", "report",
+        "compact", "rollup", "train",
     }
 
 
