@@ -121,6 +121,14 @@ HEADLINE = [
     "pagerank_top",
     "windowed_drift",
     "constraint_violations",
+    # r6 additions with real work at sf0.1 (>=0.4 s median):
+    # hash-checked companions of the rows-only trainer tiers, the
+    # streaming constraint monitor, and the new statistics queries
+    "pq_distortion_stats",
+    "bigram_path_stats",
+    "windowed_violations",
+    "int8_quant_error",
+    "price_qty_rank_corr",
 ]
 
 
@@ -150,6 +158,16 @@ TREND = [
     # fixed costs that amortize with SF (TREND_r06.json: 174x->56x and
     # 106x->55x, all 13 entries falling)
     "bloom_semi_join", "constraint_violations",
+    # r6 >=1s, >2x newcomers (ratios measured falling 0.01->0.1 before
+    # landing): pq_distortion_stats is ~2.5s of fixed plan/codegen for
+    # its m*k fold expressions + two bounded seed collects;
+    # bigram_path_stats re-explodes the corpus gram stream for the LM
+    # slice (the deliberate no-materialize decision in lm.py);
+    # windowed_violations pays the bloom build job + stream-static
+    # join analysis at flat ~1.0s; price_qty_rank_corr is two real
+    # in-partition sorts (12.5x -> 5.1x)
+    "pq_distortion_stats", "bigram_path_stats", "windowed_violations",
+    "price_qty_rank_corr",
 ]
 
 
