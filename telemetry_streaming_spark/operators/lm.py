@@ -31,22 +31,35 @@ from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, prefix_hash, pair_hash) per adjacent token pair — explode
-    positions, hash map-side, nothing wider than 8-byte keys leaves
-    the stage."""
+    """(id, prefix_hash, pair_hash) per adjacent token pair — hash
+    INSIDE a per-document transform, then explode the 16-byte pair
+    structs.  Exploding token *positions* and hashing afterwards would
+    carry the document's whole token array on every exploded row
+    (tokens-per-doc × grams-per-doc string copies — measured 2× the
+    whole scorer's runtime at sf0.1); here the array is consumed once
+    per document and nothing wider than two 8-byte keys leaves the
+    generate."""
     toks = F.split(F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"), r"\s+")
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    e = df.where(F.col(text_col).rlike(r"\S")).select(
-        F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("__i")
+    base = df.where(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col), toks.alias("__toks")
     )
-    w1 = F.element_at("__toks", F.col("__i"))
-    w2 = F.element_at("__toks", F.col("__i") + 1)
-    return e.select(
+    t = F.col("__toks")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.xxhash64(F.element_at(t, i)).alias("p_h"),
+                F.xxhash64(
+                    F.element_at(t, i), F.element_at(t, i + 1)
+                ).alias("g_h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p_h:bigint,g_h:bigint>>"))
+    return base.select(F.col(id_col), F.explode(pairs).alias("__bs")).select(
         F.col(id_col),
-        F.xxhash64(w1).alias("p_h"),
-        F.xxhash64(w1, w2).alias("g_h"),
+        F.col("__bs.p_h").alias("p_h"),
+        F.col("__bs.g_h").alias("g_h"),
     )
 
 
