@@ -272,26 +272,49 @@ def pq_distortion_stats(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(qv.alias("__q"))
 
+    # ONE loop expression per subspace over a flattened centroid
+    # literal (k*d_sub longs), not k unrolled fold trees: the unrolled
+    # form measured ~2.3s of client-side plan build + analysis +
+    # codegen at ANY scale factor — pure fixed cost this formulation
+    # removes (the per-row arithmetic is identical)
     per_sub = []
     for j in range(m):
         sv = F.slice("__q", j * d_sub + 1, d_sub)
-        combined = []
-        for code in range(k):
-            cent = F.array(
-                *[
-                    F.lit(seed_q[code][j * d_sub + i]).cast("long")
-                    for i in range(d_sub)
-                ]
-            )
-            d2 = F.aggregate(
-                F.zip_with(sv, cent, lambda a, b: (a - b) * (a - b)),
+        # ONE py4j literal call: element-wise F.lit() costs a JVM round
+        # trip each (k*d_sub*m of them measured ~2s of client time)
+        cents_flat = F.lit(
+            [
+                int(seed_q[code][j * d_sub + i])
+                for code in range(k)
+                for i in range(d_sub)
+            ]
+        ).cast("array<long>")
+        combined = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda code: F.aggregate(
+                F.sequence(F.lit(0), F.lit(d_sub - 1)),
                 F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+                lambda acc, i: acc
+                + (
+                    F.element_at(sv, (i + 1).cast("int"))
+                    - F.element_at(
+                        cents_flat, (code * d_sub + i + 1).cast("int")
+                    )
+                )
+                * (
+                    F.element_at(sv, (i + 1).cast("int"))
+                    - F.element_at(
+                        cents_flat, (code * d_sub + i + 1).cast("int")
+                    )
+                ),
             )
-            combined.append(d2 * k + code)
+            * F.lit(k)
+            + code,
+        )
         per_sub.append(
             F.struct(
-                F.lit(j).alias("subspace"), F.least(*combined).alias("best")
+                F.lit(j).alias("subspace"),
+                F.array_min(combined).alias("best"),
             )
         )
     return (
