@@ -134,7 +134,7 @@ def signed_random_projection_buckets(
     """
     bucket = F.lit(0)
     for i in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(seed * 1000 + i, dim)])
+        plane = _centroid_lit(_hyperplane(seed * 1000 + i, dim))
         bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return df.withColumn("srp_bucket", bucket)
@@ -304,7 +304,11 @@ def cosine_topk_lsh(
 
 
 def _centroid_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # one py4j literal call — element-wise F.lit() costs a JVM round
+    # trip per element (dim x nlist of them adds seconds of pure
+    # client time to plan construction; values and fold order are
+    # identical either way)
+    return F.lit([float(x) for x in vec]).cast("array<double>")
 
 
 def _py_norm(c: list[float]) -> float:
