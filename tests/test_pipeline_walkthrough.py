@@ -86,9 +86,56 @@ def test_pipeline_walkthrough(spark, tmp_path, capsys):
     assert manifest.count() == 8
     assert manifest.agg({"n_rows": "sum"}).first()[0] == n_clean
 
-    # 7. plan review prints without executing
+    # 5b. one-invocation nightly loop: admit -> compact -> verify
+    # (drop one new doc into the watched dir, then maintain)
+    incoming = f"{work}/incoming"
+    os.makedirs(incoming)
+    spark.createDataFrame(
+        [(990_001, "a brand new nightly document about engines", "en", "web", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{incoming}/night1")
+    main([
+        "maintain", "--stream-input", incoming + "/*",
+        "--corpus-path", f"{work}/clean", "--index-path", f"{work}/idx",
+        "--output-path", f"{work}/admitted",
+        "--checkpoint-path", f"{work}/maintain_ckpt",
+    ], spark=spark)
+    out = capsys.readouterr().out
+    assert "maintain_reprobe_found: 1" in out
+    assert spark.read.parquet(f"{work}/admitted").count() == 1
+
+    # 5c. incremental day-grain rollup over date-named dirs
+    # (maintain --update-index appended the admitted doc to the
+    # corpus, so count the corpus as it stands now)
+    n_corpus = spark.read.parquet(f"{work}/clean").count()
+    assert n_corpus == n_clean + 1
+    spark.read.parquet(f"{work}/clean").write.parquet(f"{work}/daily/20240101")
+    main([
+        "rollup", "--input-path", f"{work}/daily",
+        "--output-path", f"{work}/rollup", "--group-by", "source",
+    ], spark=spark)
+    assert "rollup_dates_processed: 1" in capsys.readouterr().out
+    assert (
+        spark.read.parquet(f"{work}/rollup").agg({"n_rows": "sum"}).first()[0]
+        == n_corpus
+    )
+
+    # 6b. z-order re-cluster of the shipped shards
+    main([
+        "compact", "--input-path", f"{work}/shards",
+        "--output-path", f"{work}/shards_z", "--target-file-mb", "1",
+        "--zorder-by", "doc_id,n_chars",
+    ], spark=spark)
+    assert spark.read.parquet(f"{work}/shards_z").count() == n_clean
+
+    # 7. plan review prints without executing; lint gates the launch
     main([
         "sql", "--sf-dir", SF,
         "--query", "SELECT COUNT(*) AS n FROM documents", "--explain",
     ], spark=spark)
     assert "Physical Plan" in capsys.readouterr().out
+    main([
+        "lint", "--strict", "--sf-dir", SF,
+        "--query", "dedup_minhash_lsh,similarity_topk",
+    ], spark=spark)
+    assert capsys.readouterr().out.count("clean") == 2
