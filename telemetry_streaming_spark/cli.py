@@ -940,6 +940,15 @@ def run_rollup(spark, args):
                 .cast("long")
                 .alias(f"sum_{args.sum_col}_cents")
             )
+        if args.distinct_col:
+            # mergeable datasketches HLL: the per-date sketch persists
+            # beside the counts, so cross-date distinct users never
+            # rescan history — union the binaries (below / downstream)
+            aggs.append(
+                F.hll_sketch_agg(args.distinct_col).alias(
+                    f"{args.distinct_col}_hll"
+                )
+            )
         agg = df.groupBy(*group_cols).agg(*aggs)
         agg.write.mode("overwrite").parquet(
             os.path.join(args.output_path, f"date={d}")
@@ -952,6 +961,24 @@ def run_rollup(spark, args):
     print(f"rollup_dates_total: {len(dates)}")
     print(f"rollup_dates_processed: {len(todo)}")
     print(f"rollup_dates_skipped: {len(dates) - len(todo)}")
+    if args.distinct_col and (todo or args.report_distinct):
+        # lossless union of the persisted per-date sketches: the
+        # incremental path to "distinct users all-time / per group"
+        # — reads sketch binaries only, never the raw history
+        col = f"{args.distinct_col}_hll"
+        roll = spark.read.parquet(args.output_path)
+        report = (
+            roll.groupBy(*group_cols)
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col(col)))
+                .cast("long")
+                .alias("distinct_est")
+            )
+            .orderBy(*group_cols)
+        )
+        for r in report.collect():  # bounded: one row per group
+            key = ",".join(str(r[c]) for c in group_cols)
+            print(f"rollup_distinct[{key}]: {r['distinct_est']}")
 
 
 def run_compact(spark, args):
@@ -1578,6 +1605,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-path", help="rollup dir (date=<d> partitions + _manifest.json)")
     p.add_argument("--group-by", help="comma-separated grain columns")
     p.add_argument("--sum-col", help="numeric column summed as exact integer cents")
+    p.add_argument("--distinct-col",
+                   help="also persist a mergeable HLL sketch of this column "
+                        "per date and report union distinct estimates")
+    p.add_argument("--report-distinct", action="store_true",
+                   help="print the sketch-union distinct report even when "
+                        "no new dates were processed")
 
     p = sub.add_parser("compact", help="small-files parquet compaction")
     p.add_argument("--input-path")

@@ -1005,3 +1005,43 @@ def test_cli_rollup_incremental_with_crash_restart(spark, tmp_path, capsys):
     main(args, spark=spark)
     capsys.readouterr()
     assert rollup_totals() == {("click",): (3, 1325), ("view",): (2, 350)}
+
+
+def test_cli_rollup_hll_distinct_tier(spark, tmp_path, capsys):
+    """--distinct-col persists a mergeable datasketches HLL per date;
+    the union report equals the exact distinct on this cardinality
+    (HLL lgK default is exact-ish below ~thousands) and is INCREMENTAL:
+    a new date recomputes only its own sketch, and the union report
+    over sketches matches a full recompute."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.cli import main
+
+    src = tmp_path / "in"
+
+    def day(d, users):
+        spark.createDataFrame(
+            [Row(g="x", user_id=u) for u in users]
+        ).write.mode("overwrite").parquet(str(src / d))
+
+    day("20240101", [1, 2, 3, 4])
+    day("20240102", [3, 4, 5])
+    out = str(tmp_path / "roll")
+    args = ["rollup", "--input-path", str(src), "--output-path", out,
+            "--group-by", "g", "--distinct-col", "user_id"]
+    main(args, spark=spark)
+    o = capsys.readouterr().out
+    assert "rollup_distinct[x]: 5" in o, o
+
+    # incremental: only the new date processes; union spans all three
+    day("20240103", [5, 6, 7, 8, 9])
+    main(args, spark=spark)
+    o = capsys.readouterr().out
+    assert "rollup_dates_processed: 1" in o
+    assert "rollup_distinct[x]: 9" in o, o
+
+    # no new dates: the report still prints on demand, from sketches
+    main(args + ["--report-distinct"], spark=spark)
+    o = capsys.readouterr().out
+    assert "rollup_dates_processed: 0" in o
+    assert "rollup_distinct[x]: 9" in o, o
