@@ -8502,7 +8502,7 @@ _FRONT_WINDOW = [
     "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
     "revenue_gini",
     "experiment_chisq", "survival_churn", "ewma_revenue",
-    "bloom_semi_join", "pagerank_top", "windowed_drift",
+    "bloom_semi_join", "pagerank_top",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

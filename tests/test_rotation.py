@@ -50,6 +50,16 @@ def test_front_window_names_are_registered():
     assert not unknown, f"_FRONT_WINDOW names not in registry: {unknown}"
 
 
+def test_front_window_is_exactly_window_sized():
+    """The driver checks the FIRST 50 registry entries; entry #51 of a
+    hand-edited list silently misses every round (caught drifting to
+    51 in r6)."""
+    assert len(_FRONT_WINDOW) == WINDOW_SIZE, (
+        f"_FRONT_WINDOW has {len(_FRONT_WINDOW)} entries, "
+        f"must be exactly {WINDOW_SIZE}"
+    )
+
+
 def test_front_window_has_no_duplicates():
     dupes = {n for n in _FRONT_WINDOW if _FRONT_WINDOW.count(n) > 1}
     assert not dupes, f"duplicate _FRONT_WINDOW entries: {dupes}"
