@@ -221,6 +221,12 @@ def validate_windowed(
     - :func:`unique` is rejected: primary-key uniqueness is global
       state, not a window property (run it in the batch audit).
 
+    Rows with a NULL ``ts_col`` have no window and are EXCLUDED from
+    every count (Spark's window generator drops them; a SQL mirror
+    must filter ``ts IS NOT NULL`` or it grows a NULL-window group).
+    A NULL event time is itself a contract breach — catch it with
+    ``not_null(ts)`` in the batch audit, where all rows count.
+
     Plan: scan -> flags (codegen'd) -> optional broadcast left join ->
     one windowed hash aggregate -> stack unpivot.  Shuffle carries
     O(windows x rules) cells after map-side combine.

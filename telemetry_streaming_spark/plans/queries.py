@@ -8125,6 +8125,10 @@ def constraint_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 86400 * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS ws,
                value, event_type, user_id
         FROM events
+        -- NULL-ts rows have no window in the engine (the window
+        -- generator drops them); mirror that here or this grows a
+        -- NULL-window group
+        WHERE ts IS NOT NULL
     )
     SELECT ws AS window_start_s, 'events.value_range' AS rule,
            CAST(SUM(CASE WHEN value IS NOT NULL

@@ -211,6 +211,24 @@ def test_validate_windowed_sums_to_batch_validate(spark):
     assert summed == batch
 
 
+def test_validate_windowed_drops_null_ts_rows(spark):
+    """A NULL event time has no window: the row is excluded from every
+    windowed count (documented contract — catch it with not_null(ts)
+    in the batch audit, which counts all rows)."""
+    from telemetry_streaming_spark.operators.validation import validate_windowed
+
+    df = spark.createDataFrame(
+        [Row(ts=1_600_000_000, v=500.0), Row(ts=None, v=500.0)],
+        "ts long, v double",
+    ).select(F.timestamp_seconds("ts").alias("ts"), "v")
+    out = validate_windowed(
+        df, [in_range("rng", "v", 0, 100)], "ts", window="1 hour"
+    ).collect()
+    assert len(out) == 1 and out[0]["n_violations"] == 1
+    # the batch audit still sees both rows
+    assert _counts(validate(df, [in_range("rng", "v", 0, 100)])) == {"rng": 2}
+
+
 def test_validate_windowed_rejects_unique(spark):
     from telemetry_streaming_spark.operators.validation import validate_windowed
 
