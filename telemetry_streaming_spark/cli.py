@@ -860,9 +860,14 @@ def run_maintain(spark, args):
     shutil.rmtree(args.index_path + ".old")
 
     # stage 3: re-probe — every admitted doc must find itself in the
-    # compacted index (read-only; rerun-safe)
-    admitted = spark.read.parquet(args.output_path)
-    n_adm = admitted.select("doc_id").distinct().count()
+    # compacted index (read-only; rerun-safe).  A first run over an
+    # empty watched dir admits nothing and writes no output dir at
+    # all — that is a clean no-op, not a failure.
+    if os.path.isdir(args.output_path):
+        admitted = spark.read.parquet(args.output_path)
+        n_adm = admitted.select("doc_id").distinct().count()
+    else:
+        n_adm = 0
     n_found = 0
     if n_adm:
         pairs = incremental_minhash_dedup(
@@ -961,7 +966,7 @@ def run_rollup(spark, args):
     print(f"rollup_dates_total: {len(dates)}")
     print(f"rollup_dates_processed: {len(todo)}")
     print(f"rollup_dates_skipped: {len(dates) - len(todo)}")
-    if args.distinct_col and (todo or args.report_distinct):
+    if args.distinct_col and (todo or args.report_distinct) and done:
         # lossless union of the persisted per-date sketches: the
         # incremental path to "distinct users all-time / per group"
         # — reads sketch binaries only, never the raw history

@@ -69,7 +69,8 @@ def with_zorder_key(
     bits: int = 12,
     out_col: str = "__zkey",
 ) -> DataFrame:
-    """Attach the Morton key over ``cols`` (numeric/date/timestamp).
+    """Attach the Morton key over ``cols`` (numeric or timestamp —
+    anything Spark casts to double; cast dates to timestamp first).
 
     One 1-row min/max aggregate (collected, inlined as literals), then
     a stateless projection.  Sort or range-partition by ``out_col`` to

@@ -1045,3 +1045,43 @@ def test_cli_rollup_hll_distinct_tier(spark, tmp_path, capsys):
     o = capsys.readouterr().out
     assert "rollup_dates_processed: 0" in o
     assert "rollup_distinct[x]: 9" in o, o
+
+
+def test_cli_maintain_empty_first_drain_is_a_noop(spark, tmp_path, capsys):
+    """A maintain run over an empty watched dir admits nothing, still
+    compacts the index, and verifies trivially (0 of 0) instead of
+    crashing on the missing output dir."""
+    from telemetry_streaming_spark.cli import main
+
+    corpus = spark.createDataFrame(
+        [(i, "some corpus text about the quick brown fox %d" % i)
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    cp = str(tmp_path / "corpus")
+    corpus.write.parquet(cp)
+    idx = str(tmp_path / "idx")
+    main(["minhash_index", "--mode", "build",
+          "--input-path", cp, "--index-path", idx], spark=spark)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    main(["maintain", "--stream-input", str(watch) + "/*",
+          "--corpus-path", cp, "--index-path", idx,
+          "--output-path", str(tmp_path / "out"),
+          "--checkpoint-path", str(tmp_path / "ck")], spark=spark)
+    out = capsys.readouterr().out
+    assert "maintain_admitted_total: 0" in out
+    assert "maintain_reprobe_found: 0" in out
+
+
+def test_cli_rollup_report_distinct_before_any_date_is_a_noop(spark, tmp_path, capsys):
+    from telemetry_streaming_spark.cli import main
+
+    src = tmp_path / "in"
+    src.mkdir()
+    main(["rollup", "--input-path", str(src),
+          "--output-path", str(tmp_path / "roll"), "--group-by", "g",
+          "--distinct-col", "user_id", "--report-distinct"], spark=spark)
+    out = capsys.readouterr().out
+    assert "rollup_dates_processed: 0" in out
+    assert "rollup_distinct" not in out
