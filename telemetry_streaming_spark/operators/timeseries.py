@@ -27,7 +27,7 @@ tie-break column).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from telemetry_streaming_spark.operators.joins import asof_join
@@ -115,6 +115,7 @@ def latest_snapshot(
     on: str | list[str],
     ts_col: str,
     tie_cols: list[str] | None = None,
+    delete_when: Column | None = None,
 ) -> DataFrame:
     """Change log → current snapshot: the newest row per key.
 
@@ -127,15 +128,28 @@ def latest_snapshot(
     ``tie_cols`` break ordering ties after ``ts_col`` (e.g. a log
     sequence number) — with them the result is fully deterministic
     even when a key changes twice in one timestamp.
+
+    ``delete_when`` adds Debezium-style tombstone semantics: a row
+    matching the predicate is a DELETE marker — when it is the key's
+    newest row the key vanishes from the snapshot; an older tombstone
+    is superseded by any later upsert.  The filter applies AFTER the
+    rank (one extra map-side predicate, no extra pass), exactly the
+    ``rn = 1 AND NOT op = 'd'`` form of the SQL idiom.
     """
     keys = [on] if isinstance(on, str) else list(on)
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tie_cols or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (
+    out = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if delete_when is not None:
+        # NULL predicate on the survivor row counts as "not a
+        # tombstone" (coalesce false), matching SQL's NOT(op='d')
+        # under three-valued logic only when pinned explicitly
+        out = out.where(~F.coalesce(delete_when, F.lit(False)))
+    return out
 
 
 def pattern_match_topk(

@@ -2621,6 +2621,50 @@ def latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "active_user_snapshot",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, ts_s
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def active_user_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: CDC compaction WITH tombstones
+    (operators/timeseries.py:latest_snapshot delete_when) — the
+    current-state snapshot of each user's latest event, where a
+    tombstone marker as the newest row removes the key entirely (here:
+    users whose latest event is an 'error' drop from the active set;
+    an older error superseded by any later event keeps the user).
+    Same one-shuffle WindowGroupLimit plan as latest_snapshot plus a
+    map-side predicate — the Debezium upsert-log -> table-state form
+    with deletes."""
+    from telemetry_streaming_spark.operators.timeseries import latest_snapshot
+
+    events = _t(spark, sf_dir, "events")
+    out = latest_snapshot(
+        events,
+        on="user_id",
+        ts_col="ts",
+        tie_cols=["event_id"],
+        delete_when=F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+
+
 @query("windowed_top_keys", oracle=None)
 def windowed_top_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: trending emitters per 1-hour window — the streaming-
@@ -8485,7 +8529,7 @@ _FRONT_WINDOW = [
     # r6 additions (parity-checked at sf0.001 + sf0.01 before landing);
     # each claims an anchor slot — the window stays exactly 50:
     "pq_distortion_stats", "bigram_path_stats", "windowed_violations",
-    "int8_quant_error", "price_qty_rank_corr",
+    "int8_quant_error", "price_qty_rank_corr", "active_user_snapshot",
     # anchors (hash-green in CORRECTNESS_r05); r6 additions replace
     # these one-for-one as they land:
     "dedup_normalized", "conversion_delay_buckets",
@@ -8506,7 +8550,7 @@ _FRONT_WINDOW = [
     "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
     "revenue_gini",
     "experiment_chisq", "survival_churn", "ewma_revenue",
-    "bloom_semi_join", "pagerank_top",
+    "bloom_semi_join",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

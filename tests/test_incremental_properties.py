@@ -74,3 +74,42 @@ def test_latest_snapshot_ties_resolve_deterministically(spark, rows):
         if k not in expected or (ts, seq) > expected[k]:
             expected[k] = (ts, seq)
     assert got == expected
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=snapshot_rows)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_latest_snapshot_tombstones_match_replica(spark, rows):
+    """delete_when: a key whose NEWEST row is a tombstone vanishes; an
+    older tombstone is superseded by any later upsert.  seq % 3 == 0
+    marks the tombstones, so the property mixes deletes freely into
+    the change log."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k long, ts long, seq long")
+    got = {r.k: (r.ts, r.seq) for r in latest_snapshot(
+        df, on="k", ts_col="ts", tie_cols=["seq"],
+        delete_when=F.col("seq") % 3 == 0,
+    ).collect()}
+    newest = {}
+    for k, ts, seq in rows:
+        if k not in newest or (ts, seq) > newest[k]:
+            newest[k] = (ts, seq)
+    expected = {k: v for k, v in newest.items() if v[1] % 3 != 0}
+    assert got == expected
+
+
+def test_latest_snapshot_null_tombstone_predicate_keeps_row(spark):
+    """A NULL delete predicate on the survivor (e.g. op column absent)
+    is 'not a tombstone' — pinned, because raw three-valued logic
+    would silently drop the row."""
+    from pyspark.sql import Row, functions as F
+
+    df = spark.createDataFrame(
+        [Row(k=1, ts=1, op=None), Row(k=2, ts=1, op="d")],
+        "k long, ts long, op string",
+    )
+    got = {r.k for r in latest_snapshot(
+        df, on="k", ts_col="ts", delete_when=F.col("op") == "d"
+    ).collect()}
+    assert got == {1}
