@@ -129,6 +129,7 @@ HEADLINE = [
     "windowed_violations",
     "int8_quant_error",
     "price_qty_rank_corr",
+    "active_user_snapshot",
 ]
 
 
@@ -168,6 +169,9 @@ TREND = [
     # in-partition sorts (12.5x -> 5.1x)
     "pq_distortion_stats", "bigram_path_stats", "windowed_violations",
     "price_qty_rank_corr",
+    # r6: CDC snapshot — a single window+filter whose ~0.9s is the
+    # one-exchange floor (DuckDB 50ms); ratio falls with SF
+    "active_user_snapshot",
 ]
 
 
