@@ -839,9 +839,14 @@ def run_maintain(spark, args):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, -(-total // (args.target_file_mb * 1024 * 1024)))
     staging = args.index_path + ".staging"
+    # range-partition on (band, band_key): hashing band alone lands
+    # everything in <= `bands` non-empty partitions (~1 file per band
+    # regardless of --target-file-mb); ranging on the composite key
+    # honors the file sizing AND keeps each file a contiguous
+    # band_key range for row-group skipping on the probe join
     (
         spark.read.parquet(args.index_path)
-        .repartition(int(n_files), F.col("band"))
+        .repartitionByRange(int(n_files), F.col("band"), F.col("band_key"))
         .sortWithinPartitions("band_key", "doc_id")
         .write.mode("overwrite")
         .partitionBy("band")
@@ -865,8 +870,25 @@ def run_maintain(spark, args):
     # all — that is a clean no-op, not a failure.
     if os.path.isdir(args.output_path):
         admitted = spark.read.parquet(args.output_path)
-        n_adm = admitted.select("doc_id").distinct().count()
+        # Only docs that actually produce bands can rediscover
+        # themselves: a legitimate short document (< shingle width
+        # tokens) emits no signature row (minhash_signatures
+        # contract), is admitted with no candidates, and must not
+        # fail every subsequent maintain run.  Count the probe target
+        # over banded docs only; report the short tail separately.
+        from telemetry_streaming_spark.operators.dedup import banded_signatures
+
+        n_adm_total = admitted.select("doc_id").distinct().count()
+        bandable_ids = (
+            banded_signatures(
+                admitted, num_perm=args.num_perm, bands=args.bands
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        n_adm = bandable_ids.count()
     else:
+        n_adm_total = 0
         n_adm = 0
     n_found = 0
     if n_adm:
@@ -886,7 +908,9 @@ def run_maintain(spark, args):
         )
     print(f"maintain_index_rows: {n_stag}")
     print(f"maintain_index_files: {int(n_files)}")
-    print(f"maintain_admitted_total: {n_adm}")
+    print(f"maintain_admitted_total: {n_adm_total}")
+    print(f"maintain_admitted_banded: {n_adm}")
+    print(f"maintain_admitted_short: {n_adm_total - n_adm}")
     print(f"maintain_reprobe_found: {n_found}")
     if n_found != n_adm:
         raise SystemExit(
@@ -923,9 +947,27 @@ def run_rollup(spark, args):
 
     _require(args, "input-path", "output-path", "group-by")
     manifest_path = os.path.join(args.output_path, "_manifest.json")
+    # the aggregate schema this invocation will write; persisted in
+    # the manifest so a re-invocation with different flags (e.g.
+    # --distinct-col added later) cannot silently mix heterogeneous
+    # date partitions that spark.read would then mis-unify
+    schema_cols = args.group_by.split(",") + ["n_rows"]
+    if args.sum_col:
+        schema_cols.append(f"sum_{args.sum_col}_cents")
+    if args.distinct_col:
+        schema_cols.append(f"{args.distinct_col}_hll")
     done: set[str] = set()
     if os.path.exists(manifest_path):
-        done = set(_json.loads(open(manifest_path).read())["dates"])
+        manifest = _json.loads(open(manifest_path).read())
+        done = set(manifest["dates"])
+        prev_cols = manifest.get("columns")
+        if prev_cols is not None and prev_cols != schema_cols and done:
+            raise SystemExit(
+                "rollup schema mismatch: existing partitions carry "
+                f"columns {prev_cols} but this invocation would write "
+                f"{schema_cols}; rerun with matching flags or rebuild "
+                "the rollup from scratch"
+            )
     dates = sorted(
         d
         for d in os.listdir(args.input_path)
@@ -961,7 +1003,7 @@ def run_rollup(spark, args):
         done.add(d)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(_json.dumps({"dates": sorted(done)}))
+            f.write(_json.dumps({"dates": sorted(done), "columns": schema_cols}))
         os.replace(tmp, manifest_path)  # atomic commit per date
     print(f"rollup_dates_total: {len(dates)}")
     print(f"rollup_dates_processed: {len(todo)}")

@@ -146,8 +146,15 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     fused: list[tuple[str, object]] = []
     for r in rules:
         if r.kind == "row":
+            # coalesce: SUM over zero rows is NULL — an empty (or
+            # fully filtered) frame must report 0 violations, not NULL
             fused.append(
-                (r.name, F.sum(F.when(r.predicate, 1).otherwise(0)).cast("long"))
+                (
+                    r.name,
+                    F.coalesce(
+                        F.sum(F.when(r.predicate, 1).otherwise(0)), F.lit(0)
+                    ).cast("long"),
+                )
             )
         elif r.kind == "unique":
             # Minuend counts only fully-non-null key rows: COUNT(*)
@@ -162,9 +169,10 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             fused.append(
                 (
                     r.name,
-                    (
+                    F.coalesce(
                         F.sum(F.when(all_non_null, 1).otherwise(0))
-                        - F.count_distinct(*[F.col(c) for c in r.cols])
+                        - F.count_distinct(*[F.col(c) for c in r.cols]),
+                        F.lit(0),
                     ).cast("long"),
                 )
             )

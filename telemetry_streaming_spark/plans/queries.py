@@ -2634,7 +2634,8 @@ def latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, event_id, event_type, ts_s
-    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    FROM ranked
+    WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
     """,
 )
 def active_user_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1085,3 +1085,132 @@ def test_cli_rollup_report_distinct_before_any_date_is_a_noop(spark, tmp_path, c
     out = capsys.readouterr().out
     assert "rollup_dates_processed: 0" in out
     assert "rollup_distinct" not in out
+
+
+def test_cli_maintain_short_doc_does_not_poison_reprobe(spark, tmp_path, capsys):
+    """A legitimately short admitted document (< shingle width tokens)
+    emits no minhash bands, so it can never rediscover itself — the
+    re-probe must count it outside the verification target instead of
+    failing every subsequent maintain run (ADVICE r6)."""
+    from telemetry_streaming_spark.cli import main
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    corpus = spark.createDataFrame(
+        [(i, base % (i % 5)) for i in range(20)], "doc_id long, text string"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    idx = str(tmp_path / "idx")
+    main(["minhash_index", "--mode", "build",
+          "--input-path", corpus_path, "--index-path", idx], spark=spark)
+    capsys.readouterr()
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    spark.createDataFrame(
+        [(100, "ok"),  # 1 token: no shingles, no bands — admitted, unverifiable
+         (101, "a genuinely novel document about engines")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(watch / "night1"))
+    args = ["maintain",
+            "--stream-input", str(watch) + "/*", "--corpus-path", corpus_path,
+            "--index-path", idx, "--output-path", str(tmp_path / "admitted"),
+            "--checkpoint-path", str(tmp_path / "ckpt"),
+            "--target-file-mb", "64"]
+
+    main(args, spark=spark)  # must not raise
+    out1 = capsys.readouterr().out
+    assert "maintain_admitted_total: 2" in out1
+    assert "maintain_admitted_banded: 1" in out1
+    assert "maintain_admitted_short: 1" in out1
+    assert "maintain_reprobe_found: 1" in out1
+
+    # the poison scenario: with the short doc already in output_path,
+    # every later run must still verify cleanly
+    main(args, spark=spark)
+    out2 = capsys.readouterr().out
+    assert "maintain_reprobe_found: 1" in out2
+
+
+def test_cli_maintain_compaction_honors_target_file_size(spark, tmp_path, capsys):
+    """Compaction must produce ~total_bytes/target files, not ~1 file
+    per band: hashing on band alone lands all rows in <= `bands`
+    non-empty partitions and defeats --target-file-mb (ADVICE r6).
+    Build a synthetic index big enough for several 1 MB files and
+    assert the compacted file count exceeds the band count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.cli import main
+
+    idx = str(tmp_path / "idx")
+    # ~300k rows of incompressible band_keys across 4 bands -> several MB
+    (
+        spark.range(300_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("band"),
+            F.md5(F.col("id").cast("string")).alias("band_key"),
+        )
+        .write.partitionBy("band")
+        .parquet(idx)
+    )
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "corpus doc words here")], "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    main(["maintain",
+          "--stream-input", str(watch) + "/*", "--corpus-path", corpus_path,
+          "--index-path", idx, "--output-path", str(tmp_path / "admitted"),
+          "--checkpoint-path", str(tmp_path / "ckpt"),
+          "--target-file-mb", "1"], spark=spark)
+    out = capsys.readouterr().out
+    n_files_printed = int(
+        [ln for ln in out.splitlines() if ln.startswith("maintain_index_files:")][0]
+        .split(":")[1]
+    )
+    written = [
+        f
+        for root, _d, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert n_files_printed > 4, out  # sizing actually engaged
+    # file count tracks the sizing target (within 2x: range partitions
+    # can straddle band boundaries and split on write), and is far
+    # beyond the 4-files-total failure mode
+    assert len(written) > 4
+    assert len(written) <= 2 * n_files_printed + 4
+
+
+def test_cli_rollup_refuses_schema_mismatch(spark, tmp_path, capsys):
+    """Adding --distinct-col (or any schema-changing flag) after
+    partitions already exist must refuse loudly instead of writing
+    heterogeneous date partitions (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.cli import main
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [Row(event_type="click", value=1.0, user="u1")]
+    ).write.parquet(str(src / "20240101"))
+    out = str(tmp_path / "roll")
+    base = ["rollup", "--input-path", str(src), "--output-path", out,
+            "--group-by", "event_type", "--sum-col", "value"]
+    main(base, spark=spark)
+    capsys.readouterr()
+
+    spark.createDataFrame(
+        [Row(event_type="view", value=2.0, user="u2")]
+    ).write.parquet(str(src / "20240102"))
+    with pytest.raises(SystemExit, match="schema mismatch"):
+        main(base + ["--distinct-col", "user"], spark=spark)
+
+    # matching flags still work incrementally
+    main(base, spark=spark)
+    assert "rollup_dates_processed: 1" in capsys.readouterr().out

@@ -565,3 +565,55 @@ class TestTrailingWindowStats:
         )
         with pytest.raises(ValueError, match="consecutive"):
             trailing_window_stats(df, "part", ["seq"], "v", lookback=29, slice_col="day")
+
+
+def test_active_user_snapshot_null_event_type_oracle_parity(spark, tmp_path):
+    """Oracle/impl parity on NULL event_type (ADVICE r6): the impl's
+    ~coalesce(delete_when, false) keeps a survivor row whose
+    event_type is NULL; the oracle's `event_type <> 'error'` alone
+    would drop it under three-valued logic.  Run BOTH engines on data
+    that actually contains NULL event_type."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from __spark_entry__ import oracle_sql, queries
+    from tests.oracle_harness import compare_query
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, minutes):
+        return Row(
+            event_id=eid,
+            ts=t0 + datetime.timedelta(minutes=minutes),
+            user_id=uid,
+            event_type=etype,
+            value=1.0,
+            props="{}",
+        )
+
+    rows = [
+        ev(1, 10, "click", 0), ev(2, 10, None, 5),      # latest is NULL: kept
+        ev(3, 20, None, 0), ev(4, 20, "error", 5),      # latest is error: dropped
+        ev(5, 30, "error", 0), ev(6, 30, "view", 5),    # error superseded: kept
+        ev(7, 40, None, 0),                             # only a NULL event: kept
+    ]
+    # single-file parquet, matching the testdata layout both engines read
+    spark.createDataFrame(rows).toPandas().to_parquet(
+        str(tmp_path / "events.parquet"), index=False
+    )
+    duck = duckdb.connect()
+    compare_query(
+        spark,
+        duck,
+        "active_user_snapshot",
+        queries()["active_user_snapshot"],
+        oracle_sql()["active_user_snapshot"],
+        str(tmp_path),
+    )
+    got = {
+        r.user_id
+        for r in queries()["active_user_snapshot"](spark, str(tmp_path)).collect()
+    }
+    assert got == {10, 30, 40}

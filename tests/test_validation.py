@@ -318,3 +318,20 @@ def test_validate_windowed_streams_and_matches_batch(spark, tmp_path):
         for r in validate_windowed(batch_df, rules(), "ts", window="1 hour").collect()
     )
     assert got == batch and len(got) == 2
+
+
+def test_validate_empty_frame_reports_zero_not_null(spark):
+    """An empty (or fully filtered) frame must report 0 violations per
+    rule, not NULL: SUM over zero rows is NULL and the fused aggregate
+    must coalesce it (consumers compare n_violations == 0)."""
+    df = spark.createDataFrame(
+        [], "a int, s string"
+    )
+    out = _counts(
+        validate(
+            df,
+            [not_null("nn", "a"), in_range("rng", "a", 0, 10), unique("uni", "a", "s")],
+        )
+    )
+    assert out == {"nn": 0, "rng": 0, "uni": 0}
+    assert all(v is not None for v in out.values())
