@@ -8518,40 +8518,41 @@ def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cumulatively.
 # r6 WINDOW (executed): CORRECTNESS_r05 greened all 44 oracle-backed
 # rows in the r5 window and drove the 6 rows-only entries, so the only
-# never-checked query left is kmeans_silhouette (queued in r5 because
-# the window was saturated).  It takes slot 1; the remaining 49 slots
-# are double-green anchors from the r5 window, spread across families.
-# New r6 queries claim anchor slots as they land — ALWAYS keep the
-# list at exactly 50.
+# never-checked query left was kmeans_silhouette; CORRECTNESS_r06
+# greened it — cumulative coverage is COMPLETE (179/179 oracle-backed
+# hash-green, 19/19 rows-only driver-seen).
+#
+# r7 ONWARD: the window is COMPUTED, not hand-picked.  With full
+# coverage achieved, the window's job is a standing regression sweep:
+# least-recently-confirmed queries first (never-checked new queries
+# claim slots before everything else), so every registry query is
+# re-confirmed by the driver at worst every ceil(N/50) rounds.  The
+# list below is the committed OUTPUT of
+#   python -m telemetry_streaming_spark.plans.rotation
+# over the committed CORRECTNESS_r*.json artifacts, and
+# tests/test_rotation.py::test_front_window_matches_lru_computation
+# recomputes and pins it — committing a new round's artifact makes the
+# pin fail until the window is regenerated, so rotation cannot be
+# silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    # the one never-driver-checked registry query (queued in r5):
-    "kmeans_silhouette",
-    # r6 additions (parity-checked at sf0.001 + sf0.01 before landing);
-    # each claims an anchor slot — the window stays exactly 50:
-    "pq_distortion_stats", "bigram_path_stats", "windowed_violations",
-    "int8_quant_error", "price_qty_rank_corr", "active_user_snapshot",
-    # anchors (hash-green in CORRECTNESS_r05); r6 additions replace
-    # these one-for-one as they land:
-    "dedup_normalized", "conversion_delay_buckets",
-    "source_length_quantiles", "rolling_anomaly_flags",
-    "interval_coverage", "cumulative_unique_users",
-    "dup_span_removal", "dup_span_stats", "source_drift",
-    "event_transition_matrix", "repeat_purchase_rate",
-    "embedding_gram_matrix", "vocab_coverage", "ttr_by_source",
-    "market_basket_pairs", "benford_digits",
-    "discount_quantity_slope", "cohort_revenue_matrix",
-    "new_vs_returning", "weighted_median_price",
-    "name_linkage", "activity_overlap", "revenue_wow",
-    "dow_seasonality", "balance_deciles", "basket_rules",
-    "supplier_balance_pct_rank",
-    "logit_training_stats", "fit_quality_logit",
-    "part_supplier_breadth", "bpe_pair_stats", "bpe_train",
-    "bigram_surprisal_stats", "bigram_lm_score",
-    "pq_codes", "pq_topk", "token_budget_sample", "ks_drift",
-    "revenue_gini",
-    "experiment_chisq", "survival_churn", "ewma_revenue",
-    "bloom_semi_join",
+    "array_mean", "bpe_token_stats", "curation_funnel",
+    "ngram_repetition", "pii_scan", "salted_agg",
+    "sessionize_native", "stratified_sample", "train_eval_split",
+    "allowlist_filter", "approx_distinct_users", "avg_count",
+    "client_sampling", "customer_order_stats", "dedup_minhash_bands",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "distinct_users", "doc_fingerprint", "embedding_neardup",
+    "embedding_neardup_lsh", "experiment_fanout", "histogram_threshold",
+    "inactive_customers", "json_extract_agg", "lang_id",
+    "local_supplier_volume", "multimodal_dedup", "multimodal_features",
+    "multimodal_frames", "multimodal_meta", "order_priority_semi",
+    "part_brand_stats", "recent_shipments", "shipping_priority",
+    "similarity_topk_ivf", "similarity_topk_lsh", "text_quality",
+    "token_explode", "token_stats", "topk_orders",
+    "usage_clamp", "asof_enrich", "asof_join",
+    "chunk_dedup", "chunk_dedup_apply", "cohort_retention",
+    "contamination_report", "conversion_funnel",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -156,3 +156,51 @@ def test_window_anchors_are_already_green():
             f"the {WINDOW_SIZE}-slot window — split across rounds and "
             "front-load the oldest"
         )
+
+
+def test_front_window_matches_lru_computation():
+    """r7+: the window is least-recently-checked-first, COMPUTED from
+    the committed CORRECTNESS artifacts (r6 verdict item 1).  The
+    committed _FRONT_WINDOW must equal the recomputation exactly —
+    when a new round's artifact lands, this pin fails until the window
+    is regenerated via `python -m telemetry_streaming_spark.plans.rotation`,
+    so the standing regression sweep cannot be silently skipped."""
+    from telemetry_streaming_spark.plans.rotation import (
+        compute_front_window,
+        load_check_history,
+    )
+
+    expected = compute_front_window(
+        list(QUERIES), load_check_history(REPO_ROOT), WINDOW_SIZE
+    )
+    assert list(_FRONT_WINDOW) == expected, (
+        "committed _FRONT_WINDOW is stale — regenerate with "
+        "`python -m telemetry_streaming_spark.plans.rotation` "
+        f"(first divergence at index "
+        f"{next(i for i, (a, b) in enumerate(zip(_FRONT_WINDOW, expected)) if a != b) if _FRONT_WINDOW != expected and any(a != b for a, b in zip(_FRONT_WINDOW, expected)) else 'length'})"
+    )
+
+
+def test_lru_ordering_property():
+    """The LRU contract itself: within the computed window, no query
+    may have a strictly LATER last-confirmed round than any registry
+    query left outside it (never-confirmed counts as round -1)."""
+    from telemetry_streaming_spark.plans.rotation import load_check_history
+
+    history = load_check_history(REPO_ROOT)
+
+    def last_confirmed(name):
+        return max(
+            (rnd for rnd, ok in history.get(name, []) if ok), default=-1
+        )
+
+    window = list(QUERIES)[:WINDOW_SIZE]
+    outside = [n for n in QUERIES if n not in set(window)]
+    if not outside:
+        return
+    worst_in = max(last_confirmed(n) for n in window)
+    best_out = min(last_confirmed(n) for n in outside)
+    assert worst_in <= best_out, (
+        f"window holds a query confirmed in round {worst_in} while one "
+        f"confirmed in round {best_out} sits outside — not LRU"
+    )
