@@ -130,6 +130,13 @@ HEADLINE = [
     "int8_quant_error",
     "price_qty_rank_corr",
     "active_user_snapshot",
+    # r7 additions: the znorm sufficient-statistics companion (~1.5 s
+    # at sf0.1 — one key exchange + m shared-sort LEAD frames) and
+    # per-part triangle counts (520k-edge co-purchase graph, 405k
+    # triangles — Spark's parallel joins beat the single-threaded
+    # triple join ~3x)
+    "znorm_window_stats",
+    "part_triangles",
 ]
 
 
@@ -156,8 +163,8 @@ TREND = [
     # build job (its word literal now shrink-folds to the key count,
     # SCALE.md r6); constraint_violations schedules aggregate branches
     # (incl. a bloom build) over tables DuckDB scans in ~20ms — both
-    # fixed costs that amortize with SF (TREND_r06.json: 174x->56x and
-    # 106x->55x, all 13 entries falling)
+    # fixed costs that amortize with SF (ratios committed per-round in
+    # TREND_r*.json; every tracked entry falls 0.01 -> 0.1)
     "bloom_semi_join", "constraint_violations",
     # r6 >=1s, >2x newcomers (ratios measured falling 0.01->0.1 before
     # landing): pq_distortion_stats is ~2.5s of fixed plan/codegen for
@@ -172,6 +179,10 @@ TREND = [
     # r6: CDC snapshot — a single window+filter whose ~0.9s is the
     # one-exchange floor (DuckDB 50ms); ratio falls with SF
     "active_user_snapshot",
+    # r7: znorm sufficient statistics — one key exchange + a shared
+    # in-partition sort under m LEAD frames; ~1.5s vs DuckDB ~0.05s at
+    # sf0.1 is the exchange+window floor, amortizing with SF
+    "znorm_window_stats",
 ]
 
 
@@ -290,11 +301,47 @@ def trend_main() -> None:
     spark.stop()
 
 
+IDLE_LOADAVG = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+IDLE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "600"))
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+)
+
+
+def _wait_for_idle() -> tuple[float, bool]:
+    """Gate the run on machine idleness instead of merely annotating
+    contention (r6 verdict: BENCH_r06 fired its own loadavg marker but
+    the numbers still shipped inflated).  Poll the 1-minute loadavg
+    until it drops below IDLE_LOADAVG, up to IDLE_WAIT_S; give up
+    LOUDLY (stderr) and proceed with the contention marker set, so an
+    unattended driver run still produces an artifact — one that
+    self-identifies as suspect."""
+    deadline = time.monotonic() + IDLE_WAIT_S
+    load = os.getloadavg()[0]
+    while load >= IDLE_LOADAVG and time.monotonic() < deadline:
+        print(
+            f"bench: waiting for idle (loadavg_1m={load:.2f} >= "
+            f"{IDLE_LOADAVG}); {int(deadline - time.monotonic())}s left",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    gate_passed = load < IDLE_LOADAVG
+    if not gate_passed:
+        print(
+            f"bench: GIVING UP on idle gate after {IDLE_WAIT_S}s "
+            f"(loadavg_1m={load:.2f}) — numbers below are contention-"
+            "suspect",
+            file=sys.stderr,
+        )
+    return round(load, 2), gate_passed
+
+
 def main() -> None:
-    # captured before the JVM boots: >~1 here means the machine was
-    # already busy and the run is suspect (the end-of-run value mostly
-    # reflects our own executors and is recorded for completeness)
-    load_at_start = round(os.getloadavg()[0], 2)
+    # gate (not just annotate) on idleness, captured before the JVM
+    # boots: >~IDLE_LOADAVG here means another workload is running and
+    # per-query medians would be inflated
+    load_at_start, idle_gate_passed = _wait_for_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -335,16 +382,30 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    resampled: list[str] = []
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        ts: list[float] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            ts.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
+
+        def sample() -> list[float]:
+            ts: list[float] = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                ts.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            return ts
+
+        ts = sample()
+        # a >1.5x spread within one query's samples means something
+        # else stole the machine mid-query (r6 verdict item 2): re-run
+        # once and keep the tighter sample set
+        if runs > 1 and max(ts) / max(min(ts), 1e-9) > 1.5:
+            ts2 = sample()
+            if max(ts2) / max(min(ts2), 1e-9) < max(ts) / max(min(ts), 1e-9):
+                ts = ts2
+            resampled.append(name)
         timings[name] = round(sorted(ts)[len(ts) // 2], 4)
 
     # Contention self-identification (r5: the driver artifact was
@@ -372,6 +433,21 @@ def main() -> None:
             "contention_suspected": spread > 1.5,
         }
 
+    contention = (not idle_gate_passed) or bool(
+        recheck and recheck.get("contention_suspected")
+    )
+
+    # per-query delta vs the committed idle baseline (r6 verdict item
+    # 3): regressions become mechanical to spot instead of inferential.
+    baseline_delta: dict = {}
+    if os.path.exists(BASELINE_PATH):
+        base = json.loads(open(BASELINE_PATH).read())
+        if base.get("sf") == sf:
+            for name, sec in timings.items():
+                b = base.get("queries", {}).get(name)
+                if b:
+                    baseline_delta[name] = round(sec / b, 2)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
@@ -380,9 +456,38 @@ def main() -> None:
         "sf": sf,
         "loadavg_1m_start": load_at_start,
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "idle_gate_passed": idle_gate_passed,
+        "resampled_for_spread": resampled,
         "recheck": recheck,
+        "contention_suspected": contention,
+        "baseline_delta": baseline_delta,
     }
     print(json.dumps(out))
+
+    if "--refresh-baseline" in sys.argv:
+        # the baseline is only ever written from a verified-idle run:
+        # gate passed AND the end-of-run recheck repeated within noise
+        if contention:
+            print(
+                "bench: NOT refreshing baseline — run is contention-"
+                "suspect",
+                file=sys.stderr,
+            )
+        else:
+            with open(BASELINE_PATH, "w") as f:
+                json.dump(
+                    {
+                        "sf": sf,
+                        "queries": timings,
+                        "loadavg_1m_start": load_at_start,
+                        "recheck_spread": recheck.get("spread"),
+                    },
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
+                f.write("\n")
+            print(f"bench: baseline refreshed -> {BASELINE_PATH}", file=sys.stderr)
     spark.stop()
 
 

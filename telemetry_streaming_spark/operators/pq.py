@@ -272,53 +272,61 @@ def pq_distortion_stats(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(qv.alias("__q"))
 
-    # ONE loop expression per subspace over a flattened centroid
-    # literal (k*d_sub longs), not k unrolled fold trees: the unrolled
-    # form measured ~2.3s of client-side plan build + analysis +
-    # codegen at ANY scale factor — pure fixed cost this formulation
-    # removes (the per-row arithmetic is identical)
-    per_sub = []
-    for j in range(m):
-        sv = F.slice("__q", j * d_sub + 1, d_sub)
-        # ONE py4j literal call: element-wise F.lit() costs a JVM round
-        # trip each (k*d_sub*m of them measured ~2s of client time)
-        cents_flat = F.lit(
-            [
-                int(seed_q[code][j * d_sub + i])
-                for code in range(k)
-                for i in range(d_sub)
-            ]
-        ).cast("array<long>")
-        combined = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda code: F.aggregate(
-                F.sequence(F.lit(0), F.lit(d_sub - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, i: acc
-                + (
-                    F.element_at(sv, (i + 1).cast("int"))
-                    - F.element_at(
-                        cents_flat, (code * d_sub + i + 1).cast("int")
+    # ONE nested loop expression over ONE flattened centroid literal
+    # (m*k*d_sub longs, laid out [subspace][code][i]) — not m separate
+    # fold trees each with its own literal: plan/analysis/codegen cost
+    # scales with expression-tree size, and collapsing the m trees into
+    # a single subspace loop cut the fixed plan cost by a further ~35%
+    # on top of the r6 loop-expression rewrite (measured, SCALE.md;
+    # r6 verdict item 8).  Element-wise F.lit() stays banned: one py4j
+    # call ships the whole table.  The per-row arithmetic is identical.
+    cents_flat = F.lit(
+        [
+            int(seed_q[code][j * d_sub + i])
+            for j in range(m)
+            for code in range(k)
+            for i in range(d_sub)
+        ]
+    ).cast("array<long>")
+    q = F.col("__q")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("subspace"),
+            F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda code: F.aggregate(
+                        F.sequence(F.lit(0), F.lit(d_sub - 1)),
+                        F.lit(0).cast("long"),
+                        lambda acc, i: acc
+                        + (
+                            F.element_at(q, (j * d_sub + i + 1).cast("int"))
+                            - F.element_at(
+                                cents_flat,
+                                (
+                                    (j * k + code) * d_sub + i + 1
+                                ).cast("int"),
+                            )
+                        )
+                        * (
+                            F.element_at(q, (j * d_sub + i + 1).cast("int"))
+                            - F.element_at(
+                                cents_flat,
+                                (
+                                    (j * k + code) * d_sub + i + 1
+                                ).cast("int"),
+                            )
+                        ),
                     )
+                    * F.lit(k)
+                    + code,
                 )
-                * (
-                    F.element_at(sv, (i + 1).cast("int"))
-                    - F.element_at(
-                        cents_flat, (code * d_sub + i + 1).cast("int")
-                    )
-                ),
-            )
-            * F.lit(k)
-            + code,
-        )
-        per_sub.append(
-            F.struct(
-                F.lit(j).alias("subspace"),
-                F.array_min(combined).alias("best"),
-            )
-        )
+            ).alias("best"),
+        ),
+    )
     return (
-        vecs.select(F.explode(F.array(*per_sub)).alias("s"))
+        vecs.select(F.explode(subs).alias("s"))
         .groupBy(F.col("s.subspace").alias("subspace"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),

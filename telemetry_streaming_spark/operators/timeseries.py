@@ -39,6 +39,7 @@ __all__ = [
     "pattern_match_topk_znorm",
     "resample_ffill",
     "scd2_intervals",
+    "znorm_window_stats",
 ]
 
 
@@ -230,7 +231,9 @@ def pattern_match_topk_znorm(
     (zero variance) are skipped — they have no shape to match.
     Float scores are engine-specific in the last ulp, so this query
     is rows-only at the driver; the numpy pin lives in
-    tests/test_timeseries.py.
+    tests/test_timeseries.py, and :func:`znorm_window_stats` is the
+    integer-exact, hash-checked companion covering the same window
+    geometry (sufficient statistics instead of scores).
     """
     m = len(pattern)
     if m < 2:
@@ -281,6 +284,92 @@ def pattern_match_topk_znorm(
         .select(key_col, "ts_s", F.round(dist, 6).alias("zdist2"))
         .orderBy(F.col("zdist2"), F.col(key_col), F.col("ts_s"))
         .limit(k)
+    )
+
+
+def znorm_window_stats(
+    events: DataFrame,
+    weights: list[int],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Integer-exact sufficient statistics of the z-normalized
+    subsequence geometry — the hash-checkable companion to the
+    rows-only :func:`pattern_match_topk_znorm` tier (the same
+    relationship ``pq_distortion_stats`` has to ``pq_codes``).
+
+    Per sliding window of length ``m = len(weights)`` over each key's
+    (ts, id)-ordered cent-quantized values, the BIGINT quantities every
+    znorm score is one float step away from:
+
+    - ``var_num = m*Σx² − (Σx)²``  (m² × window variance),
+    - ``cov_num = m*Σ(wᵢxᵢ) − (Σw)(Σx)``  (m² × covariance with the
+      integer pattern ``weights``; the znorm correlation is
+      ``cov_num / sqrt(var_num · var_w)``).
+
+    A constant window has ``var_num = 0`` AND ``cov_num = 0``
+    identically (``Σwx = c·Σw``), so the zero-variance gating of the
+    float tier appears here as the ``n_flat`` count with no special
+    casing in the sums.  Per key the output row carries the window
+    count, the flat count, the summed numerators, and the best
+    (max) pattern alignment — all order-independent aggregates of
+    engine-portable integers.
+
+    Plan: one exchange on the key, ONE in-partition sort shared by all
+    m LEAD frames (codegen'd), one hash aggregate.  At 100 TB this is
+    the same shape as rank_corr_stats: shuffle O(input), output
+    O(keys).  Overflow: |cents| ≤ ~10⁵, m ≤ 16 ⇒ |var_num| ≤ ~2·10¹¹
+    per window; 2⁶³ accommodates >10⁷ windows/key.
+    """
+    m = len(weights)
+    if m < 2:
+        raise ValueError("weights needs >= 2 positions")
+    if any(int(w) != w for w in weights):
+        raise ValueError("weights must be integers (exactness contract)")
+    sw = int(sum(weights))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = events.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.expr(f"unix_micros({ts_col}) div 1000000").alias("__ts_s"),
+        F.col(id_col).alias("__id"),
+        cents.alias("__c"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__ts_s", "__id")
+    # materialize each LEAD exactly once: referencing lead(c, j) from
+    # sx AND sxx AND sxp would plant 3m window expressions in the
+    # WindowExec (Spark does not CSE across them); one select makes it
+    # m window expressions + a codegen'd Project for the arithmetic
+    led = base.select(
+        F.col(key_col),
+        *[F.lead("__c", j).over(w).alias(f"__l{j}") for j in range(m)],
+    )
+    cols = [F.col(f"__l{j}") for j in range(m)]
+    sx = cols[0]
+    sxx = cols[0] * cols[0]
+    sxp = F.lit(int(weights[0])) * cols[0]
+    for j in range(1, m):
+        sx = sx + cols[j]
+        sxx = sxx + cols[j] * cols[j]
+        sxp = sxp + F.lit(int(weights[j])) * cols[j]
+    per_win = led.select(
+        F.col(key_col),
+        sx.alias("__sx"),
+        sxx.alias("__sxx"),
+        sxp.alias("__sxp"),
+        # the last lead NULL ⇔ fewer than m rows remain for this key —
+        # exactly the full-window predicate
+        cols[m - 1].isNotNull().alias("__full"),
+    ).where(F.col("__full"))
+    var_num = F.lit(m) * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    cov_num = F.lit(m) * F.col("__sxp") - F.lit(sw) * F.col("__sx")
+    return per_win.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(var_num == 0, 1).otherwise(0)).cast("long").alias("n_flat"),
+        F.sum(var_num).cast("long").alias("var_num_sum"),
+        F.sum(cov_num).cast("long").alias("cov_num_sum"),
+        F.max(cov_num).cast("long").alias("cov_num_max"),
     )
 
 

@@ -176,12 +176,97 @@ def op_bigram_lm(spark: SparkSession, factor: int) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+def op_windowed_violations(spark: SparkSession, factor: int) -> DataFrame:
+    """Stateful windowed constraint monitor + Bloom referential probe
+    over a K-fold events stream: the reference cohort stays FIXED
+    (realistic — dimension tables don't scale with the fact stream),
+    so runtime must track the scanned volume; the Bloom literal and
+    the broadcast join are per-plan constants."""
+    from telemetry_streaming_spark.operators.validation import (
+        accepted_values,
+        in_range,
+        not_null,
+        referential,
+        validate_windowed,
+    )
+
+    events = replicate(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+        ),
+        factor,
+        ["event_id", "user_id"],
+    )
+    cohort = spark.read.parquet(f"{SF_DIR}/customer.parquet").where(
+        F.col("c_custkey") < 100
+    )
+    return validate_windowed(
+        events,
+        [
+            in_range("value_range", "value", 0, 400),
+            accepted_values(
+                "type_domain", "event_type",
+                ["click", "view", "purchase", "signup"],
+            ),
+            not_null("user_not_null", "user_id"),
+            referential("user_in_cohort", "user_id", cohort, "c_custkey"),
+        ],
+        "ts",
+        window="1 day",
+    )
+
+
+def op_rank_corr(spark: SparkSession, factor: int) -> DataFrame:
+    """Spearman sufficient statistics: one exchange on the group key,
+    two in-partition RANK() sorts, one aggregate — the sorts are the
+    scaling hazard.  Groups are sharded per replica (the documented
+    int64 contract: sum(rank²) ≤ n³/3 caps a group at ~2e6 rows, and
+    the stated lever is "shard the group") — so scaling here grows the
+    GROUP COUNT at fixed group size, exactly the 100 TB deployment
+    shape.  At factor 64 an unsharded 3-group run correctly raises
+    ARITHMETIC_OVERFLOW (ANSI mode; verified by hand)."""
+    from telemetry_streaming_spark.operators.experiment import rank_corr_stats
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
+        ),
+        factor,
+        ["l_orderkey"],
+    ).withColumn("shard", (F.col("l_orderkey") / SHIFT).cast("long"))
+    return rank_corr_stats(
+        li, ["l_returnflag", "shard"], "l_extendedprice", "l_quantity"
+    )
+
+
+def op_pq_distortion(spark: SparkSession, factor: int) -> DataFrame:
+    """Seeded PQ E-step statistics: the m*k fold expressions are a
+    FIXED plan/codegen cost — scaling the vector count K-fold must
+    grow runtime by (much) less than K at small factors (floor
+    amortizes) and at most linearly after."""
+    from telemetry_streaming_spark.operators.pq import pq_distortion_stats
+
+    emb = replicate(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ),
+        factor,
+        ["vec_id"],
+    )
+    return pq_distortion_stats(emb, m=4, k=8)
+
+
 OPS = {
     "asof_join": op_asof,
     "sessionize": op_sessionize,
     "weighted_median_price": op_weighted_median,
     "trailing_window_stats_sliced": op_trailing_sliced,
     "bigram_lm_score": op_bigram_lm,
+    # r6 families (r6 verdict item 6)
+    "windowed_violations": op_windowed_violations,
+    "price_qty_rank_corr": op_rank_corr,
+    "pq_distortion_stats": op_pq_distortion,
 }
 
 

@@ -1,0 +1,54 @@
+"""Bench-harness bookkeeping guards (no Spark session needed).
+
+The bench artifacts are graded mechanically each round; a HEADLINE or
+TREND name that drifts out of the registry, or a baseline that names a
+query the registry no longer has, silently breaks the round-over-round
+comparison.  Pin the set relationships here.
+"""
+
+import json
+from pathlib import Path
+
+import bench
+from telemetry_streaming_spark.plans.queries import QUERIES
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_headline_names_are_registered():
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+
+
+def test_trend_names_are_headline_and_oracle_backed():
+    not_headline = [n for n in bench.TREND if n not in bench.HEADLINE]
+    assert not not_headline, f"TREND names not in HEADLINE: {not_headline}"
+    no_oracle = [n for n in bench.TREND if QUERIES[n].oracle is None]
+    assert not no_oracle, f"TREND names without oracle: {no_oracle}"
+
+
+def test_baseline_names_are_registered():
+    """BENCH_BASELINE.json (per-query idle medians, r6 verdict item 3)
+    must only name registry queries, and must carry the sf and the
+    idle-evidence markers it was recorded under."""
+    path = REPO_ROOT / "BENCH_BASELINE.json"
+    assert path.exists(), (
+        "BENCH_BASELINE.json missing — record one with "
+        "`python bench.py --refresh-baseline` on an idle machine"
+    )
+    base = json.loads(path.read_text())
+    unknown = [n for n in base["queries"] if n not in QUERIES]
+    assert not unknown, f"baseline names not in registry: {unknown}"
+    assert base["sf"] > 0
+    assert base.get("loadavg_1m_start") is not None
+    assert base.get("recheck_spread") is not None
+    assert all(v > 0 for v in base["queries"].values())
+
+
+def test_headline_covers_committed_baseline():
+    """Every baseline query must still be benched: a HEADLINE removal
+    would silently stop tracking a query the baseline still grades."""
+    path = REPO_ROOT / "BENCH_BASELINE.json"
+    base = json.loads(path.read_text())
+    dropped = [n for n in base["queries"] if n not in bench.HEADLINE]
+    assert not dropped, f"baseline queries no longer in HEADLINE: {dropped}"

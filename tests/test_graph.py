@@ -115,3 +115,41 @@ def test_cooccurrence_edges_symmetric_and_capped(spark):
         for r in cooccurrence_edges(df, "g", "item", max_items_per_group=4).collect()
     }
     assert got == {(1, 2): 2, (2, 1): 2}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant: every K4 vertex closes C(3,2)=3 triangles,
+    the pendant closes none; duplicate/reversed/self-loop edges must
+    not change counts."""
+    from telemetry_streaming_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4)]               # pendant
+    edges += [(b, a) for a, b in k4]    # reversed duplicates
+    edges += [(1, 1), (0, 1), (0, 1)]   # self-loop + repeats
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_matches_naive_on_random_graph(spark):
+    """Degree-oriented schedule == naive triple enumeration on a
+    random graph (orientation independence of the counts)."""
+    import itertools
+    import random
+
+    from telemetry_streaming_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    n = 40
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.2]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want

@@ -617,3 +617,81 @@ def test_active_user_snapshot_null_event_type_oracle_parity(spark, tmp_path):
         for r in queries()["active_user_snapshot"](spark, str(tmp_path)).collect()
     }
     assert got == {10, 30, 40}
+
+
+def test_znorm_window_stats_matches_python_replica(spark):
+    """Integer replica pin for the znorm sufficient-statistics
+    companion: per-key window counts, flat-window detection, and the
+    variance/covariance numerators recomputed in pure Python over the
+    same (ts, id)-ordered cent values — including a constant run
+    (flat windows must count in n_flat and contribute 0 to cov)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import znorm_window_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    weights = [-3, -1, 1, 3]
+    m = len(weights)
+
+    vals = {
+        1: [1.0, 2.0, 4.0, 8.0, 16.0, 3.25],         # varied shapes
+        2: [5.0] * 6,                                  # all-flat windows
+        3: [1.0, 1.0],                                 # too short: no window
+    }
+    rows = []
+    eid = 0
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append(Row(
+                event_id=eid, ts=t0 + datetime.timedelta(seconds=i),
+                user_id=uid, event_type="x", value=v, props="{}",
+            ))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    got = {
+        r["user_id"]: (r["n_windows"], r["n_flat"], r["var_num_sum"],
+                       r["cov_num_sum"], r["cov_num_max"])
+        for r in znorm_window_stats(df, weights).collect()
+    }
+
+    expect = {}
+    for uid, vs in vals.items():
+        cents = [int(v * 100 + 0.5) for v in vs]
+        wins = [cents[i:i + m] for i in range(len(cents) - m + 1)]
+        if not wins:
+            continue
+        stats = []
+        for win in wins:
+            sx, sxx = sum(win), sum(x * x for x in win)
+            sxp = sum(w * x for w, x in zip(weights, win))
+            var_num = m * sxx - sx * sx
+            cov_num = m * sxp - sum(weights) * sx
+            stats.append((var_num, cov_num))
+        expect[uid] = (
+            len(stats),
+            sum(1 for v, _ in stats if v == 0),
+            sum(v for v, _ in stats),
+            sum(c for _, c in stats),
+            max(c for _, c in stats),
+        )
+    assert got == expect
+    # the all-flat user: every window flat, zero numerators
+    assert got[2][1] == got[2][0] and got[2][2] == 0 and got[2][3] == 0
+
+
+def test_znorm_window_stats_rejects_bad_params(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import znorm_window_stats
+
+    df = spark.createDataFrame(
+        [Row(event_id=1, ts=None, user_id=1, value=1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    with pytest.raises(ValueError, match=">= 2"):
+        znorm_window_stats(df, [1])
+    with pytest.raises(ValueError, match="integers"):
+        znorm_window_stats(df, [1.5, 2.0])

@@ -335,3 +335,121 @@ def test_validate_empty_frame_reports_zero_not_null(spark):
     )
     assert out == {"nn": 0, "rng": 0, "uni": 0}
     assert all(v is not None for v in out.values())
+
+
+def test_validate_windowed_restart_recovers_and_matches_batch(spark, tmp_path):
+    """Kill-and-resume discipline for the streaming monitor (r6 verdict
+    item 5): run with a checkpoint, hard-stop mid-stream BEFORE any
+    window flushes, restart from the same checkpoint, push the
+    watermark past the open windows — the flushed violation counts
+    must equal the batch audit on the same events, with no lost and no
+    duplicated (window, rule) rows."""
+    import json
+    import os
+    import uuid
+
+    from telemetry_streaming_spark.operators.validation import validate_windowed
+    from telemetry_streaming_spark.streaming.core import (
+        checkpoint_path,
+        drain,
+        stop_quietly,
+        text_file_source,
+    )
+
+    base = 1_600_000_000
+    hour = 3600
+    win_a = [
+        (base + 10, 500.0, 1),   # range violation
+        (base + 20, 5.0, 999),   # dangling fk
+        (base + 30, 5.0, 3),
+    ]
+    win_b = [
+        (base + hour + 10, -1.0, 999),  # range + dangling in window B
+    ]
+    flusher = [(base + 4 * hour, 5.0, 2)]  # pushes watermark past A and B
+
+    in_dir = str(tmp_path / "in")
+
+    def write(rows):
+        os.makedirs(in_dir, exist_ok=True)
+        with open(f"{in_dir}/{uuid.uuid4().hex}.txt", "w") as f:
+            f.write("\n".join(
+                json.dumps({"ts_s": t, "v": v, "fk": k}) for t, v, k in rows
+            ) + "\n")
+
+    def monitored():
+        raw = text_file_source(spark, in_dir)
+        parsed = raw.select(
+            F.timestamp_seconds(
+                F.get_json_object("value", "$.ts_s").cast("long")
+            ).alias("ts"),
+            F.get_json_object("value", "$.v").cast("double").alias("v"),
+            F.get_json_object("value", "$.fk").cast("int").alias("fk"),
+        )
+        ref = spark.createDataFrame([Row(pk=i) for i in range(10)])
+        return validate_windowed(
+            parsed,
+            [in_range("rng", "v", 0, 100), referential("ref", "fk", ref, "pk")],
+            "ts",
+            window="1 hour",
+            watermark="0 seconds",
+        )
+
+    out_dir = str(tmp_path / "out")
+    ckpt = checkpoint_path("viol_restart", str(tmp_path / "ck"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def start():
+        return (
+            monitored().writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: ingest windows A and B, then KILL — watermark sits at
+    # win_b's max event, so neither window has flushed yet
+    write(win_a)
+    write(win_b)
+    q1 = start()
+    try:
+        drain(q1)
+    finally:
+        stop_quietly(q1)  # hard stop mid-stream
+
+    # phase 2: restart from the SAME checkpoint; the flusher advances
+    # the watermark past A and B on the next trigger
+    write(flusher)
+    q2 = start()
+    try:
+        drain(q2)
+        write(flusher)  # second send advances the watermark past B
+        drain(q2)
+    finally:
+        stop_quietly(q2)
+
+    got = sorted(
+        (int(r["window_start"].timestamp()), r["rule"], r["n_violations"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # no duplicate (window, rule) rows across the restart
+    keys = [(w, rule) for w, rule, _ in got]
+    assert len(keys) == len(set(keys)), f"duplicate rows after restart: {got}"
+
+    # flushed counts equal the batch audit on the same events
+    all_rows = win_a + win_b
+    batch_df = spark.createDataFrame(
+        [Row(ts=t, v=v, fk=k) for t, v, k in all_rows], "ts long, v double, fk int"
+    ).select(F.timestamp_seconds("ts").alias("ts"), "v", "fk")
+    ref = spark.createDataFrame([Row(pk=i) for i in range(10)])
+    batch = sorted(
+        (int(r["window_start"].timestamp()), r["rule"], r["n_violations"])
+        for r in validate_windowed(
+            batch_df,
+            [in_range("rng", "v", 0, 100), referential("ref", "fk", ref, "pk")],
+            "ts",
+            window="1 hour",
+        ).collect()
+    )
+    assert got == batch and len(got) == 4
