@@ -940,6 +940,12 @@ def run_rollup(spark, args):
 
     Aggregate grain: ``--group-by`` columns, row count, and an exact
     integer-cents sum of ``--sum-col`` (the windowed_sum convention).
+    Optional mergeable-sketch tiers ride the same per-date partitions:
+    ``--distinct-col`` persists an HLL sketch (union report =
+    cross-date distinct estimate) and ``--quantile-col`` a KLL doubles
+    sketch (merge report = cross-date p50/p95/p99) — both reports read
+    sketch BINARIES only, never the raw history, so "distribution of
+    value over all time" stays O(dates × groups) at 100 TB.
     """
     import json as _json
 
@@ -956,6 +962,8 @@ def run_rollup(spark, args):
         schema_cols.append(f"sum_{args.sum_col}_cents")
     if args.distinct_col:
         schema_cols.append(f"{args.distinct_col}_hll")
+    if getattr(args, "quantile_col", None):
+        schema_cols.append(f"{args.quantile_col}_kll")
     done: set[str] = set()
     if os.path.exists(manifest_path):
         manifest = _json.loads(open(manifest_path).read())
@@ -996,6 +1004,15 @@ def run_rollup(spark, args):
                     f"{args.distinct_col}_hll"
                 )
             )
+        if getattr(args, "quantile_col", None):
+            # mergeable datasketches KLL: per-date quantile sketches —
+            # cross-date medians/p95/p99 merge from the binaries, so
+            # the distribution report never rescans history either
+            aggs.append(
+                F.kll_sketch_agg_double(
+                    F.col(args.quantile_col).cast("double")
+                ).alias(f"{args.quantile_col}_kll")
+            )
         agg = df.groupBy(*group_cols).agg(*aggs)
         agg.write.mode("overwrite").parquet(
             os.path.join(args.output_path, f"date={d}")
@@ -1026,6 +1043,37 @@ def run_rollup(spark, args):
         for r in report.collect():  # bounded: one row per group
             key = ",".join(str(r[c]) for c in group_cols)
             print(f"rollup_distinct[{key}]: {r['distinct_est']}")
+    if (
+        getattr(args, "quantile_col", None)
+        and (todo or getattr(args, "report_quantiles", False))
+        and done
+    ):
+        # lossless-merge of the persisted per-date KLL sketches: the
+        # incremental path to "p50/p95/p99 all-time / per group" —
+        # reads sketch binaries only, never the raw history
+        col = f"{args.quantile_col}_kll"
+        roll = spark.read.parquet(args.output_path)
+        qs = F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double(F.col(col)),
+            F.lit([0.5, 0.95, 0.99]),
+        )
+        report = (
+            roll.groupBy(*group_cols)
+            .agg(qs.alias("q"))
+            .select(
+                *group_cols,
+                F.col("q")[0].alias("p50"),
+                F.col("q")[1].alias("p95"),
+                F.col("q")[2].alias("p99"),
+            )
+            .orderBy(*group_cols)
+        )
+        for r in report.collect():  # bounded: one row per group
+            key = ",".join(str(r[c]) for c in group_cols)
+            print(
+                f"rollup_quantiles[{key}]: "
+                f"p50={r['p50']} p95={r['p95']} p99={r['p99']}"
+            )
 
 
 def run_compact(spark, args):
@@ -1657,6 +1705,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "per date and report union distinct estimates")
     p.add_argument("--report-distinct", action="store_true",
                    help="print the sketch-union distinct report even when "
+                        "no new dates were processed")
+    p.add_argument("--quantile-col",
+                   help="also persist a mergeable KLL doubles sketch of this "
+                        "column per date and report merged p50/p95/p99")
+    p.add_argument("--report-quantiles", action="store_true",
+                   help="print the sketch-merge quantile report even when "
                         "no new dates were processed")
 
     p = sub.add_parser("compact", help="small-files parquet compaction")

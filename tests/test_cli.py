@@ -1214,3 +1214,61 @@ def test_cli_rollup_refuses_schema_mismatch(spark, tmp_path, capsys):
     # matching flags still work incrementally
     main(base, spark=spark)
     assert "rollup_dates_processed: 1" in capsys.readouterr().out
+
+
+def test_cli_rollup_kll_quantile_tier(spark, tmp_path, capsys):
+    """Mergeable KLL quantile tier: per-date sketches persist beside
+    the counts; the merged report equals the exact percentiles at
+    small cardinality, processes new dates incrementally, and never
+    rescans committed dates."""
+    import re
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.cli import main
+
+    src = tmp_path / "in"
+
+    def day(d, vals):
+        spark.createDataFrame(
+            [Row(event_type="click", value=float(v)) for v in vals]
+        ).write.mode("overwrite").parquet(str(src / d))
+
+    # 1..100 split across two dates: exact p50=50/51-ish, p95=95, p99=99
+    day("20240101", range(1, 51))
+    day("20240102", range(51, 101))
+    out = str(tmp_path / "roll")
+    args = ["rollup", "--input-path", str(src), "--output-path", out,
+            "--group-by", "event_type", "--quantile-col", "value"]
+    main(args, spark=spark)
+    txt = capsys.readouterr().out
+    assert "rollup_dates_processed: 2" in txt
+    m = re.search(r"rollup_quantiles\[click\]: p50=([\d.]+) p95=([\d.]+) p99=([\d.]+)", txt)
+    assert m, txt
+    p50, p95, p99 = (float(x) for x in m.groups())
+    # KLL k=200 on 100 values is exact
+    assert 49 <= p50 <= 52 and 94 <= p95 <= 96 and 98 <= p99 <= 100
+
+    # incremental: a new date of large values shifts the tail only
+    day("20240103", [1000.0] * 10)
+    main(args, spark=spark)
+    txt2 = capsys.readouterr().out
+    assert "rollup_dates_processed: 1" in txt2
+    m2 = re.search(r"rollup_quantiles\[click\]: p50=([\d.]+) p95=([\d.]+) p99=([\d.]+)", txt2)
+    p50b, p95b, p99b = (float(x) for x in m2.groups())
+    assert p99b == 1000.0 and p50b < 100
+
+    # no new dates: report only on demand
+    main(args, spark=spark)
+    txt3 = capsys.readouterr().out
+    assert "rollup_quantiles" not in txt3
+    main(args + ["--report-quantiles"], spark=spark)
+    assert "rollup_quantiles[click]" in capsys.readouterr().out
+
+    # schema guard covers the new tier too
+    import pytest
+
+    with pytest.raises(SystemExit, match="schema mismatch"):
+        day("20240104", [1.0])
+        main(["rollup", "--input-path", str(src), "--output-path", out,
+              "--group-by", "event_type"], spark=spark)
