@@ -254,6 +254,77 @@ def embedding_neardup_lsh(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining — for each query vector, the top-``k``
+    most-similar corpus vectors EXCLUDING its known positives: the
+    standard construction of contrastive training data for retrieval /
+    embedding models (the "hard" negatives are the near-misses the
+    model must learn to separate).
+
+    ``queries``: (query_id, query_vec); ``positives``: (query_id,
+    pos_id) label pairs.  Scores are BIGINT dot products of
+    e4-quantized vectors (the gram-matrix convention), so ranking —
+    including the (score DESC, neighbor_id ASC) tie-break — is
+    hash-exact in any engine.
+
+    Plan: both the query frame and the label pairs broadcast (bounded
+    by contract: this is the brute-force tier, query batches are
+    training-set-sized; compose :func:`cosine_topk_lsh` / IVF pruning
+    upstream for web-scale query sets).  The corpus quantizes ONCE per
+    row before pair expansion, the positive exclusion is a broadcast
+    anti-join on the pair key BEFORE scoring (a positive's dot product
+    is never computed), and the per-query top-k rides one
+    rank-window exchange that WindowGroupLimit prunes map-side to k
+    rows per query per mapper — corpus vectors never shuffle.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: _scaled_int(x, scale)).alias("__cq"),
+    )
+    q = queries.select(
+        "query_id",
+        F.transform(F.col("query_vec"), lambda x: _scaled_int(x, scale)).alias(
+            "__qq"
+        ),
+    )
+    pairs = cand.crossJoin(F.broadcast(q)).join(
+        F.broadcast(
+            positives.select(
+                F.col("query_id"), F.col("pos_id").alias("neighbor_id")
+            )
+        ),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("__qq", "__cq", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_e8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_e8", "rank")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     queries: DataFrame,

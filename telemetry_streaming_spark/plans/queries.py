@@ -8598,6 +8598,75 @@ def part_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+@query(
+    "hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    qf AS (
+        SELECT query_id,
+               unnest(generate_series(1, len(query_vec))) AS i,
+               unnest(CAST(query_vec AS DOUBLE[])) AS x
+        FROM q
+    ),
+    cf AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS y
+        FROM embeddings
+    ),
+    scores AS (
+        SELECT qf.query_id, cf.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(qf.x * 10000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(cf.y * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS score_e8
+        FROM qf JOIN cf USING (i)
+        GROUP BY 1, 2
+    ),
+    pruned AS (
+        SELECT * FROM scores
+        WHERE NOT (neighbor_id = query_id OR neighbor_id = query_id + 100)
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score_e8,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_e8 DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM pruned
+    )
+    SELECT query_id, neighbor_id, score_e8, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: hard-negative mining for contrastive retrieval
+    training (operators/similarity.py:hard_negatives) — per query
+    vector (the 16 lowest vec_ids), the top-10 most-similar corpus
+    vectors EXCLUDING its labeled positives (here: itself and the
+    synthetic label vec_id+100, a deterministic SQL-mirrorable pair
+    set).  Scores are BIGINT dot products of e4-quantized vectors, so
+    ranking and tie-breaks hash-match any engine.  Queries + labels
+    broadcast; positives anti-join BEFORE scoring; one rank-window
+    exchange that WindowGroupLimit prunes map-side — corpus vectors
+    never shuffle."""
+    from telemetry_streaming_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    positives = queries.select("query_id").select(
+        "query_id",
+        F.explode(
+            F.array(F.col("query_id"), F.col("query_id") + 100)
+        ).alias("pos_id"),
+    )
+    return hard_negatives(emb, queries, positives, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -8658,23 +8727,23 @@ def part_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "part_triangles", "znorm_window_stats", "array_mean",
-    "bpe_token_stats", "curation_funnel", "ngram_repetition",
-    "pii_scan", "salted_agg", "sessionize_native",
-    "stratified_sample", "train_eval_split", "allowlist_filter",
-    "approx_distinct_users", "avg_count", "client_sampling",
-    "customer_order_stats", "dedup_minhash_bands", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "distinct_users",
-    "doc_fingerprint", "embedding_neardup", "embedding_neardup_lsh",
-    "experiment_fanout", "histogram_threshold", "inactive_customers",
-    "json_extract_agg", "lang_id", "local_supplier_volume",
-    "multimodal_dedup", "multimodal_features", "multimodal_frames",
-    "multimodal_meta", "order_priority_semi", "part_brand_stats",
-    "recent_shipments", "shipping_priority", "similarity_topk_ivf",
-    "similarity_topk_lsh", "text_quality", "token_explode",
-    "token_stats", "topk_orders", "usage_clamp",
-    "asof_enrich", "asof_join", "chunk_dedup",
-    "chunk_dedup_apply", "cohort_retention",
+    "hard_negatives", "part_triangles", "znorm_window_stats",
+    "array_mean", "bpe_token_stats", "curation_funnel",
+    "ngram_repetition", "pii_scan", "salted_agg",
+    "sessionize_native", "stratified_sample", "train_eval_split",
+    "allowlist_filter", "approx_distinct_users", "avg_count",
+    "client_sampling", "customer_order_stats", "dedup_minhash_bands",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "distinct_users", "doc_fingerprint", "embedding_neardup",
+    "embedding_neardup_lsh", "experiment_fanout", "histogram_threshold",
+    "inactive_customers", "json_extract_agg", "lang_id",
+    "local_supplier_volume", "multimodal_dedup", "multimodal_features",
+    "multimodal_frames", "multimodal_meta", "order_priority_semi",
+    "part_brand_stats", "recent_shipments", "shipping_priority",
+    "similarity_topk_ivf", "similarity_topk_lsh", "text_quality",
+    "token_explode", "token_stats", "topk_orders",
+    "usage_clamp", "asof_enrich", "asof_join",
+    "chunk_dedup", "chunk_dedup_apply",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
