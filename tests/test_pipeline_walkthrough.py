@@ -113,8 +113,11 @@ def test_pipeline_walkthrough(spark, tmp_path, capsys):
     main([
         "rollup", "--input-path", f"{work}/daily",
         "--output-path", f"{work}/rollup", "--group-by", "source",
+        "--quantile-col", "n_chars",
     ], spark=spark)
-    assert "rollup_dates_processed: 1" in capsys.readouterr().out
+    roll_out = capsys.readouterr().out
+    assert "rollup_dates_processed: 1" in roll_out
+    assert "rollup_quantiles[" in roll_out  # merged KLL p50/p95/p99
     assert (
         spark.read.parquet(f"{work}/rollup").agg({"n_rows": "sum"}).first()[0]
         == n_corpus
