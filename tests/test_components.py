@@ -70,3 +70,41 @@ def test_clusters_from_minhash_pairs(spark):
     assert 1 in clusters and clusters[1].keeper_id == 1
     assert set(clusters[1].ids) == {1, 2, 3}
     assert 4 not in clusters  # isolated: its own keeper by definition
+
+
+def test_incremental_components_equals_from_scratch(spark):
+    """Nightly update semantics: CC(old) labeling + new pairs must
+    resolve set-identically to CC(all pairs) — including new edges
+    that BRIDGE two previously separate components and edges
+    introducing brand-new ids."""
+    import random
+
+    from telemetry_streaming_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(13)
+    old_pairs = [(i, i + 1) for i in range(0, 20, 2)]          # 10 two-node comps
+    new_pairs = [
+        (1, 2),          # bridges comp {0,1} and {2,3}
+        (5, 100),        # attaches a brand-new id to {4,5}
+        (100, 101),      # chains further
+        (40, 41),        # entirely new component
+    ] + [(rng.randrange(20), rng.randrange(20)) for _ in range(10)]
+
+    def df(pairs):
+        return spark.createDataFrame(
+            [p for p in pairs if p[0] != p[1]], "id1 long, id2 long"
+        )
+
+    labels = connected_components(df(old_pairs))
+    got = {
+        (r["id"], r["component"])
+        for r in incremental_components(labels, df(new_pairs)).collect()
+    }
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(df(old_pairs + new_pairs)).collect()
+    }
+    assert got == want
