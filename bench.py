@@ -183,6 +183,11 @@ TREND = [
     # in-partition sort under m LEAD frames; ~1.5s vs DuckDB ~0.05s at
     # sf0.1 is the exchange+window floor, amortizing with SF
     "znorm_window_stats",
+    # r7: the duplicated-span family sits just over 2x at sf0.1 with
+    # near-flat Spark time 0.01->0.1 (chunk-hash multi-stage floor;
+    # measured 16.8x->2.0x, 9.7x->1.4x, 17.5x->2.6x) — tracked so the
+    # falling ratio stays committed evidence, not a one-off claim
+    "dup_span_stats", "dup_span_removal", "contamination_report",
 ]
 
 
@@ -260,7 +265,17 @@ def trend_main() -> None:
     spark = get_spark(app_name="bench-trend", shuffle_partitions=min(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
-    sf_dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    # three scale points: sf0.001 is ~pure fixed floor on both engines'
+    # scales, so the endpoint fall (0.001 -> 0.1) stays unambiguous
+    # even when a query's 0.01 floor improves enough to compress the
+    # old two-point signature into denominator noise (r7: sessionize's
+    # 0.01 ratio halved across rounds and the 0.01->0.1 verdict began
+    # flipping on ±15ms DuckDB samples)
+    sf_dirs = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
     # warm both engines + JIT outside the timed region
     for name in TREND:
         QUERIES[name].fn(spark, "/root/testdata/sf0.001").collect()
@@ -288,8 +303,9 @@ def trend_main() -> None:
                 "duckdb_sec": round(duck_t, 4),
                 "ratio": round(spark_t / duck_t, 2) if duck_t > 0 else None,
             }
-        r_small, r_big = entry["0.01"]["ratio"], entry["0.1"]["ratio"]
-        # a 0-second DuckDB timing yields ratio None — mark the query
+        r_small, r_big = entry["0.001"]["ratio"], entry["0.1"]["ratio"]
+        # endpoint comparison (smallest vs largest SF); a 0-second
+        # DuckDB timing yields ratio None — mark the query
         # indeterminate rather than crashing the whole trend run
         entry["ratio_falls_with_sf"] = (
             None if r_small is None or r_big is None else r_big < r_small

@@ -8708,6 +8708,87 @@ def incremental_dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFram
     return incremental_components(labels, new)
 
 
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS cid, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+        SELECT event_id AS conv_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT c.conv_id, c.user_id, k.cid
+        FROM conv c JOIN clicks k
+          ON k.user_id = c.user_id
+         AND k.ts >= c.ts - INTERVAL 7 DAY AND k.ts < c.ts
+    ),
+    credit AS (
+        SELECT conv_id, user_id, cid,
+               CAST(1000000 // COUNT(*) OVER (PARTITION BY conv_id)
+                    AS BIGINT) AS credit_micro
+        FROM pairs
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks,
+           CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum
+    FROM credit GROUP BY user_id
+    """,
+)
+def attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: LINEAR multi-touch attribution — every purchase
+    splits one unit of credit equally across ALL of the user's
+    strictly-earlier clicks in the 7-day lookback (the multi-touch
+    complement of attribution_last_touch's winner-take-all).  Credit
+    is integer micro-units (1e6 div n_touches), so every cell is
+    BIGINT-exact in any engine and aggregation order.  Composed from
+    the existing primitives: conversions become [ts-7d, ts) intervals,
+    operators/joins.py:interval_join binds clicks to them (point hits
+    exactly one bin — no pair dups), a conv_id window counts touches,
+    and a user-grain aggregate bounds the output at O(users).  Plan:
+    the interval equi-join's one exchange + one window exchange on
+    conv_id + the final aggregate — no BNL, no cartesian."""
+    from telemetry_streaming_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("conv_id"), "user_id", "ts")
+        .withColumn("start", F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        .withColumnRenamed("ts", "end")
+    )
+    pairs = interval_join(
+        clicks,
+        conv,
+        point_on="user_id",
+        point_ts="ts",
+        interval_start="start",
+        interval_end="end",
+        bin_seconds=7 * 86400,
+        closed="left",
+        point_prefix="t_",
+    )
+    credit = pairs.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    ).select(
+        "conv_id",
+        "user_id",
+        F.col("t_cid").alias("cid"),
+        F.expr("1000000 div __n").cast("long").alias("credit_micro"),
+    )
+    return credit.groupBy("user_id").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.count_distinct("cid").cast("long").alias("n_clicks"),
+        F.sum("credit_micro").cast("long").alias("credit_micro_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
