@@ -8849,23 +8849,23 @@ def attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "hard_negatives", "incremental_dedup_components", "part_triangles",
-    "znorm_window_stats", "array_mean", "bpe_token_stats",
-    "curation_funnel", "ngram_repetition", "pii_scan",
-    "salted_agg", "sessionize_native", "stratified_sample",
-    "train_eval_split", "allowlist_filter", "approx_distinct_users",
-    "avg_count", "client_sampling", "customer_order_stats",
-    "dedup_minhash_bands", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "distinct_users", "doc_fingerprint",
-    "embedding_neardup", "embedding_neardup_lsh", "experiment_fanout",
-    "histogram_threshold", "inactive_customers", "json_extract_agg",
-    "lang_id", "local_supplier_volume", "multimodal_dedup",
-    "multimodal_features", "multimodal_frames", "multimodal_meta",
-    "order_priority_semi", "part_brand_stats", "recent_shipments",
-    "shipping_priority", "similarity_topk_ivf", "similarity_topk_lsh",
-    "text_quality", "token_explode", "token_stats",
-    "topk_orders", "usage_clamp", "asof_enrich",
-    "asof_join", "chunk_dedup",
+    "attribution_linear", "hard_negatives", "incremental_dedup_components",
+    "part_triangles", "znorm_window_stats", "array_mean",
+    "bpe_token_stats", "curation_funnel", "ngram_repetition",
+    "pii_scan", "salted_agg", "sessionize_native",
+    "stratified_sample", "train_eval_split", "allowlist_filter",
+    "approx_distinct_users", "avg_count", "client_sampling",
+    "customer_order_stats", "dedup_minhash_bands", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "distinct_users",
+    "doc_fingerprint", "embedding_neardup", "embedding_neardup_lsh",
+    "experiment_fanout", "histogram_threshold", "inactive_customers",
+    "json_extract_agg", "lang_id", "local_supplier_volume",
+    "multimodal_dedup", "multimodal_features", "multimodal_frames",
+    "multimodal_meta", "order_priority_semi", "part_brand_stats",
+    "recent_shipments", "shipping_priority", "similarity_topk_ivf",
+    "similarity_topk_lsh", "text_quality", "token_explode",
+    "token_stats", "topk_orders", "usage_clamp",
+    "asof_enrich", "asof_join",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
