@@ -137,6 +137,7 @@ HEADLINE = [
     # triple join ~3x)
     "znorm_window_stats",
     "part_triangles",
+    "attribution_linear",
 ]
 
 
@@ -188,6 +189,10 @@ TREND = [
     # measured 16.8x->2.0x, 9.7x->1.4x, 17.5x->2.6x) — tracked so the
     # falling ratio stays committed evidence, not a one-off claim
     "dup_span_stats", "dup_span_removal", "contamination_report",
+    # r7: linear attribution — interval join + conv-window + user agg
+    # over ~20k clicks/conversions at sf0.1 is three-exchange floor
+    # (DuckDB's IE join does the same pairs in 60ms)
+    "attribution_linear",
 ]
 
 
