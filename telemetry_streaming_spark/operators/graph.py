@@ -271,3 +271,54 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Local clustering coefficient per node — triangles through the
+    node over its C(degree, 2) possible wedge closures, the standard
+    'how clique-like is this neighborhood' metric (Watts-Strogatz).
+
+    Emitted as an INTEGER ``coeff_e6 = floor(scale · 2·tri /
+    (deg·(deg−1)))`` so the value — not just the inputs — is
+    hash-exact across engines.  Nodes of degree 1 have no possible
+    wedge and are emitted with ``coeff_e6 = 0`` (their ``n_triangles``
+    is necessarily 0 too).  One extra degree aggregate + a left join
+    on top of :func:`triangle_counts` — same scale posture.
+    """
+    u, v = F.col(src), F.col(dst)
+    canon = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") > 1,
+            F.expr(
+                f"{2 * scale} * n_triangles div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coeff_e6"),
+    )

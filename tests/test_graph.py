@@ -153,3 +153,25 @@ def test_triangle_counts_matches_naive_on_random_graph(spark):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    """K4 + pendant: inside the clique every node has coeff 1.0
+    (1e6 micro-units); node 3 additionally neighbors the pendant
+    (degree 4, still 3 triangles -> 2*1e6*3 div 12 = 500000); the
+    pendant has degree 1 -> 0 by contract."""
+    from telemetry_streaming_spark.operators.graph import clustering_coefficients
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4 + [(3, 4)], "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coeff_e6"])
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got == {
+        0: (3, 3, 1_000_000),
+        1: (3, 3, 1_000_000),
+        2: (3, 3, 1_000_000),
+        3: (4, 3, 500_000),
+        4: (1, 0, 0),
+    }
