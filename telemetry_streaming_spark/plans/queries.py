@@ -8924,23 +8924,23 @@ def part_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "attribution_linear", "hard_negatives", "incremental_dedup_components",
-    "part_clustering", "part_triangles", "znorm_window_stats",
-    "array_mean", "bpe_token_stats", "curation_funnel",
-    "ngram_repetition", "pii_scan", "salted_agg",
-    "sessionize_native", "stratified_sample", "train_eval_split",
-    "allowlist_filter", "approx_distinct_users", "avg_count",
-    "client_sampling", "customer_order_stats", "dedup_minhash_bands",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "distinct_users", "doc_fingerprint", "embedding_neardup",
-    "embedding_neardup_lsh", "experiment_fanout", "histogram_threshold",
-    "inactive_customers", "json_extract_agg", "lang_id",
-    "local_supplier_volume", "multimodal_dedup", "multimodal_features",
-    "multimodal_frames", "multimodal_meta", "order_priority_semi",
-    "part_brand_stats", "recent_shipments", "shipping_priority",
-    "similarity_topk_ivf", "similarity_topk_lsh", "text_quality",
-    "token_explode", "token_stats", "topk_orders",
-    "usage_clamp", "asof_enrich",
+    "asof_join", "chunk_dedup", "chunk_dedup_apply",
+    "cohort_retention", "contamination_report", "conversion_funnel",
+    "customer_distribution", "dedup_components", "dedup_incremental",
+    "distinctive_terms", "diversified_topk", "dup_window_fraction",
+    "embedding_quantize", "equidepth_histogram", "event_cube",
+    "fuzzy_token_match", "heavy_hitters", "incremental_distinct_merge",
+    "incremental_merge", "inter_event_gaps", "large_orders",
+    "latest_snapshot", "market_share", "min_cost_supplier",
+    "mode_per_group", "multimodal_audio_chunks", "nation_trade_volume",
+    "packing_stats", "pattern_match_topk", "priority_rollup",
+    "profile_columns", "resample_ffill", "robust_stats",
+    "scd2_intervals", "segment_overlap", "sequence_packing",
+    "session_stats", "share_of_total", "snapshot_diff",
+    "time_rollup", "time_weighted_avg", "top_orders_per_customer",
+    "value_histogram", "value_quantiles", "value_trend",
+    "weighted_sample", "winsorized_stats", "approx_heavy_hitters",
+    "approx_value_quantiles", "attribution_last_touch",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -20,8 +20,10 @@ first:
 3. Ties broken by ascending total check count (a once-checked query
    outranks a twice-checked one from the same round), then by name.
 
-With 198 registry queries and 50 slots, every query is re-confirmed at
-worst every ceil(198/50) = 4 rounds.
+With a 50-slot window, every registry query is re-confirmed at worst
+every ceil(len(QUERIES)/50) rounds (5 rounds at the current 204-query
+registry; ``tests/test_rotation.py`` pins the count so it cannot
+silently drift from this note again).
 
 The committed ``_FRONT_WINDOW`` in ``plans/queries.py`` stays an
 explicit list (the driver must see a stable window for the whole

@@ -158,6 +158,20 @@ def test_window_anchors_are_already_green():
         )
 
 
+def test_registry_counts_pinned():
+    """Pin the registry size so prose counts (rotation.py docstring,
+    README, SURVEY) cannot silently drift from the registry again
+    (r7 ADVICE: docs said 198 while HEAD held 204).  Adding a query
+    means updating this pin in the same commit."""
+    oracle_backed = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    rows_only = sum(1 for s in QUERIES.values() if s.oracle is None)
+    assert (len(QUERIES), oracle_backed, rows_only) == (204, 185, 19), (
+        f"registry is {len(QUERIES)} queries ({oracle_backed} oracle-backed"
+        f" + {rows_only} rows-only) — update this pin AND every prose count"
+        " (plans/rotation.py docstring, README.md, SURVEY.md)"
+    )
+
+
 def test_front_window_matches_lru_computation():
     """r7+: the window is least-recently-checked-first, COMPUTED from
     the committed CORRECTNESS artifacts (r6 verdict item 1).  The
