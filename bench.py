@@ -253,6 +253,13 @@ def duckdb_main() -> None:
     )
 
 
+# A trend verdict is "marginal" when the 0.001->0.1 ratio fell by less
+# than 30% — small enough that median noise on a sub-30ms DuckDB
+# denominator can flip it either way.  Marginal entries re-measure with
+# 2n+1 samples regardless of which side of the line they landed on.
+MARGINAL_FALL_BAND = 0.7
+
+
 def trend_main() -> None:
     import duckdb
 
@@ -326,13 +333,26 @@ def trend_main() -> None:
             "belong in TREND"
         )
         entry = measure(spec, trend_runs)
-        if entry["ratio_falls_with_sf"] is False:
-            # marginal verdicts flip on ±30% single-run noise against
-            # sub-30ms DuckDB denominators (r7: two false rows in one
-            # run, a different one in the next).  Re-measure with more
-            # samples and let that REPLACE — whatever it concludes.
+        # Marginal verdicts flip on ±30% single-run noise against
+        # sub-30ms DuckDB denominators (r7: two false rows in one run,
+        # a different one in the next).  Re-measure with more samples
+        # SYMMETRICALLY — any verdict whose endpoint fall is inside the
+        # noise band gets retried, not just unfavorable ones (r7
+        # ADVICE: retrying only "not falling" rows biases the artifact
+        # toward the floor thesis) — and keep BOTH passes in the
+        # artifact so the retry is auditable.
+        r_small = entry["0.001"]["ratio"]
+        r_big = entry["0.1"]["ratio"]
+        marginal = (
+            r_small is None
+            or r_big is None
+            or r_big >= MARGINAL_FALL_BAND * r_small
+        )
+        if marginal:
+            first_pass = entry
             entry = measure(spec, 2 * trend_runs + 1)
             entry["remeasured"] = True
+            entry["first_pass"] = first_pass
         out["queries"][name] = entry
     out["value"] = sum(
         1 for q in out["queries"].values() if q["ratio_falls_with_sf"]
@@ -375,6 +395,42 @@ def _wait_for_idle() -> tuple[float, bool]:
             file=sys.stderr,
         )
     return round(load, 2), gate_passed
+
+
+def assemble_output(
+    *,
+    timings: dict,
+    sf: float,
+    baseline_delta: dict,
+    resampled: list,
+    recheck: dict,
+    load_at_start: float,
+    load_at_end: float,
+    idle_gate_passed: bool,
+    contention: bool,
+) -> dict:
+    """Build the one-line JSON artifact.  KEY ORDER IS LOAD-BEARING:
+    the driver keeps only the TAIL of bench output, so the big
+    per-query dicts come FIRST and the honesty markers
+    (idle gate, loadavg, recheck, contention flag) plus the headline
+    `value` come LAST — r7's committed artifact truncated away exactly
+    the markers that would have explained its contention-inflated
+    deltas (r7 verdict item 3).  tests/test_bench_manifest.py pins the
+    serialized order."""
+    return {
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "baseline_delta": baseline_delta,
+        "resampled_for_spread": resampled,
+        "recheck": recheck,
+        "loadavg_1m_start": load_at_start,
+        "loadavg_1m_end": load_at_end,
+        "idle_gate_passed": idle_gate_passed,
+        "contention_suspected": contention,
+        "value": round(sum(timings.values()), 4),
+    }
 
 
 def main() -> None:
@@ -488,20 +544,17 @@ def main() -> None:
                 if b:
                     baseline_delta[name] = round(sec / b, 2)
 
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "loadavg_1m_start": load_at_start,
-        "loadavg_1m_end": round(os.getloadavg()[0], 2),
-        "idle_gate_passed": idle_gate_passed,
-        "resampled_for_spread": resampled,
-        "recheck": recheck,
-        "contention_suspected": contention,
-        "baseline_delta": baseline_delta,
-    }
+    out = assemble_output(
+        timings=timings,
+        sf=sf,
+        baseline_delta=baseline_delta,
+        resampled=resampled,
+        recheck=recheck,
+        load_at_start=load_at_start,
+        load_at_end=round(os.getloadavg()[0], 2),
+        idle_gate_passed=idle_gate_passed,
+        contention=contention,
+    )
     print(json.dumps(out))
 
     if "--refresh-baseline" in sys.argv:

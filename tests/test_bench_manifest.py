@@ -45,6 +45,42 @@ def test_baseline_names_are_registered():
     assert all(v > 0 for v in base["queries"].values())
 
 
+def test_output_markers_survive_tail_truncation():
+    """The driver records only the TAIL of bench stdout; r7's committed
+    artifact lost `value` and every honesty marker because the big
+    baseline_delta dict serialized last (r7 verdict item 3).  Pin the
+    serialized key order: per-query dicts first, markers + value last."""
+    out = bench.assemble_output(
+        timings={"q1": 1.0},
+        sf=0.1,
+        baseline_delta={"q1": 1.0},
+        resampled=[],
+        recheck={"query": "q1", "spread": 1.0},
+        load_at_start=0.0,
+        load_at_end=0.0,
+        idle_gate_passed=True,
+        contention=False,
+    )
+    serialized = json.dumps(out)
+    markers = [
+        "recheck",
+        "loadavg_1m_start",
+        "loadavg_1m_end",
+        "idle_gate_passed",
+        "contention_suspected",
+        "value",
+    ]
+    bulk_end = max(
+        serialized.index('"queries"'), serialized.index('"baseline_delta"')
+    )
+    for key in markers:
+        assert serialized.rindex(f'"{key}"') > bulk_end, (
+            f"marker {key!r} serializes before the per-query dicts — "
+            "it would be truncated out of the committed artifact"
+        )
+    assert list(out)[-1] == "value", "`value` must be the final key"
+
+
 def test_headline_covers_committed_baseline():
     """Every baseline query must still be benched: a HEADLINE removal
     would silently stop tracking a query the baseline still grades."""
