@@ -638,3 +638,23 @@ def test_part_triangles_no_cartesian_and_canon_cut_once(spark):
     # the lineage cut shows up as scans over an ExistingRDD instead of
     # three repeated parquet derivations of the edge pipeline
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_part_clustering_single_edge_derivation(spark):
+    """r8 (r7 verdict item 5): clustering_coefficients must build the
+    canonical edge frame ONCE and share the lineage-cut result with
+    triangle_counts — previously each built its own canon, so the
+    arity-capped co-purchase self-join executed twice (no subplan CSE
+    in Spark; measured 2.29s -> 1.26s at sf0.1).  After the shared
+    cut, the final plan reads ONLY the checkpointed RDD: zero parquet
+    scans of the edge derivation remain, and the canon feeds all four
+    consumers (degree agg, orientation join, closing join, coeff
+    join)."""
+    plan = explain_str(q(spark, "part_clustering"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 4
+    # the edge derivation (lineitem scans) must be fully behind the
+    # one eager checkpoint — any parquet scan in the final plan means
+    # a consumer re-derives edges from raw data
+    assert "Scan parquet" not in plan, plan[:800]
