@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_spark.functions import epoch_seconds
+
 
 def conversion_funnel(
     events: DataFrame,
@@ -56,7 +58,7 @@ def conversion_funnel(
     """
     if not stages:
         raise ValueError("stages must be non-empty")
-    ts_s = F.expr(f"unix_micros(`{ts_col}`) div 1000000")
+    ts_s = epoch_seconds(ts_col)
     base = events.select(
         F.col(user_col), F.col(type_col).alias("__t"), ts_s.alias("__s")
     )
@@ -96,7 +98,7 @@ def cohort_retention(
     if period_seconds < 1:
         raise ValueError(f"period_seconds must be >= 1, got {period_seconds}")
     p = int(period_seconds)
-    ts_s = F.expr(f"unix_micros(`{ts_col}`) div 1000000")
+    ts_s = epoch_seconds(ts_col)
     activity = (
         events.select(F.col(user_col), (ts_s - (ts_s % p)).alias("period"))
         .distinct()
@@ -129,7 +131,7 @@ def inter_event_gaps(
     """
     from pyspark.sql import Window
 
-    ts_s = F.expr(f"unix_micros(`{ts_col}`) div 1000000")
+    ts_s = epoch_seconds(ts_col)
     w = Window.partitionBy(user_col).orderBy(F.col("__s").asc())
     gaps = (
         events.select(F.col(user_col), ts_s.alias("__s"))

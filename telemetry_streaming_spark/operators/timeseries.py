@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from telemetry_streaming_spark.functions import epoch_seconds
 from telemetry_streaming_spark.operators.joins import asof_join
 
 __all__ = [
@@ -194,7 +195,7 @@ def pattern_match_topk(
     windows = events.select(
         F.col(key_col),
         F.col(id_col),
-        F.expr(f"unix_micros({ts_col}) div 1000000").alias("ts_s"),
+        epoch_seconds(ts_col).alias("ts_s"),
         F.collect_list(cents_v).over(w).alias("__vals"),
     ).where(F.size("__vals") == m)
     dist = F.lit(0).cast("long")
@@ -256,7 +257,7 @@ def pattern_match_topk_znorm(
     )
     windows = events.select(
         F.col(key_col),
-        F.expr(f"unix_micros({ts_col}) div 1000000").alias("ts_s"),
+        epoch_seconds(ts_col).alias("ts_s"),
         F.collect_list(F.col(value_col).cast("double")).over(w).alias("__vals"),
     ).where(F.size("__vals") == m)
 
@@ -332,7 +333,7 @@ def znorm_window_stats(
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     base = events.where(F.col(value_col).isNotNull()).select(
         F.col(key_col),
-        F.expr(f"unix_micros({ts_col}) div 1000000").alias("__ts_s"),
+        epoch_seconds(ts_col).alias("__ts_s"),
         F.col(id_col).alias("__id"),
         cents.alias("__c"),
     )

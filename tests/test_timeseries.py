@@ -695,3 +695,35 @@ def test_znorm_window_stats_rejects_bad_params(spark):
         znorm_window_stats(df, [1])
     with pytest.raises(ValueError, match="integers"):
         znorm_window_stats(df, [1.5, 2.0])
+
+
+def test_epoch_seconds_floors_pre_epoch_fractional_timestamps(spark):
+    """r8 (r7 ADVICE): ``unix_micros(ts) div 1000000`` truncates toward
+    zero, so 1969-12-31 23:59:59.5 (epoch -0.5 s) mapped to second 0
+    while every oracle floors it to -1 — pre-epoch window ordering and
+    hashes could diverge.  ``epoch_seconds`` (now used by the znorm /
+    pattern-match / behavior operators) must floor on both sides of
+    1970, matching Python's floor of the true epoch value."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.functions import epoch_seconds
+
+    ts_list = [
+        datetime.datetime(1969, 12, 31, 23, 59, 58, 250000),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 0),
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 750000),
+        datetime.datetime(2024, 6, 1, 12, 30, 15, 123456),
+    ]
+    df = spark.createDataFrame([Row(i=i, ts=t) for i, t in enumerate(ts_list)])
+    got = {r.i: r.s for r in df.select("i", epoch_seconds("ts").alias("s")).collect()}
+    utc = datetime.timezone.utc
+    expect = {
+        i: math.floor(t.replace(tzinfo=utc).timestamp())
+        for i, t in enumerate(ts_list)
+    }
+    assert got == expect
+    assert got[1] == -1  # the truncation-vs-floor divergence case
