@@ -287,11 +287,35 @@ def hard_negatives(
     """
     if k < 1:
         raise ValueError("k must be positive")
-    cand = corpus.select(
+    # NULL or mis-dimensioned vectors on either side would score a
+    # NULL dot product yet still occupy ranks <= k when non-null
+    # candidates are scarce (desc sort puts NULLs last, not out),
+    # diverging from the oracle's unnest join which drops them — so
+    # drop them BEFORE pair expansion (r7 ADVICE; the pq.py
+    # convention).  Dimension = the corpus modal size; a handful of
+    # corrupted rows must not redefine it, and queries must match it.
+    dim_row = (
+        corpus.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .groupBy(F.size(vec_col).alias("d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("d").asc())
+        .limit(1)
+        .collect()
+    )
+    if not dim_row:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score_e8 long, rank int"
+        )
+    dim = dim_row[0]["d"]
+    cand = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: _scaled_int(x, scale)).alias("__cq"),
     )
-    q = queries.select(
+    q = queries.where(
+        F.col("query_vec").isNotNull() & (F.size("query_vec") == dim)
+    ).select(
         "query_id",
         F.transform(F.col("query_vec"), lambda x: _scaled_int(x, scale)).alias(
             "__qq"
@@ -318,8 +342,11 @@ def hard_negatives(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_e8").desc(), F.col("neighbor_id").asc()
     )
+    # belt-and-braces: a NULL ELEMENT inside a correctly-sized vector
+    # still nulls the fold — drop it like the oracle's unnest join does
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.where(F.col("score_e8").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score_e8", "rank")
     )

@@ -39,3 +39,63 @@ def test_hard_negatives_excludes_positives_and_ranks_by_dot(spark):
 
     with pytest.raises(ValueError, match="positive"):
         hard_negatives(corpus, queries, positives, k=0)
+
+
+def test_hard_negatives_drops_null_and_misdimensioned_vectors(spark):
+    """r8 (r7 ADVICE): NULL-embedding / wrong-dimension corpus rows
+    scored NULL yet still occupied ranks <= k when non-null candidates
+    were scarce, diverging from the oracle's unnest join which drops
+    them.  They must now be excluded BEFORE ranking — including a
+    correctly-sized vector with a NULL element — and a NULL query_vec
+    must produce no output rows for that query."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from telemetry_streaming_spark.operators.similarity import hard_negatives
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),          # the query itself
+            (1, [0.9, 0.1, 0.0]),          # only clean candidate
+            (2, None),                      # NULL embedding
+            (3, [1.0, 0.0]),                # wrong dimension
+            (4, [1.0, None, 0.0]),          # NULL element, right size
+        ],
+        schema,
+    )
+    queries = corpus.where("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    positives = spark.createDataFrame([Row(query_id=0, pos_id=0)])
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in hard_negatives(corpus, queries, positives, k=3).collect()
+    ]
+    assert got == [(1, 1)], got
+
+    # NULL query vector: that query contributes nothing (not k NULLs)
+    null_q = spark.createDataFrame(
+        [(7, None)],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("query_vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    assert hard_negatives(corpus, null_q, positives, k=3).count() == 0
+
+    # all-corrupt corpus: empty result with the contract schema
+    empty = hard_negatives(
+        corpus.where("vec_id = 2"), queries, positives, k=3
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbor_id", "score_e8", "rank",
+    ]
