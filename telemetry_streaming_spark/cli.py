@@ -969,6 +969,15 @@ def run_rollup(spark, args):
         manifest = _json.loads(open(manifest_path).read())
         done = set(manifest["dates"])
         prev_cols = manifest.get("columns")
+        if prev_cols is None and done:
+            # legacy manifest predating the 'columns' key: one flag
+            # change could still silently mix heterogeneous date
+            # partitions (r7 ADVICE) — infer the committed schema from
+            # one partition instead of skipping the guard.  Partitions
+            # are written in schema_cols order by this same code path,
+            # so exact list equality below stays valid.
+            probe = os.path.join(args.output_path, f"date={sorted(done)[0]}")
+            prev_cols = spark.read.parquet(probe).columns
         if prev_cols is not None and prev_cols != schema_cols and done:
             raise SystemExit(
                 "rollup schema mismatch: existing partitions carry "

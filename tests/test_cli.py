@@ -1272,3 +1272,51 @@ def test_cli_rollup_kll_quantile_tier(spark, tmp_path, capsys):
         day("20240104", [1.0])
         main(["rollup", "--input-path", str(src), "--output-path", out,
               "--group-by", "event_type"], spark=spark)
+
+
+def test_cli_rollup_legacy_manifest_still_guards_schema(spark, tmp_path, capsys):
+    """r8 (r7 ADVICE): a manifest written before the 'columns' key
+    existed must NOT disable the schema-mismatch guard — the committed
+    schema is inferred from one date partition, so adding a flag (here
+    --distinct-col) on a legacy rollup refuses instead of silently
+    writing heterogeneous partitions.  A matching re-invocation still
+    proceeds and upgrades the manifest."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.cli import main
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [Row(event_type="click", value=1.0, user="u1")]
+    ).write.mode("overwrite").parquet(str(src / "20240101"))
+    out = str(tmp_path / "roll")
+    base = ["rollup", "--input-path", str(src), "--output-path", out,
+            "--group-by", "event_type", "--sum-col", "value"]
+    main(base, spark=spark)
+    capsys.readouterr()
+
+    # rewind the manifest to the legacy (pre-'columns') format
+    mp = os.path.join(out, "_manifest.json")
+    m = _json.loads(open(mp).read())
+    del m["columns"]
+    open(mp, "w").write(_json.dumps(m))
+
+    # flag change on a legacy rollup: must refuse
+    with pytest.raises(SystemExit, match="schema mismatch"):
+        main(base + ["--distinct-col", "user"], spark=spark)
+
+    # same flags on a legacy rollup: proceeds (no-op) and re-commits
+    # nothing — the guard passes on the inferred schema
+    spark.createDataFrame(
+        [Row(event_type="view", value=2.0, user="u2")]
+    ).write.mode("overwrite").parquet(str(src / "20240102"))
+    main(base, spark=spark)
+    o = capsys.readouterr().out
+    assert "rollup_dates_processed: 1" in o
+    assert _json.loads(open(mp).read())["columns"] == [
+        "event_type", "n_rows", "sum_value_cents",
+    ]
