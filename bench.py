@@ -138,6 +138,11 @@ HEADLINE = [
     "znorm_window_stats",
     "part_triangles",
     "attribution_linear",
+    # r8: the integer-exact banded-DTW companion (~1.3 s at sf0.1 —
+    # the znorm plan shape with the DP as one fold expression) and the
+    # co-purchase clustering coefficients (shared-canon plan)
+    "dtw_window_stats",
+    "part_clustering",
 ]
 
 
@@ -193,6 +198,10 @@ TREND = [
     # over ~20k clicks/conversions at sf0.1 is three-exchange floor
     # (DuckDB's IE join does the same pairs in 60ms)
     "attribution_linear",
+    # r8: banded-DTW companion — znorm's exchange+window floor with a
+    # fold-expression DP on top; measured 9.6x (0.001) -> 6.7x (0.1)
+    # before landing
+    "dtw_window_stats",
 ]
 
 

@@ -35,6 +35,8 @@ from telemetry_streaming_spark.operators.joins import asof_join
 
 __all__ = [
     "dtw_pattern_match",
+    "dtw_unrolled_cells_sql",
+    "dtw_window_stats",
     "latest_snapshot",
     "pattern_match_topk",
     "pattern_match_topk_znorm",
@@ -464,6 +466,151 @@ def dtw_pattern_match(
         score, schema=f"{key_col} long, ts_s long, dtw_dist double"
     )
     return windows.orderBy(F.col("dtw_dist"), F.col(key_col), F.col("ts_s")).limit(k)
+
+
+def dtw_window_stats(
+    events: DataFrame,
+    pattern_cents: list[int],
+    band: int = 1,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Integer-exact Sakoe-Chiba-banded DTW statistics — the
+    hash-checkable companion to the rows-only float
+    :func:`dtw_pattern_match` tier (the same relationship
+    ``znorm_window_stats`` has to ``pattern_match_topk_znorm``; r7
+    verdict item 4 named this as the last rows-only tier without one).
+
+    Per sliding window of length ``m = len(pattern_cents)`` over each
+    key's (ts, id)-ordered cent-quantized values, the banded DTW
+    distance is a BIGINT: every cell of the m×m dynamic program is
+    ``(xᵢ − pⱼ)² + min(prev cells)`` over integer cents, so the
+    distance — not just its inputs — is identical in any engine
+    (the float tier's distance is exactly ``dtw_int / 10⁴`` when its
+    pattern is ``pattern_cents / 100``; pinned in tests).  Output per
+    key: window count, min distance, summed distance, and the ts of
+    the best window (ties → earliest), all order-independent
+    aggregates.
+
+    Plan: one exchange on the key, one in-partition sort under a
+    single ``collect_list`` frame, then the DP as ONE nested
+    higher-order-function expression (``aggregate`` over rows i of an
+    ``aggregate`` over columns j carrying the previous DP row as the
+    accumulator) — the pq.py lesson applied: m² unrolled cell
+    expressions would re-expand through CollapseProject and cost
+    seconds of plan/codegen at any scale, while one fold plans ~free
+    and evaluates O(m·(2·band+1)) per row.  Out-of-band cells hold an
+    INF sentinel (2⁶⁰ — never added to, only ``least``-ed away).
+    At 100 TB: shuffle O(input), output O(keys) — znorm's posture.
+    Overflow: |cents| ≤ 10⁵ ⇒ cell ≤ (2·10⁵)²·(2m) ≈ 10¹²·m/8;
+    2⁶³ accommodates >10⁶ windows/key in the sum at m ≤ 16.
+
+    The DuckDB oracle twin cannot fold (no ordered-reduce with row
+    state), so :func:`dtw_unrolled_cells_sql` generates the UNROLLED
+    lateral-alias cell chain for a fixed (pattern, band) — fine for an
+    oracle that runs at sf0.01, exactly the plan-cost trap the Spark
+    side avoids.
+    """
+    m = len(pattern_cents)
+    if m < 2:
+        raise ValueError("pattern_cents needs >= 2 points")
+    if band < 0:
+        raise ValueError("band must be >= 0")
+    if any(int(c) != c for c in pattern_cents):
+        raise ValueError("pattern_cents must be integers (exactness contract)")
+    inf = 1 << 60
+    p_sql = "array(" + ", ".join(f"{int(c)}L" for c in pattern_cents) + ")"
+
+    def cost(i: str, j: str) -> str:
+        d = (
+            f"(element_at(__vals, cast(({i}) + 1 as int)) - "
+            f"element_at({p_sql}, cast(({j}) + 1 as int)))"
+        )
+        return f"{d} * {d}"
+
+    row0 = f"""aggregate(
+        sequence(0, {m - 1}),
+        cast(array() as array<bigint>),
+        (acc, j) -> array_append(acc,
+            case when j > {band} then {inf}L
+                 else {cost('0', 'j')}
+                      + (case when j = 0 then 0L
+                              else element_at(acc, cast(j as int)) end)
+            end))"""
+    dp = f"""aggregate(
+        sequence(1, {m - 1}),
+        {row0},
+        (prev, i) -> aggregate(
+            sequence(0, {m - 1}),
+            cast(array() as array<bigint>),
+            (acc, j) -> array_append(acc,
+                case when abs(i - j) > {band} then {inf}L
+                     else {cost('i', 'j')}
+                          + least(
+                              element_at(prev, cast(j + 1 as int)),
+                              case when j > 0
+                                   then element_at(acc, cast(j as int))
+                                   else {inf}L end,
+                              case when j > 0
+                                   then element_at(prev, cast(j as int))
+                                   else {inf}L end)
+                end)),
+        prev -> element_at(prev, {m}))"""
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.currentRow, m - 1)
+    )
+    windows = (
+        events.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            epoch_seconds(ts_col).alias("ts_s"),
+            F.collect_list(cents).over(w).alias("__vals"),
+        )
+        .where(F.size("__vals") == m)
+        .select(F.col(key_col), F.col("ts_s"), F.expr(dp).alias("__dist"))
+    )
+    return windows.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("__dist").alias("dtw_min"),
+        F.sum("__dist").cast("long").alias("dtw_sum"),
+        F.min(F.struct(F.col("__dist").alias("d"), F.col("ts_s").alias("t")))
+        .getField("t")
+        .alias("best_ts_s"),
+    )
+
+
+def dtw_unrolled_cells_sql(
+    pattern_cents: list[int], band: int
+) -> tuple[list[str], str]:
+    """The banded DTW dynamic program UNROLLED as SQL lateral-alias
+    cell expressions over window columns ``x0..x{m-1}`` — the oracle
+    twin of :func:`dtw_window_stats` (and its independent test
+    replica).  Returns ``(cell_exprs, final_cell_name)``; cells are
+    emitted in topological order, so any engine with same-SELECT
+    alias references (DuckDB, Spark) evaluates each cell once."""
+    m = len(pattern_cents)
+    cells: list[str] = []
+    for i in range(m):
+        for j in range(max(0, i - band), min(m - 1, i + band) + 1):
+            c = f"(x{i} - ({int(pattern_cents[j])}))*(x{i} - ({int(pattern_cents[j])}))"
+            preds = [
+                f"c{pi}_{pj}"
+                for pi, pj in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                if pi >= 0 and pj >= 0 and abs(pi - pj) <= band
+            ]
+            if not preds:
+                cells.append(f"{c} AS c{i}_{j}")
+            elif len(preds) == 1:
+                cells.append(f"{c} + {preds[0]} AS c{i}_{j}")
+            else:
+                cells.append(f"{c} + LEAST({', '.join(preds)}) AS c{i}_{j}")
+    return cells, f"c{m - 1}_{m - 1}"
 
 
 def trailing_window_stats(

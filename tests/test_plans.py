@@ -626,6 +626,22 @@ def test_znorm_window_stats_single_sort_single_window(spark):
     )
 
 
+def test_dtw_window_stats_single_sort_single_window(spark):
+    """r8: the DTW companion shares znorm's plan shape — ONE exchange
+    + ONE in-partition sort + ONE Window node (a single collect_list
+    frame), with the banded DP as one fold expression (NOT m² unrolled
+    cells, which would re-expand through CollapseProject — the pq.py
+    plan-cost lesson)."""
+    import re
+
+    plan = explain_str(q(spark, "dtw_window_stats"))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:500]
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan[:500]
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    # one collect_list frame feeds the fold — not one frame per cell
+    assert plan.count("collect_list") <= 2, plan[:500]
+
+
 def test_part_triangles_no_cartesian_and_canon_cut_once(spark):
     """r7: triangle counting must be pure equi-joins (wedge apex join +
     two-key closing join) — no BroadcastNestedLoop/Cartesian anywhere —

@@ -727,3 +727,122 @@ def test_epoch_seconds_floors_pre_epoch_fractional_timestamps(spark):
     }
     assert got == expect
     assert got[1] == -1  # the truncation-vs-floor divergence case
+
+
+def _dtw_replica(win, pattern, band):
+    """Banded DTW over integer sequences — the pure-Python pin."""
+    inf = float("inf")
+    m = len(pattern)
+    prev = [inf] * m
+    for i in range(m):
+        cur = [inf] * m
+        for j in range(max(0, i - band), min(m - 1, i + band) + 1):
+            d = (win[i] - pattern[j]) ** 2
+            if i == 0 and j == 0:
+                best = 0
+            else:
+                best = min([prev[j]] + ([cur[j - 1], prev[j - 1]] if j > 0 else []))
+            cur[j] = d + best
+        prev = cur
+    return prev[m - 1]
+
+
+def test_dtw_window_stats_matches_python_replica(spark):
+    """Integer replica pin for the banded-DTW companion (r7 verdict
+    item 4): per-key window counts, min/summed distances, and the
+    earliest best-window timestamp recomputed in pure Python over the
+    same (ts, id)-ordered cent values — including an all-flat key and
+    a too-short key, plus band=0 (pure euclidean diagonal)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import dtw_window_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    base_s = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    pattern_cents = [100, 300, 200, 400]
+    m = len(pattern_cents)
+    vals = {
+        1: [1.0, 2.0, 4.0, 8.0, 3.0, 2.5],
+        2: [5.0] * 5,
+        3: [1.0, 1.0],
+    }
+    rows = []
+    eid = 0
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append(Row(
+                event_id=eid, ts=t0 + datetime.timedelta(seconds=i),
+                user_id=uid, event_type="x", value=v, props="{}",
+            ))
+            eid += 1
+    df = spark.createDataFrame(rows)
+
+    for band in (0, 1):
+        got = {
+            r.user_id: (r.n_windows, r.dtw_min, r.dtw_sum, r.best_ts_s)
+            for r in dtw_window_stats(df, pattern_cents, band=band).collect()
+        }
+        expect = {}
+        for uid, vs in vals.items():
+            cents = [int(v * 100 + 0.5) for v in vs]
+            wins = [(i, cents[i:i + m]) for i in range(len(cents) - m + 1)]
+            if not wins:
+                continue
+            ds = [(_dtw_replica(w, pattern_cents, band), base_s + i) for i, w in wins]
+            dmin = min(d for d, _ in ds)
+            expect[uid] = (
+                len(ds), dmin, sum(d for d, _ in ds),
+                min(t for d, t in ds if d == dmin),
+            )
+        assert got == expect, (band, got, expect)
+
+
+def test_dtw_window_stats_pins_the_float_tier(spark):
+    """The companion IS the float tier's verification oracle: with
+    pattern = pattern_cents / 100, the float dtw_pattern_match distance
+    of the best window equals dtw_min / 1e4 exactly (cent diffs square
+    to 1e4 x dollar diffs), and the best window's ts matches."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import (
+        dtw_pattern_match,
+        dtw_window_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    pattern_cents = [100, 300, 200, 400]
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i),
+            user_id=1, event_type="x", value=v, props="{}")
+        for i, v in enumerate([1.0, 2.0, 4.0, 8.0, 3.0, 2.5, 1.0, 3.1, 2.0, 4.2])
+    ]
+    df = spark.createDataFrame(rows)
+    stats = dtw_window_stats(df, pattern_cents, band=1).collect()[0]
+    top = dtw_pattern_match(
+        df, [c / 100 for c in pattern_cents], band=1, k=1
+    ).collect()[0]
+    assert abs(top["dtw_dist"] - stats["dtw_min"] / 1e4) < 1e-9
+    assert top["ts_s"] == stats["best_ts_s"]
+
+
+def test_dtw_window_stats_rejects_bad_args(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import dtw_window_stats
+
+    import datetime
+
+    df = spark.createDataFrame(
+        [Row(event_id=1, ts=datetime.datetime(2024, 1, 1), user_id=1, value=1.0)]
+    )
+    with pytest.raises(ValueError, match=">= 2"):
+        dtw_window_stats(df, [100])
+    with pytest.raises(ValueError, match="band"):
+        dtw_window_stats(df, [100, 200], band=-1)
+    with pytest.raises(ValueError, match="integers"):
+        dtw_window_stats(df, [100.5, 200])
