@@ -919,6 +919,162 @@ def run_maintain(spark, args):
         )
 
 
+def run_clusters(spark, args):
+    """Nightly duplicate-CLUSTER maintenance — the labeling half of the
+    incremental dedup story (r7 verdict item 3): ``maintain`` decides
+    which documents enter via the band index; this persists the
+    ``(id, component)`` labeling and folds each night's new near-dup
+    pair batches into it via ``incremental_components`` (set-identical
+    to a from-scratch ``connected_components`` over all pairs — the
+    ``incremental_dedup_components`` registry oracle states exactly
+    those semantics), so cluster resolution stays O(labels + new pairs)
+    per night instead of re-resolving history.
+
+    Layout: ``--pairs-input`` is a dir of batch-named parquet subdirs
+    (one per nightly drop, (id1, id2) pairs); ``--labels-path`` is the
+    persisted labeling parquet dir, carrying ``_manifest.json``
+    (processed batch names) INSIDE it so the atomic swap moves labels
+    and manifest together — there is no crash window where one moved
+    without the other.
+
+    Restart discipline (the ``maintain`` swap discipline):
+
+    0. recover an interrupted swap (``_recover_index_swap``);
+    1. list batches the manifest has not seen;
+    2. resolve ``incremental_components(live labels, new pairs)``;
+    3. write ``<labels>.staging`` (labels + updated manifest);
+    4. verify ON STAGING before anything moves: every new pair's two
+       endpoints must resolve to the SAME component (the cluster
+       analog of maintain's "every admitted doc rediscovers itself"),
+       and every previously-labeled id must still be labeled; a
+       shortfall removes staging and exits non-zero with live
+       untouched;
+    5. swap via two renames + rmtree.
+
+    Idempotent at every boundary: a kill before the swap leaves live +
+    manifest unchanged (rerun redoes the night); a kill mid-swap is
+    completed or rolled back by step 0; reprocessing an
+    already-incorporated batch is a semantic no-op (folding a pair
+    whose endpoints already share a component changes nothing).
+    """
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.components import (
+        incremental_components,
+    )
+
+    _require(args, "pairs-input", "labels-path")
+    labels_path = args.labels_path
+    manifest_name = "_manifest.json"
+
+    # stage 0: a previous invocation may have died mid-swap.  Differs
+    # from _recover_index_swap in ONE state: live missing + staging
+    # present + no .old is a FIRST-RUN crash before the verify/swap
+    # (the index flow can never hit it because `build` creates live
+    # first), so the unverified staging is discarded and the run
+    # redone, never promoted.
+    staging_dir, old_dir = labels_path + ".staging", labels_path + ".old"
+    if not os.path.isdir(labels_path):
+        if os.path.isdir(old_dir) and os.path.isdir(staging_dir):
+            # crash between the two swap renames: staging was verified
+            os.rename(staging_dir, labels_path)
+        elif os.path.isdir(old_dir):
+            os.rename(old_dir, labels_path)  # defensive: restore live
+        elif os.path.isdir(staging_dir):
+            shutil.rmtree(staging_dir)  # unverified first-run staging
+    for d in (staging_dir, old_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    done: set[str] = set()
+    live_exists = os.path.isdir(labels_path)
+    if live_exists:
+        manifest_path = os.path.join(labels_path, manifest_name)
+        if os.path.exists(manifest_path):
+            done = set(_json.loads(open(manifest_path).read())["batches"])
+    batches = sorted(
+        d
+        for d in os.listdir(args.pairs_input)
+        if os.path.isdir(os.path.join(args.pairs_input, d))
+        and not d.startswith(("_", "."))
+    )
+    todo = [b for b in batches if b not in done]
+    print(f"clusters_batches_total: {len(batches)}")
+    print(f"clusters_batches_processed: {len(todo)}")
+    if not todo:
+        n = (
+            spark.read.parquet(labels_path).count() if live_exists else 0
+        )
+        print(f"clusters_labels_total: {n}")
+        return
+
+    if live_exists:
+        labels = spark.read.parquet(labels_path).select("id", "component")
+    else:
+        labels = spark.createDataFrame([], "id long, component long")
+    new_pairs = spark.read.parquet(
+        *[os.path.join(args.pairs_input, b) for b in todo]
+    ).select(
+        F.col(args.id1_col).cast("long").alias("id1"),
+        F.col(args.id2_col).cast("long").alias("id2"),
+    )
+    n_pairs = new_pairs.count()
+    print(f"clusters_new_pairs: {n_pairs}")
+
+    resolved = incremental_components(labels, new_pairs)
+
+    # stage 3: staging (labels + the updated manifest inside it)
+    staging = labels_path + ".staging"
+    resolved.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, manifest_name), "w") as f:
+        f.write(_json.dumps({"batches": sorted(done | set(todo))}))
+
+    # stage 4: verify ON STAGING — same-cluster re-probe + coverage
+    staged = spark.read.parquet(staging).select("id", "component")
+    comp_a = staged.select(
+        F.col("id").alias("id1"), F.col("component").alias("__c1")
+    )
+    comp_b = staged.select(
+        F.col("id").alias("id2"), F.col("component").alias("__c2")
+    )
+    probe = (
+        new_pairs.where(F.col("id1") != F.col("id2"))
+        .join(comp_a, "id1", "left")
+        .join(comp_b, "id2", "left")
+        .select(
+            (
+                F.coalesce(F.col("__c1"), F.col("id1"))
+                == F.coalesce(F.col("__c2"), F.col("id2"))
+            ).alias("__same")
+        )
+    )
+    n_bad = probe.where(~F.col("__same")).count()
+    n_lost = (
+        labels.join(staged.select("id"), "id", "left_anti").count()
+        if live_exists
+        else 0
+    )
+    if n_bad or n_lost:
+        shutil.rmtree(staging)
+        raise SystemExit(
+            f"cluster verification failed on staging: {n_bad} new pairs "
+            f"split across components, {n_lost} previously-labeled ids "
+            "lost; live labeling left untouched"
+        )
+    n_labels = staged.count()
+
+    # stage 5: atomic swap
+    if live_exists:
+        os.rename(labels_path, labels_path + ".old")
+    os.rename(staging, labels_path)
+    if os.path.isdir(labels_path + ".old"):
+        shutil.rmtree(labels_path + ".old")
+    print(f"clusters_labels_total: {n_labels}")
+
+
 def run_rollup(spark, args):
     """Incremental materialized rollup with a crash-safe manifest —
     the reference's daily batch aggregation (``--from/--to`` over
@@ -1682,6 +1838,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-file-mb", type=int, default=256,
                    help="compacted index file sizing")
 
+    p = sub.add_parser(
+        "clusters",
+        help="nightly duplicate-cluster labeling update, restartable",
+    )
+    p.add_argument("--pairs-input",
+                   help="dir of batch-named parquet subdirs of (id1, id2) pairs")
+    p.add_argument("--labels-path",
+                   help="persisted (id, component) labeling parquet dir "
+                        "(carries _manifest.json inside)")
+    p.add_argument("--id1-col", default="id1")
+    p.add_argument("--id2-col", default="id2")
+
     p = sub.add_parser("ann_index", help="persisted IVF ANN index build/query")
     p.add_argument("--mode", choices=("build", "query"), default="build")
     p.add_argument("--input-path", help="embeddings (build) / queries (query) parquet")
@@ -1768,6 +1936,7 @@ RUNNERS = {
     "export": run_export,
     "minhash_index": run_minhash_index,
     "maintain": run_maintain,
+    "clusters": run_clusters,
     "ann_index": run_ann_index,
     "sql": run_sql,
     "lint": run_lint,

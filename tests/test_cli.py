@@ -19,8 +19,8 @@ def test_parser_covers_all_jobs():
         "experiment_enrollments", "enrollments_to_testtube", "uptake_to_datadog",
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
-        "minhash_index", "maintain", "ann_index", "sql", "lint", "report",
-        "compact", "rollup", "train",
+        "minhash_index", "maintain", "clusters", "ann_index", "sql", "lint",
+        "report", "compact", "rollup", "train",
     }
 
 
@@ -1320,3 +1320,151 @@ def test_cli_rollup_legacy_manifest_still_guards_schema(spark, tmp_path, capsys)
     assert _json.loads(open(mp).read())["columns"] == [
         "event_type", "n_rows", "sum_value_cents",
     ]
+
+
+def test_cli_clusters_incremental_with_kill_at_every_boundary(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """r8 (r7 verdict item 3): the nightly cluster-maintenance flow —
+    `cli.py clusters` persists the (id, component) labeling and folds
+    new pair batches in via incremental_components with the maintain
+    swap discipline.  A kill at EVERY boundary (before the swap,
+    between the two swap renames, after the renames before cleanup)
+    followed by a plain rerun must yield a labeling set-identical to
+    connected_components over ALL pairs seen so far."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.cli import main
+    from telemetry_streaming_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs_dir = tmp_path / "pairs"
+    labels = str(tmp_path / "labels")
+    all_pairs: list[tuple[int, int]] = []
+
+    def drop_batch(name, pairs):
+        all_pairs.extend(pairs)
+        spark.createDataFrame(
+            [Row(id1=a, id2=b) for a, b in pairs]
+        ).write.mode("overwrite").parquet(str(pairs_dir / name))
+
+    def labeling(path):
+        return {
+            (r["id"], r["component"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def expected():
+        df = spark.createDataFrame(
+            [Row(id1=a, id2=b) for a, b in all_pairs]
+        )
+        return {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+
+    args = ["clusters", "--pairs-input", str(pairs_dir), "--labels-path", labels]
+
+    # night 1: two disjoint clusters
+    drop_batch("b1", [(1, 2), (2, 3), (10, 11)])
+    main(args, spark=spark)
+    o = capsys.readouterr().out
+    assert "clusters_batches_processed: 1" in o
+    assert labeling(labels) == expected()
+
+    # night 2, kill BEFORE the swap (first os.rename raises): live and
+    # manifest must be untouched, rerun converges
+    drop_batch("b2", [(3, 4), (20, 21)])
+    before = labeling(labels)
+    real_rename = os.rename
+
+    def die_on_rename(*a, **k):
+        raise RuntimeError("killed before swap")
+
+    monkeypatch.setattr("telemetry_streaming_spark.cli.os.rename", die_on_rename)
+    try:
+        main(args, spark=spark)
+        raise AssertionError("expected the induced kill")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr("telemetry_streaming_spark.cli.os.rename", real_rename)
+    capsys.readouterr()
+    assert labeling(labels) == before, "live labeling mutated by a killed run"
+    main(args, spark=spark)
+    o = capsys.readouterr().out
+    assert "clusters_batches_processed: 1" in o
+    assert labeling(labels) == expected()
+
+    # night 3, kill BETWEEN the two swap renames (second rename raises):
+    # recovery must promote the verified staging, and the rerun is a
+    # clean no-op (manifest traveled inside staging)
+    drop_batch("b3", [(11, 20)])  # bridges two existing clusters
+    calls = {"n": 0}
+
+    def die_on_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("telemetry_streaming_spark.cli.os.rename", die_on_second)
+    try:
+        main(args, spark=spark)
+        raise AssertionError("expected the induced kill")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr("telemetry_streaming_spark.cli.os.rename", real_rename)
+    capsys.readouterr()
+    assert not os.path.isdir(labels), "mid-swap state: live renamed away"
+    main(args, spark=spark)
+    o = capsys.readouterr().out
+    assert "clusters_batches_processed: 0" in o, o
+    assert labeling(labels) == expected()
+
+    # night 4, kill AFTER the renames but before .old cleanup: rerun
+    # removes the stale .old and processes nothing twice
+    drop_batch("b4", [(4, 5)])
+    real_rmtree = shutil.rmtree
+
+    def die_on_rmtree(path, *a, **k):
+        if path.endswith(".old"):
+            raise RuntimeError("killed before cleanup")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", die_on_rmtree)
+    try:
+        main(args, spark=spark)
+        raise AssertionError("expected the induced kill")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    capsys.readouterr()
+    assert os.path.isdir(labels + ".old")
+    main(args, spark=spark)
+    o = capsys.readouterr().out
+    assert "clusters_batches_processed: 0" in o, o
+    assert not os.path.isdir(labels + ".old")
+    assert labeling(labels) == expected()
+
+    # first-run crash before swap (unverified staging, no live): the
+    # recovery DISCARDS it instead of promoting
+    labels2 = str(tmp_path / "labels2")
+    monkeypatch.setattr("telemetry_streaming_spark.cli.os.rename", die_on_rename)
+    try:
+        main(["clusters", "--pairs-input", str(pairs_dir),
+              "--labels-path", labels2], spark=spark)
+        raise AssertionError("expected the induced kill")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr("telemetry_streaming_spark.cli.os.rename", real_rename)
+    capsys.readouterr()
+    assert os.path.isdir(labels2 + ".staging") and not os.path.isdir(labels2)
+    main(["clusters", "--pairs-input", str(pairs_dir),
+          "--labels-path", labels2], spark=spark)
+    capsys.readouterr()
+    assert labeling(labels2) == expected()
