@@ -1468,3 +1468,56 @@ def test_cli_clusters_incremental_with_kill_at_every_boundary(
           "--labels-path", labels2], spark=spark)
     capsys.readouterr()
     assert labeling(labels2) == expected()
+
+
+def test_cli_rollup_kll_merge_within_rank_error_bound(spark, tmp_path, capsys):
+    """r8 (r7 verdict item 6): the KLL tier's e2e test covered
+    mechanics; this pins the NUMBERS.  Over data large and skewed
+    enough that the sketch is genuinely approximate (30k values,
+    quadratic spacing, split across 3 dates), every merged-sketch
+    percentile must land within the KLL normalized rank-error bound of
+    the exact quantile: for the reported value v at target rank p,
+    |exact_rank(v) - p| <= eps, with eps = 2% covering the documented
+    ~1.65% single-sided bound of the default k=200 doubles sketch —
+    the approx_*-family convention of sketch-verified tiers
+    (operators/frequency.py).  Merging per-date sketches preserves the
+    bound; that is exactly what this asserts end-to-end."""
+    import re
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.cli import main
+
+    n = 30_000
+    values = [float(i * i % 999_983) for i in range(n)]  # deterministic, skewed
+    src = tmp_path / "in"
+    per_date = n // 3
+    for d in range(3):
+        chunk = values[d * per_date:(d + 1) * per_date]
+        spark.createDataFrame(
+            [Row(event_type="click", value=v) for v in chunk]
+        ).write.mode("overwrite").parquet(str(src / f"2024010{d + 1}"))
+
+    out = str(tmp_path / "roll")
+    main(["rollup", "--input-path", str(src), "--output-path", out,
+          "--group-by", "event_type", "--quantile-col", "value"],
+         spark=spark)
+    txt = capsys.readouterr().out
+    m = re.search(
+        r"rollup_quantiles\[click\]: p50=([\d.eE+-]+) p95=([\d.eE+-]+) "
+        r"p99=([\d.eE+-]+)", txt)
+    assert m, txt
+
+    ordered = sorted(values)
+    eps = 0.02
+    value_set = set(values)
+    import bisect
+
+    for p, reported in zip((0.5, 0.95, 0.99), (float(x) for x in m.groups())):
+        # KLL answers with a RETAINED input item, never an interpolation
+        assert reported in value_set, (p, reported)
+        exact_rank = bisect.bisect_right(ordered, reported) / n
+        assert abs(exact_rank - p) <= eps, (
+            f"p{int(p * 100)}: reported {reported} has exact rank "
+            f"{exact_rank:.4f}, off by {abs(exact_rank - p):.4f} > {eps}"
+        )
