@@ -150,8 +150,18 @@ HEADLINE = [
 # per-stage scheduling+codegen floor (~0.2-0.5 s) rather than by plan
 # quality.  The floor thesis makes a testable prediction: the ratio
 # must FALL as SF rises, because the floor is constant while real work
-# scales.  `--trend` measures exactly that at sf0.01 vs sf0.1.
-TREND = [
+# scales.  `--trend` measures exactly that, at three scale points for
+# TREND_FULL entries.
+#
+# r8 (r7 verdict item 8): entries whose sf0.1 ratio has sat under
+# GRADUATE_BOUND for two consecutive rounds GRADUATE to a one-point
+# sf0.1 spot check (TREND_GRADUATED) — the thesis is proven for them;
+# full 3-point tracking would only grow the per-round idle-machine
+# cost.  A graduated entry whose spot ratio climbs back above the
+# bound is flagged `regressed` in the artifact and moves back to
+# TREND_FULL the following round.
+GRADUATE_BOUND = 2.5
+TREND_FULL = [
     "product_profit", "sessionize", "waiting_suppliers", "asof_join",
     # r4 floor-dominated additions: kmeans_update pays a fixed ~0.6s
     # centroid-literal analysis cost, domain_cap_sample and
@@ -162,9 +172,6 @@ TREND = [
     # self-join + TakeOrdered), bounded cumsum window, two-level hash
     # aggregate respectively
     "market_basket_pairs", "weighted_median_price", "ttr_by_source",
-    # r5: the only >=1s, >2x-ratio newcomer (two gram-count aggregates
-    # + a probe join over a shared lineage-cut gram frame)
-    "bigram_surprisal_stats",
     # late-r5 >=1s, >2x newcomers: bloom_semi_join pays the bloom
     # build job (its word literal now shrink-folds to the key count,
     # SCALE.md r6); constraint_violations schedules aggregate branches
@@ -189,11 +196,10 @@ TREND = [
     # in-partition sort under m LEAD frames; ~1.5s vs DuckDB ~0.05s at
     # sf0.1 is the exchange+window floor, amortizing with SF
     "znorm_window_stats",
-    # r7: the duplicated-span family sits just over 2x at sf0.1 with
+    # r7: contamination_report sits just over 2x at sf0.1 with
     # near-flat Spark time 0.01->0.1 (chunk-hash multi-stage floor;
-    # measured 16.8x->2.0x, 9.7x->1.4x, 17.5x->2.6x) — tracked so the
-    # falling ratio stays committed evidence, not a one-off claim
-    "dup_span_stats", "dup_span_removal", "contamination_report",
+    # measured 17.5x->2.6x); its dup-span siblings graduated in r8
+    "contamination_report",
     # r7: linear attribution — interval join + conv-window + user agg
     # over ~20k clicks/conversions at sf0.1 is three-exchange floor
     # (DuckDB's IE join does the same pairs in 60ms)
@@ -203,6 +209,19 @@ TREND = [
     # before landing
     "dtw_window_stats",
 ]
+
+# Proven floor cases: sf0.1 ratio < GRADUATE_BOUND two rounds running
+# (r6+r7 for bigram_surprisal_stats 2.37 -> 2.10; the dup-span pair's
+# r7 TREND rows 1.77 / 1.49 repeated the judge's independent idle
+# measurements 2.0 / 1.4 — named as graduates in the r7 verdict).
+TREND_GRADUATED = [
+    "bigram_surprisal_stats",
+    "dup_span_stats",
+    "dup_span_removal",
+]
+
+# the combined set (manifest tests pin TREND ⊆ HEADLINE, oracle-backed)
+TREND = TREND_FULL + TREND_GRADUATED
 
 
 def _median_time(fn, runs: int = 3) -> float:
@@ -334,7 +353,7 @@ def trend_main() -> None:
         return entry
 
     out: dict = {"metric": "floor_thesis_trend", "unit": "ratio", "queries": {}}
-    for name in TREND:
+    for name in TREND_FULL:
         spec = QUERIES[name]
         assert spec.oracle is not None, (
             f"TREND entry {name!r} has no oracle — the trend ratio is "
@@ -363,9 +382,40 @@ def trend_main() -> None:
             entry["remeasured"] = True
             entry["first_pass"] = first_pass
         out["queries"][name] = entry
+    # graduated entries: the floor thesis is proven (sf0.1 ratio under
+    # GRADUATE_BOUND two rounds running) — one sf0.1 spot check keeps a
+    # regression visible at ~1/3 the idle-machine cost; a spot ratio
+    # back above the bound is flagged for re-promotion to TREND_FULL
+    sf01 = "/root/testdata/sf0.1"
+    for name in TREND_GRADUATED:
+        spec = QUERIES[name]
+        assert spec.oracle is not None
+        spark_t = _median_time(lambda: spec.fn(spark, sf01).collect(), trend_runs)
+        spark.catalog.clearCache()
+        con = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(sf01, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        duck_t = _median_time(lambda: con.execute(spec.oracle).fetchall(), trend_runs)
+        con.close()
+        ratio = round(spark_t / duck_t, 2) if duck_t > 0 else None
+        out["queries"][name] = {
+            "0.1": {
+                "spark_sec": round(spark_t, 4),
+                "duckdb_sec": round(duck_t, 4),
+                "ratio": ratio,
+            },
+            "graduated": True,
+            "regressed": bool(ratio is not None and ratio > GRADUATE_BOUND),
+        }
     out["value"] = sum(
-        1 for q in out["queries"].values() if q["ratio_falls_with_sf"]
-    ) / len(TREND)
+        1
+        for n in TREND_FULL
+        if out["queries"][n]["ratio_falls_with_sf"]
+    ) / len(TREND_FULL)
     print(json.dumps(out))
     spark.stop()
 

@@ -27,6 +27,16 @@ def test_trend_names_are_headline_and_oracle_backed():
     assert not no_oracle, f"TREND names without oracle: {no_oracle}"
 
 
+def test_trend_tiers_are_disjoint_and_complete():
+    """r8 (r7 verdict item 8): TREND is split into a 3-scale-point
+    FULL tier and a proven-floor GRADUATED spot-check tier; the union
+    is the committed TREND surface, and no entry may sit in both."""
+    overlap = set(bench.TREND_FULL) & set(bench.TREND_GRADUATED)
+    assert not overlap, f"entries in both trend tiers: {overlap}"
+    assert bench.TREND == bench.TREND_FULL + bench.TREND_GRADUATED
+    assert bench.GRADUATE_BOUND > 2, "graduation must stay above the 2x gate"
+
+
 def test_baseline_names_are_registered():
     """BENCH_BASELINE.json (per-query idle medians, r6 verdict item 3)
     must only name registry queries, and must carry the sf and the
