@@ -290,6 +290,76 @@ def op_triangles(spark: SparkSession, factor: int) -> DataFrame:
     return triangle_counts(edges)
 
 
+def op_clustering(spark: SparkSession, factor: int) -> DataFrame:
+    """Clustering coefficients over the same K-fold co-purchase graph
+    as op_triangles: one extra degree aggregate + a left join on top of
+    the wedge schedule, and (r8) ONE shared lineage-cut canon — slope
+    must track the triangle slope, not double it."""
+    from telemetry_streaming_spark.operators.graph import clustering_coefficients
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ),
+        factor,
+        ["l_orderkey", "l_partkey"],
+    )
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return clustering_coefficients(edges)
+
+
+def op_hard_negatives(spark: SparkSession, factor: int) -> DataFrame:
+    """Hard-negative mining at FIXED query-batch size over a K-fold
+    corpus — the broadcast contract made measurable: queries and label
+    pairs are per-plan constants, so runtime must track corpus volume
+    (each corpus row scores against the same 16 broadcast queries and
+    top-k prunes map-side; nothing corpus-sized ever shuffles)."""
+    from telemetry_streaming_spark.operators.similarity import hard_negatives
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = replicate(base, factor, ["vec_id"])
+    queries = base.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    positives = queries.select(
+        "query_id", F.col("query_id").alias("pos_id")
+    )
+    return hard_negatives(corpus, queries, positives, k=10)
+
+
+def op_dtw(spark: SparkSession, factor: int) -> DataFrame:
+    """Banded-DTW companion over K-fold key-shifted events: per-key
+    history is constant, key count grows K-fold — the one exchange +
+    one sort + fold-DP plan must scale with scanned volume."""
+    from telemetry_streaming_spark.operators.timeseries import dtw_window_stats
+
+    ev = replicate(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id", "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+        ),
+        factor,
+        ["event_id", "user_id"],
+    )
+    return dtw_window_stats(ev, [100, 300, 200, 400], band=1)
+
+
 OPS = {
     "asof_join": op_asof,
     "sessionize": op_sessionize,
@@ -302,6 +372,10 @@ OPS = {
     "pq_distortion_stats": op_pq_distortion,
     # r7 family
     "part_triangles": op_triangles,
+    # r8 families (r7 verdict item 7 + the new DTW companion)
+    "part_clustering": op_clustering,
+    "hard_negatives": op_hard_negatives,
+    "dtw_window_stats": op_dtw,
 }
 
 
