@@ -479,21 +479,37 @@ def centroid_scores(
     direction either way.  ``try_divide``: a zero-norm vector (padding
     row, failed encoder) scores NULL against every centroid instead of
     aborting the job under ANSI mode — matching DuckDB, whose double
-    division by zero is NULL."""
+    division by zero is NULL.
+
+    r8: the k per-centroid fold TREES collapsed into ONE transform
+    loop probing flat 2-D literals (the pq.py plan-cost lesson —
+    unrolled fold expressions cost plan/codegen time at ANY data
+    scale, and k-means/IVF rebuild this expression once per Lloyd
+    step).  The inner dot fold and the element_at lookups evaluate the
+    identical operand sequence, so every score stays bit-identical to
+    the unrolled form and the SQL oracle (pinned in
+    tests/test_semdedup.py)."""
     if labels is None:
         labels = list(range(len(centroids)))
     if sorted(labels) != list(labels):
         raise ValueError("labels must be ascending to preserve tie-break order")
+    k = len(centroids)
     v = F.col(vec_col)
     nrm = norm(v)
-    return F.array(
-        *[
-            F.struct(
-                F.try_divide(dot(v, _centroid_lit(c)), nrm * F.lit(_py_norm(c))).alias("s"),
-                F.lit(lab).alias("i"),
-            )
-            for lab, c in zip(labels, centroids)
-        ]
+    cents = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
+    )
+    norms = F.lit([_py_norm(c) for c in centroids]).cast("array<double>")
+    labs = F.lit([int(x) for x in labels])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            F.try_divide(
+                dot(v, F.element_at(cents, i + F.lit(1))),
+                nrm * F.element_at(norms, i + F.lit(1)),
+            ).alias("s"),
+            F.element_at(labs, i + F.lit(1)).alias("i"),
+        ),
     )
 
 

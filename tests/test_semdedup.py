@@ -169,3 +169,69 @@ def test_top_principal_component_matches_eigh(spark):
     assert abs(lam - ref_lam) / ref_lam < 0.01
     # deterministic sign: largest-|loading| entry is positive
     assert v[int(np.argmax(np.abs(v)))] > 0
+
+
+def test_centroid_scores_loop_form_is_bit_identical_to_unrolled(spark):
+    """r8: centroid_scores collapsed k unrolled per-centroid fold trees
+    into ONE transform loop over flat 2-D literals (the pq.py plan-cost
+    lesson).  The loop must be BIT-identical to the unrolled form —
+    same dot fold operand order, same norms, same labels — across real
+    embeddings, including the NULL score of a zero-norm vector."""
+    import struct as st
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.similarity import (
+        _centroid_lit,
+        _py_norm,
+        centroid_scores,
+        dot,
+        ivf_centroids,
+        norm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    zero = spark.createDataFrame(
+        [Row(vec_id=10_000_000, embedding=[0.0] * 64)]
+    )
+    emb = emb.select("vec_id", "embedding").unionByName(zero)
+    cents = ivf_centroids(emb, nlist=8, iters=1)
+    labels = [3, 7, 11, 20, 21, 30, 40, 55][: len(cents)]
+
+    def unrolled(vec_col, centroids, labs):
+        v = F.col(vec_col)
+        nrm = norm(v)
+        return F.array(
+            *[
+                F.struct(
+                    F.try_divide(
+                        dot(v, _centroid_lit(c)), nrm * F.lit(_py_norm(c))
+                    ).alias("s"),
+                    F.lit(lab).alias("i"),
+                )
+                for lab, c in zip(labs, centroids)
+            ]
+        )
+
+    old = {
+        r.vec_id: r.a
+        for r in emb.select(
+            "vec_id", unrolled("embedding", cents, labels).alias("a")
+        ).collect()
+    }
+    new = {
+        r.vec_id: r.a
+        for r in emb.select(
+            "vec_id", centroid_scores("embedding", cents, labels).alias("a")
+        ).collect()
+    }
+    assert old.keys() == new.keys()
+    for vid in old:
+        for so, sn in zip(old[vid], new[vid]):
+            assert so.i == sn.i
+            bo = None if so.s is None else st.pack("d", so.s)
+            bn = None if sn.s is None else st.pack("d", sn.s)
+            assert bo == bn, (vid, so, sn)
+    # the zero-norm row scored NULL against every centroid (try_divide)
+    assert all(s.s is None for s in new[10_000_000])
