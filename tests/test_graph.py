@@ -175,3 +175,46 @@ def test_clustering_coefficients_hand_graph(spark):
         3: (4, 3, 500_000),
         4: (1, 0, 0),
     }
+
+
+def test_edge_link_scores_hand_verified(spark):
+    """r8: common-neighbor / Jaccard link scores on a hand-checkable
+    graph (square 1-2-3-4 with diagonal 1-3, pendant 5, plus a
+    reversed duplicate edge that must canonicalize away): cn = number
+    of triangles through the edge, jaccard_e6 = floor(1e6 * cn /
+    (deg_u + deg_v - 2 - cn)), pendant edges score 0."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import edge_link_scores
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b)
+         for a, b in [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (2, 1)]]
+    )
+    got = {
+        (r.u, r.v): (r.cn, r.deg_u, r.deg_v, r.jaccard_e6)
+        for r in edge_link_scores(edges).collect()
+    }
+    expect = {
+        (1, 2): (1, 4, 2, 333333),
+        (1, 3): (2, 4, 3, 666666),
+        (1, 4): (1, 4, 2, 333333),
+        (1, 5): (0, 4, 1, 0),
+        (2, 3): (1, 2, 3, 500000),
+        (3, 4): (1, 3, 2, 500000),
+    }
+    assert got == expect
+
+
+def test_edge_link_scores_empty_and_triangle_free(spark):
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import edge_link_scores
+
+    # a path graph has edges but no triangles: all cn = 0
+    path = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(1, 5)]
+    )
+    rows = edge_link_scores(path).collect()
+    assert len(rows) == 4
+    assert all(r.cn == 0 and r.jaccard_e6 == 0 for r in rows)
