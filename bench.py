@@ -138,11 +138,15 @@ HEADLINE = [
     "znorm_window_stats",
     "part_triangles",
     "attribution_linear",
-    # r8: the integer-exact banded-DTW companion (~1.3 s at sf0.1 —
-    # the znorm plan shape with the DP as one fold expression) and the
-    # co-purchase clustering coefficients (shared-canon plan)
+    # r8: the integer-exact banded-DTW companion (~0.7 s at sf0.1 —
+    # the znorm plan shape with the DP as one fold expression), the
+    # co-purchase clustering coefficients (shared-canon plan, 0.4x
+    # DuckDB idle), and per-edge link-prediction scores (~5.9 s at
+    # 1.46x — the heaviest graph query; wedge schedule + edge-key
+    # aggregate + degree joins)
     "dtw_window_stats",
     "part_clustering",
+    "part_link_scores",
 ]
 
 
