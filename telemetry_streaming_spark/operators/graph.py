@@ -253,25 +253,39 @@ def triangle_counts(
         # self-clean once the returned frame is unreferenced
         # (checkpointing.py contract).
         canon = cut_lineage(_canonical_edges(edges, src, dst))
-    closed = _closed_triangles(canon)
+    return _corner_counts(_closed_triangles(canon))
+
+
+def _corner_counts(closed: DataFrame) -> DataFrame:
+    """(node, n_triangles) from closed triangles — each triangle
+    credits its three corners once."""
     corners = closed.select(F.explode(F.array("a", "b", "b2")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
 
 
-def _closed_triangles(canon: DataFrame) -> DataFrame:
+def _degrees(canon: DataFrame) -> DataFrame:
+    """Per-node degree ``(n, d)`` of a canonical edge frame."""
+    return (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+
+
+def _closed_triangles(canon: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Every triangle of a lineage-cut canonical edge frame, once, as
     ``(a, b, b2)`` — ``a`` the lowest-(degree, id)-rank corner, ``b <
     b2`` by id.  The degree-oriented wedge schedule shared by
     :func:`triangle_counts` and :func:`edge_link_scores` (see
-    triangle_counts' docstring for the scale argument)."""
-    deg = (
-        canon.select(F.col("u").alias("n"))
-        .unionAll(canon.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    triangle_counts' docstring for the scale argument).  A caller that
+    already aggregated :func:`_degrees` (clustering, link scores — both
+    need degrees in their output) passes it in so the aggregate over
+    the canon RDD runs once, not twice."""
+    if deg is None:
+        deg = _degrees(canon)
     # rank = (degree, id): a total order, so orientation is acyclic
     ranked = (
         canon.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
@@ -329,7 +343,10 @@ def edge_link_scores(
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
     canon = cut_lineage(_canonical_edges(edges, src, dst))
-    closed = _closed_triangles(canon)
+    # materialized once: feeds the orientation join (twice) and both
+    # output degree joins — see clustering_coefficients' deg note
+    deg = cut_lineage(_degrees(canon))
+    closed = _closed_triangles(canon, deg)
     tri_edges = closed.select(
         F.explode(
             F.array(
@@ -346,16 +363,10 @@ def edge_link_scores(
     cn = tri_edges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("cn")
     )
-    deg = (
-        canon.select(F.col("u").alias("node"))
-        .unionAll(canon.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
     out = (
         canon.join(cn, ["u", "v"], "left")
-        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "deg_u"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "deg_v"), "v")
+        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "deg_u"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "deg_v"), "v")
         .select(
             "u",
             "v",
@@ -405,14 +416,16 @@ def clustering_coefficients(
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
     canon = cut_lineage(_canonical_edges(edges, src, dst))
-    deg = (
-        canon.select(F.col("u").alias("node"))
-        .unionAll(canon.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tri = triangle_counts(edges, src, dst, canon=canon)
-    joined = deg.join(tri, "node", "left").select(
+    # r8: ONE materialized degree frame feeds the orientation join
+    # (twice), and the coefficient join — without its own lineage cut
+    # each of those references would re-run the aggregate over the
+    # canon RDD (no subplan CSE; same trap as the canon itself, just
+    # one tier smaller)
+    deg = cut_lineage(_degrees(canon))
+    tri = _corner_counts(_closed_triangles(canon, deg))
+    joined = deg.select(
+        F.col("n").alias("node"), F.col("d").alias("degree")
+    ).join(tri, "node", "left").select(
         "node",
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
