@@ -208,10 +208,12 @@ TREND_FULL = [
     # over ~20k clicks/conversions at sf0.1 is three-exchange floor
     # (DuckDB's IE join does the same pairs in 60ms)
     "attribution_linear",
-    # r8: banded-DTW companion — znorm's exchange+window floor with a
-    # fold-expression DP on top; measured 9.6x (0.001) -> 6.7x (0.1)
-    # before landing
-    "dtw_window_stats",
+    # NOT tracked: dtw_window_stats — sub-second at sf0.1 (0.7s idle),
+    # below the >=1s TREND bar, and its oracle's unrolled DP does real
+    # per-row work so the ratio (~4-5x) is CPU-shape, not a fixed
+    # floor that amortizes; the 11-sample r8 trend run measured it
+    # ~flat 4.3 -> 5.1 and the honest response is to not claim a
+    # falling-floor defense for it
 ]
 
 # Proven floor cases: sf0.1 ratio < GRADUATE_BOUND two rounds running
@@ -404,17 +406,40 @@ def trend_main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
         duck_t = _median_time(lambda: con.execute(spec.oracle).fetchall(), trend_runs)
-        con.close()
         ratio = round(spark_t / duck_t, 2) if duck_t > 0 else None
-        out["queries"][name] = {
+        entry = {
             "0.1": {
                 "spark_sec": round(spark_t, 4),
                 "duckdb_sec": round(duck_t, 4),
                 "ratio": ratio,
             },
             "graduated": True,
-            "regressed": bool(ratio is not None and ratio > GRADUATE_BOUND),
         }
+        # same symmetric marginal policy as the full tier: a spot
+        # ratio within ±25% of the bound flips on denominator noise
+        # (first r8 run: 2.53 vs bound 2.5 on a query measured 2.37 /
+        # 2.10 the two prior rounds) — re-measure with 2n+1 samples
+        # and keep both passes
+        if ratio is None or abs(ratio - GRADUATE_BOUND) <= 0.25 * GRADUATE_BOUND:
+            first_pass = dict(entry["0.1"])
+            spark_t = _median_time(
+                lambda: spec.fn(spark, sf01).collect(), 2 * trend_runs + 1
+            )
+            spark.catalog.clearCache()
+            duck_t = _median_time(
+                lambda: con.execute(spec.oracle).fetchall(), 2 * trend_runs + 1
+            )
+            ratio = round(spark_t / duck_t, 2) if duck_t > 0 else None
+            entry["0.1"] = {
+                "spark_sec": round(spark_t, 4),
+                "duckdb_sec": round(duck_t, 4),
+                "ratio": ratio,
+            }
+            entry["remeasured"] = True
+            entry["first_pass"] = first_pass
+        con.close()
+        entry["regressed"] = bool(ratio is not None and ratio > GRADUATE_BOUND)
+        out["queries"][name] = entry
     out["value"] = sum(
         1
         for n in TREND_FULL
