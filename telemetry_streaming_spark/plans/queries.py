@@ -8790,6 +8790,111 @@ def attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "attribution_position",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS cid, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+        SELECT event_id AS conv_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT c.conv_id, c.user_id, k.cid, k.ts
+        FROM conv c JOIN clicks k
+          ON k.user_id = c.user_id
+         AND k.ts >= c.ts - INTERVAL 7 DAY AND k.ts < c.ts
+    ),
+    ranked AS (
+        SELECT conv_id, user_id, cid,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM pairs
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts, cid)
+    ),
+    credit AS (
+        SELECT conv_id, user_id, cid,
+               CAST(CASE WHEN n = 1 THEN 1000000
+                         WHEN n = 2 THEN 500000
+                         WHEN rn = 1 OR rn = n THEN 400000
+                         ELSE 200000 // (n - 2) END AS BIGINT)
+                   AS credit_micro
+        FROM ranked
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks,
+           CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum
+    FROM credit GROUP BY user_id
+    """,
+)
+def attribution_position_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: POSITION-BASED (U-shaped 40/20/40) multi-touch
+    attribution, completing the family (last_touch = winner-take-all,
+    linear = equal split): each purchase gives 40% to the user's FIRST
+    and 40% to the LAST click in the 7-day lookback, the remaining 20%
+    split equally over the middles — the standard weighting for
+    "introducer + closer matter most".  n=1 takes the full unit, n=2
+    splits 50/50.  Credit is integer micro-units (middles get
+    floor(2e5/(n−2))) so every cell is BIGINT-exact in any engine.
+    Same interval equi-join as attribution_linear; the position rank
+    and touch count ride ONE conv_id window exchange (row_number and
+    count share the partitioning; ties break on (ts, cid) —
+    deterministic both sides), then the user-grain aggregate bounds
+    output at O(users)."""
+    from telemetry_streaming_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("conv_id"), "user_id", "ts")
+        .withColumn("start", F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        .withColumnRenamed("ts", "end")
+    )
+    pairs = interval_join(
+        clicks,
+        conv,
+        point_on="user_id",
+        point_ts="ts",
+        interval_start="start",
+        interval_end="end",
+        bin_seconds=7 * 86400,
+        closed="left",
+        point_prefix="t_",
+    )
+    wp = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id",
+        "user_id",
+        F.col("t_cid").alias("cid"),
+        F.row_number()
+        .over(wp.orderBy(F.col("t_ts"), F.col("t_cid")))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    credit = ranked.select(
+        "conv_id",
+        "user_id",
+        "cid",
+        F.when(F.col("__n") == 1, F.lit(1_000_000))
+        .when(F.col("__n") == 2, F.lit(500_000))
+        .when((F.col("__rn") == 1) | (F.col("__rn") == F.col("__n")), F.lit(400_000))
+        .otherwise(F.expr("200000 div (__n - 2)"))
+        .cast("long")
+        .alias("credit_micro"),
+    )
+    return credit.groupBy("user_id").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.count_distinct("cid").cast("long").alias("n_clicks"),
+        F.sum("credit_micro").cast("long").alias("credit_micro_sum"),
+    )
+
+
+@query(
     "part_clustering",
     oracle="""
     WITH small_orders AS (
@@ -9075,23 +9180,23 @@ def dtw_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "dtw_window_stats", "part_link_scores", "asof_join",
-    "chunk_dedup", "chunk_dedup_apply", "cohort_retention",
-    "contamination_report", "conversion_funnel", "customer_distribution",
-    "dedup_components", "dedup_incremental", "distinctive_terms",
-    "diversified_topk", "dup_window_fraction", "embedding_quantize",
-    "equidepth_histogram", "event_cube", "fuzzy_token_match",
-    "heavy_hitters", "incremental_distinct_merge", "incremental_merge",
-    "inter_event_gaps", "large_orders", "latest_snapshot",
-    "market_share", "min_cost_supplier", "mode_per_group",
-    "multimodal_audio_chunks", "nation_trade_volume", "packing_stats",
-    "pattern_match_topk", "priority_rollup", "profile_columns",
-    "resample_ffill", "robust_stats", "scd2_intervals",
-    "segment_overlap", "sequence_packing", "session_stats",
-    "share_of_total", "snapshot_diff", "time_rollup",
-    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
-    "value_quantiles", "value_trend", "weighted_sample",
-    "winsorized_stats", "approx_heavy_hitters",
+    "attribution_position", "dtw_window_stats", "part_link_scores",
+    "asof_join", "chunk_dedup", "chunk_dedup_apply",
+    "cohort_retention", "contamination_report", "conversion_funnel",
+    "customer_distribution", "dedup_components", "dedup_incremental",
+    "distinctive_terms", "diversified_topk", "dup_window_fraction",
+    "embedding_quantize", "equidepth_histogram", "event_cube",
+    "fuzzy_token_match", "heavy_hitters", "incremental_distinct_merge",
+    "incremental_merge", "inter_event_gaps", "large_orders",
+    "latest_snapshot", "market_share", "min_cost_supplier",
+    "mode_per_group", "multimodal_audio_chunks", "nation_trade_volume",
+    "packing_stats", "pattern_match_topk", "priority_rollup",
+    "profile_columns", "resample_ffill", "robust_stats",
+    "scd2_intervals", "segment_overlap", "sequence_packing",
+    "session_stats", "share_of_total", "snapshot_diff",
+    "time_rollup", "time_weighted_avg", "top_orders_per_customer",
+    "value_histogram", "value_quantiles", "value_trend",
+    "weighted_sample", "winsorized_stats",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

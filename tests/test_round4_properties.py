@@ -198,3 +198,53 @@ def test_report_survives_null_text_source(spark, tmp_path, capsys):
     card = _json.loads(open(out).read())
     assert card["per_source"]["broken"]["n_tokens"] == 0
     assert card["per_source"]["good"]["n_tokens"] == 3
+
+
+def test_attribution_position_u_shape_hand_verified(tmp_path, spark):
+    """r8: U-shaped credit on planted touch chains — 1 touch takes the
+    full million, 2 split 500k/500k, 3 give 400k/200k/400k, 5 give
+    400k/66666x3/400k (integer floor on the middles) — and clicks at
+    or after the conversion ts earn nothing."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def click(eid, uid, minutes_before):
+        return Row(event_id=eid, ts=t0 - datetime.timedelta(minutes=minutes_before),
+                   user_id=uid, event_type="click", value=1.0, props="{}")
+
+    rows = []
+    # user 1: single touch
+    rows += [click(101, 1, 30)]
+    # user 2: two touches
+    rows += [click(201, 2, 40), click(202, 2, 20)]
+    # user 3: three touches
+    rows += [click(301, 3, 50), click(302, 3, 30), click(303, 3, 10)]
+    # user 4: five touches
+    rows += [click(400 + i, 4, 60 - 10 * i) for i in range(5)]
+    # user 5: one click AT the conversion ts (excluded) + one after
+    rows += [click(501, 5, 0),
+             Row(event_id=502, ts=t0 + datetime.timedelta(minutes=5), user_id=5,
+                 event_type="click", value=1.0, props="{}")]
+    for uid in (1, 2, 3, 4, 5):
+        rows.append(Row(event_id=900 + uid, ts=t0, user_id=uid,
+                        event_type="purchase", value=9.0, props="{}"))
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    got = {
+        r.user_id: (r.n_convs, r.n_clicks, r.credit_micro_sum)
+        for r in QUERIES["attribution_position"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, 1, 1_000_000),
+        2: (1, 2, 1_000_000),
+        3: (1, 3, 1_000_000),
+        4: (1, 5, 400_000 + 3 * 66_666 + 400_000),
+        # user 5 has no qualifying click -> no output row
+    }
