@@ -104,6 +104,38 @@ def test_pipeline_walkthrough(spark, tmp_path, capsys):
     assert "maintain_reprobe_found: 1" in out
     assert spark.read.parquet(f"{work}/admitted").count() == 1
 
+    # 5b2. the labeling half of the nightly loop: near-dup PAIRS from
+    # the corpus fold into the persisted cluster labeling, and the
+    # result equals a from-scratch resolve
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.components import (
+        connected_components,
+    )
+    from telemetry_streaming_spark.operators.dedup import minhash_lsh_pairs
+
+    docs_now = spark.read.parquet(f"{work}/clean").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    pairs = minhash_lsh_pairs(docs_now, threshold=0.1)
+    os.makedirs(f"{work}/pair_batches", exist_ok=True)
+    pairs.write.mode("overwrite").parquet(f"{work}/pair_batches/night1")
+    main([
+        "clusters", "--pairs-input", f"{work}/pair_batches",
+        "--labels-path", f"{work}/clusters",
+    ], spark=spark)
+    cluster_out = capsys.readouterr().out
+    assert "clusters_batches_processed: 1" in cluster_out
+    got_labels = {
+        (r["id"], r["component"])
+        for r in spark.read.parquet(f"{work}/clusters").collect()
+    }
+    expect_labels = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got_labels == expect_labels
+
     # 5c. incremental day-grain rollup over date-named dirs
     # (maintain --update-index appended the admitted doc to the
     # corpus, so count the corpus as it stands now)
