@@ -8895,6 +8895,101 @@ def attribution_position_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "attribution_decay",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS cid, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+        SELECT event_id AS conv_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT c.conv_id, c.user_id, k.cid,
+               (epoch_us(c.ts) - epoch_us(k.ts)) // 86400000000 AS age_days
+        FROM conv c JOIN clicks k
+          ON k.user_id = c.user_id
+         AND k.ts >= c.ts - INTERVAL 7 DAY AND k.ts < c.ts
+    ),
+    weighted AS (
+        SELECT conv_id, user_id, cid,
+               CAST(1 << CAST(6 - age_days AS INT) AS BIGINT) AS w
+        FROM pairs
+    ),
+    credit AS (
+        SELECT conv_id, user_id, cid,
+               CAST(1000000 * w // SUM(w) OVER (PARTITION BY conv_id)
+                    AS BIGINT) AS credit_micro
+        FROM weighted
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks,
+           CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum
+    FROM credit GROUP BY user_id
+    """,
+)
+def attribution_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: TIME-DECAY multi-touch attribution — the fourth
+    family member (last_touch, linear, position, decay): a click's
+    share of each purchase halves per day of age, so recency dominates
+    without winner-take-all.  Weights are the power-decay convention
+    of operators/timeseries.py:power_decay_ewma — ``w = 2^(6 −
+    age_days)`` for ages 0–6 inside the 7-day lookback, all BIGINT —
+    and ``credit_micro = floor(1e6 · w / Σw)`` per conversion, so
+    every cell is engine-exact.  Same interval equi-join + ONE conv_id
+    window (the weight sum) + the user-grain aggregate."""
+    from telemetry_streaming_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("conv_id"), "user_id", "ts")
+        .withColumn("start", F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        .withColumnRenamed("ts", "end")
+    )
+    pairs = interval_join(
+        clicks,
+        conv,
+        point_on="user_id",
+        point_ts="ts",
+        interval_start="start",
+        interval_end="end",
+        bin_seconds=7 * 86400,
+        closed="left",
+        point_prefix="t_",
+    )
+    weighted = pairs.select(
+        "conv_id",
+        "user_id",
+        F.col("t_cid").alias("cid"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(6 - "
+            "(unix_micros(end) - unix_micros(t_ts)) div 86400000000 AS INT))"
+        ).alias("w"),
+    )
+    # integer floor division against the window sum (a float divide
+    # would not be engine-exact)
+    credit = weighted.withColumn(
+        "__sw", F.sum("w").over(Window.partitionBy("conv_id"))
+    ).select(
+        "conv_id",
+        "user_id",
+        "cid",
+        F.expr("1000000 * w div __sw").cast("long").alias("credit_micro"),
+    )
+    return credit.groupBy("user_id").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        F.count_distinct("cid").cast("long").alias("n_clicks"),
+        F.sum("credit_micro").cast("long").alias("credit_micro_sum"),
+    )
+
+
+@query(
     "part_clustering",
     oracle="""
     WITH small_orders AS (
@@ -9180,23 +9275,23 @@ def dtw_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "attribution_position", "dtw_window_stats", "part_link_scores",
-    "asof_join", "chunk_dedup", "chunk_dedup_apply",
-    "cohort_retention", "contamination_report", "conversion_funnel",
-    "customer_distribution", "dedup_components", "dedup_incremental",
-    "distinctive_terms", "diversified_topk", "dup_window_fraction",
-    "embedding_quantize", "equidepth_histogram", "event_cube",
-    "fuzzy_token_match", "heavy_hitters", "incremental_distinct_merge",
-    "incremental_merge", "inter_event_gaps", "large_orders",
-    "latest_snapshot", "market_share", "min_cost_supplier",
-    "mode_per_group", "multimodal_audio_chunks", "nation_trade_volume",
-    "packing_stats", "pattern_match_topk", "priority_rollup",
-    "profile_columns", "resample_ffill", "robust_stats",
-    "scd2_intervals", "segment_overlap", "sequence_packing",
-    "session_stats", "share_of_total", "snapshot_diff",
-    "time_rollup", "time_weighted_avg", "top_orders_per_customer",
-    "value_histogram", "value_quantiles", "value_trend",
-    "weighted_sample", "winsorized_stats",
+    "attribution_decay", "attribution_position", "dtw_window_stats",
+    "part_link_scores", "asof_join", "chunk_dedup",
+    "chunk_dedup_apply", "cohort_retention", "contamination_report",
+    "conversion_funnel", "customer_distribution", "dedup_components",
+    "dedup_incremental", "distinctive_terms", "diversified_topk",
+    "dup_window_fraction", "embedding_quantize", "equidepth_histogram",
+    "event_cube", "fuzzy_token_match", "heavy_hitters",
+    "incremental_distinct_merge", "incremental_merge", "inter_event_gaps",
+    "large_orders", "latest_snapshot", "market_share",
+    "min_cost_supplier", "mode_per_group", "multimodal_audio_chunks",
+    "nation_trade_volume", "packing_stats", "pattern_match_topk",
+    "priority_rollup", "profile_columns", "resample_ffill",
+    "robust_stats", "scd2_intervals", "segment_overlap",
+    "sequence_packing", "session_stats", "share_of_total",
+    "snapshot_diff", "time_rollup", "time_weighted_avg",
+    "top_orders_per_customer", "value_histogram", "value_quantiles",
+    "value_trend", "weighted_sample",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -248,3 +248,39 @@ def test_attribution_position_u_shape_hand_verified(tmp_path, spark):
         4: (1, 5, 400_000 + 3 * 66_666 + 400_000),
         # user 5 has no qualifying click -> no output row
     }
+
+
+def test_attribution_decay_halves_per_day(tmp_path, spark):
+    """r8: time-decay credit — weights 2^(6-age_days), integer floor
+    against the per-conversion weight sum.  Ages 0/1/2 days give
+    weights 64/32/16 (sum 112): credits 571428/285714/142857, summing
+    to 999999 (floor loss stays in integer-land); a single
+    6.5-day-old click still takes the full million."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.plans.queries import QUERIES
+
+    t0 = datetime.datetime(2024, 3, 10, 12, 0, 0)
+
+    def click(eid, uid, days_before):
+        return Row(event_id=eid, ts=t0 - datetime.timedelta(days=days_before),
+                   user_id=uid, event_type="click", value=1.0, props="{}")
+
+    rows = [
+        click(1, 1, 0.25), click(2, 1, 1.25), click(3, 1, 2.25),
+        click(9, 2, 6.5),
+        Row(event_id=100, ts=t0, user_id=1, event_type="purchase",
+            value=5.0, props="{}"),
+        Row(event_id=101, ts=t0, user_id=2, event_type="purchase",
+            value=5.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.user_id: (r.n_convs, r.n_clicks, r.credit_micro_sum)
+        for r in QUERIES["attribution_decay"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 3, 999_999), 2: (1, 1, 1_000_000)}
