@@ -147,6 +147,10 @@ HEADLINE = [
     "dtw_window_stats",
     "part_clustering",
     "part_link_scores",
+    # r8: the position (U-shaped) and time-decay attribution flavors —
+    # same interval-join shape as attribution_linear (~0.5 s each)
+    "attribution_position",
+    "attribution_decay",
 ]
 
 
