@@ -389,6 +389,94 @@ def edge_link_scores(
     )
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes of degree
+    < ``k`` (and their edges) for exactly ``rounds`` iterations, then
+    emit the survivors with their residual degree — the standard
+    dense-subgraph screen (community cores, spam/bot rings,
+    "only keep items with k mutually-supported neighbors" curation).
+
+    FIXED iteration count, not run-to-convergence: like the engine's
+    fixed-point PageRank (``pagerank``), a bounded unroll keeps the
+    operator hash-exact against a plain unrolled-CTE SQL oracle while
+    converging whenever the peel chain is shorter than ``rounds``
+    (each round can only remove nodes, so once a round removes
+    nothing the remaining rounds are no-ops — on shallow-peel graphs
+    the result IS the true k-core).  Output: ``(node, core_degree)``
+    for every node surviving all rounds.
+
+    Plan per round: one degree aggregate + two semi-joins on the
+    surviving edge list, lineage-cut per round (the shrinking-edge-set
+    discipline of connected_components — ``rounds`` chained shuffles
+    would otherwise replan the whole history every iteration).  Edge
+    volume only shrinks, so cost is bounded by ``rounds ×`` the first
+    degree aggregate; at 100 TB the same plan holds with the edge list
+    bucketed on the node key.
+    """
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    cur = cut_lineage(_canonical_edges(edges, src, dst))
+    for _ in range(rounds):
+        deg = _degrees(cur)
+        keep = deg.where(F.col("d") >= k).select("n")
+        cur = cut_lineage(
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+        )
+    return _degrees(cur).select(
+        F.col("n").alias("node"), F.col("d").alias("core_degree")
+    )
+
+
+def kcore_unrolled_sql(
+    edges_cte: str, k: int, rounds: int
+) -> str:
+    """The fixed-round peel unrolled as plain CTE stages — the oracle
+    twin of :func:`kcore_peel`.  ``edges_cte`` must name a CTE already
+    holding the DISTINCT canonical ``u < v`` edge list.  Every stage
+    is ``AS MATERIALIZED``: each edge CTE is referenced by BOTH the
+    next round's degree aggregate and its semi-join, and DuckDB's
+    default inlining would re-derive it per reference — exponential
+    re-evaluation across rounds (measured: 4 inlined rounds did not
+    finish in 5 minutes at sf0.001; materialized they run in
+    milliseconds).  The Spark side's per-round ``cut_lineage`` is the
+    same decision in the engine's own terms."""
+    parts = []
+    prev = edges_cte
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS c
+        FROM (SELECT u AS node FROM {prev}
+              UNION ALL SELECT v FROM {prev}) t
+        GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k}),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN k{i} a ON a.node = e.u
+        JOIN k{i} b ON b.node = e.v
+    )"""
+        )
+        prev = f"e{i}"
+    stages = ",\n    ".join(parts)
+    return f"""{stages}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM {prev}
+          UNION ALL SELECT v FROM {prev}) survivors
+    GROUP BY node"""
+
+
 def clustering_coefficients(
     edges: DataFrame,
     src: str = "src",

@@ -9146,6 +9146,61 @@ def part_link_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_link_scores(edges)
 
 
+def _kcore_oracle() -> str:
+    from telemetry_streaming_spark.operators.graph import kcore_unrolled_sql
+
+    return f"""
+    WITH small_orders AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) <= 5
+    ),
+    items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN small_orders s USING (l_orderkey)
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {kcore_unrolled_sql('edges', k=36, rounds=4)}
+    """
+
+
+@query("part_kcore", oracle=_kcore_oracle())
+def part_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: fixed-round 36-core peeling of the co-purchase graph
+    (operators/graph.py:kcore_peel) — four rounds of "drop nodes with
+    fewer than 36 surviving neighbors" (k sits at ~p15 of the degree
+    distribution, so the peel cascades non-trivially at every SF:
+    19 / 1623 / 16769 survivors at sf0.001/0.01/0.1), emitting
+    survivors with their residual degree: the dense-subgraph screen
+    (community cores, spam rings) in the bounded-unroll convention of
+    the engine's fixed-point PageRank, so the oracle is the same peel
+    as MATERIALIZED unrolled CTE stages and the result hash-matches
+    cell-exactly.  One degree aggregate + two semi-joins per round
+    over a per-round lineage-cut shrinking edge list."""
+    from telemetry_streaming_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return kcore_peel(edges, k=36, rounds=4)
+
+
 # DTW companion pattern: a rise-dip-rise shape in cents, band 1 — the
 # same quantization convention as the znorm companion; the float
 # dtw_pattern_match distance for pattern [1, 3, 2, 4] is exactly
@@ -9276,22 +9331,22 @@ def dtw_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     "attribution_decay", "attribution_position", "dtw_window_stats",
-    "part_link_scores", "asof_join", "chunk_dedup",
-    "chunk_dedup_apply", "cohort_retention", "contamination_report",
-    "conversion_funnel", "customer_distribution", "dedup_components",
-    "dedup_incremental", "distinctive_terms", "diversified_topk",
-    "dup_window_fraction", "embedding_quantize", "equidepth_histogram",
-    "event_cube", "fuzzy_token_match", "heavy_hitters",
-    "incremental_distinct_merge", "incremental_merge", "inter_event_gaps",
-    "large_orders", "latest_snapshot", "market_share",
-    "min_cost_supplier", "mode_per_group", "multimodal_audio_chunks",
-    "nation_trade_volume", "packing_stats", "pattern_match_topk",
-    "priority_rollup", "profile_columns", "resample_ffill",
-    "robust_stats", "scd2_intervals", "segment_overlap",
-    "sequence_packing", "session_stats", "share_of_total",
-    "snapshot_diff", "time_rollup", "time_weighted_avg",
-    "top_orders_per_customer", "value_histogram", "value_quantiles",
-    "value_trend", "weighted_sample",
+    "part_kcore", "part_link_scores", "asof_join",
+    "chunk_dedup", "chunk_dedup_apply", "cohort_retention",
+    "contamination_report", "conversion_funnel", "customer_distribution",
+    "dedup_components", "dedup_incremental", "distinctive_terms",
+    "diversified_topk", "dup_window_fraction", "embedding_quantize",
+    "equidepth_histogram", "event_cube", "fuzzy_token_match",
+    "heavy_hitters", "incremental_distinct_merge", "incremental_merge",
+    "inter_event_gaps", "large_orders", "latest_snapshot",
+    "market_share", "min_cost_supplier", "mode_per_group",
+    "multimodal_audio_chunks", "nation_trade_volume", "packing_stats",
+    "pattern_match_topk", "priority_rollup", "profile_columns",
+    "resample_ffill", "robust_stats", "scd2_intervals",
+    "segment_overlap", "sequence_packing", "session_stats",
+    "share_of_total", "snapshot_diff", "time_rollup",
+    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
+    "value_quantiles", "value_trend",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

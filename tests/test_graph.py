@@ -218,3 +218,38 @@ def test_edge_link_scores_empty_and_triangle_free(spark):
     rows = edge_link_scores(path).collect()
     assert len(rows) == 4
     assert all(r.cn == 0 and r.jaccard_e6 == 0 for r in rows)
+
+
+def test_kcore_peel_rounds_and_convergence(spark):
+    """r8: fixed-round k-core peeling on a hand graph — K4 with a
+    3-node tail.  rounds=1 strips only the outermost layer (the
+    degree-1 tail end); rounds=3 cascades the whole tail away and
+    leaves exactly the K4 at residual degree 3; extra rounds past
+    convergence are no-ops."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import kcore_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in k4 + tail])
+
+    one = {(r.node, r.core_degree) for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert one == {(1, 3), (2, 3), (3, 3), (4, 4), (5, 2), (6, 1)}
+
+    for rounds in (3, 5):
+        got = {
+            (r.node, r.core_degree)
+            for r in kcore_peel(edges, k=2, rounds=rounds).collect()
+        }
+        assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}, (rounds, got)
+
+    # k above the max degree: everything peels, empty result
+    assert kcore_peel(edges, k=5, rounds=2).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0)
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=2, rounds=0)
