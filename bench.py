@@ -148,9 +148,12 @@ HEADLINE = [
     "part_clustering",
     "part_link_scores",
     # r8: the position (U-shaped) and time-decay attribution flavors —
-    # same interval-join shape as attribution_linear (~0.5 s each)
+    # same interval-join shape as attribution_linear (~0.7 s each) —
+    # and fixed-round k-core peeling (~2.5 s: 4 lineage-cut rounds of
+    # degree-agg + semi-joins over the shrinking co-purchase edges)
     "attribution_position",
     "attribution_decay",
+    "part_kcore",
 ]
 
 
@@ -212,6 +215,11 @@ TREND_FULL = [
     # over ~20k clicks/conversions at sf0.1 is three-exchange floor
     # (DuckDB's IE join does the same pairs in 60ms)
     "attribution_linear",
+    # r8: k-core peeling — per-round localCheckpoint job scheduling is
+    # the fixed floor (measured 57.8x -> 26.5x -> 5.6x, 0.001 -> 0.1,
+    # near-flat Spark seconds); the attribution flavors share
+    # attribution_linear's three-exchange floor and fall the same way
+    "part_kcore", "attribution_position", "attribution_decay",
     # NOT tracked: dtw_window_stats — sub-second at sf0.1 (0.7s idle),
     # below the >=1s TREND bar, and its oracle's unrolled DP does real
     # per-row work so the ratio (~4-5x) is CPU-shape, not a fixed
