@@ -275,22 +275,42 @@ def _degrees(canon: DataFrame) -> DataFrame:
     )
 
 
-def _closed_triangles(canon: DataFrame, deg: DataFrame | None = None) -> DataFrame:
-    """Every triangle of a lineage-cut canonical edge frame, once, as
-    ``(a, b, b2)`` — ``a`` the lowest-(degree, id)-rank corner, ``b <
-    b2`` by id.  The degree-oriented wedge schedule shared by
-    :func:`triangle_counts` and :func:`edge_link_scores` (see
-    triangle_counts' docstring for the scale argument).  A caller that
-    already aggregated :func:`_degrees` (clustering, link scores — both
-    need degrees in their output) passes it in so the aggregate over
-    the canon RDD runs once, not twice."""
+def _ranked_edges(canon: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Lineage-cut ``(u, v, du, dv)``: every canonical edge with both
+    endpoint degrees attached.  Materialized ONCE because the wedge
+    self-join reads the orientation through BOTH branches and
+    :func:`edge_link_scores` needs the degrees again in its per-edge
+    output — without the cut each of those references re-runs the two
+    degree joins over the canon RDD (no subplan CSE; the same
+    recompute-per-consumer trap as canon/deg, one tier up — measured
+    in SCALE.md, r8)."""
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
     if deg is None:
         deg = _degrees(canon)
-    # rank = (degree, id): a total order, so orientation is acyclic
-    ranked = (
+    return cut_lineage(
         canon.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
     )
+
+
+def _closed_triangles(
+    canon: DataFrame | None = None,
+    deg: DataFrame | None = None,
+    ranked: DataFrame | None = None,
+) -> DataFrame:
+    """Every triangle of a lineage-cut canonical edge frame, once, as
+    ``(a, b, b2)`` — ``a`` the lowest-(degree, id)-rank corner, ``b <
+    b2`` by id.  The degree-oriented wedge schedule shared by
+    :func:`triangle_counts`, :func:`clustering_coefficients` and
+    :func:`edge_link_scores` (see triangle_counts' docstring for the
+    scale argument).  A caller that already holds the lineage-cut
+    :func:`_ranked_edges` frame (link scores — it needs the degrees in
+    its output) passes ``ranked``; otherwise it is built (and cut)
+    here from ``canon`` (+ optional pre-aggregated ``deg``)."""
+    if ranked is None:
+        ranked = _ranked_edges(canon, deg)
+    # rank = (degree, id): a total order, so orientation is acyclic
     lower_is_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -303,9 +323,10 @@ def _closed_triangles(canon: DataFrame, deg: DataFrame | None = None) -> DataFra
     o2 = oriented.select(F.col("a"), F.col("b").alias("b2"))
     wedges = oriented.join(o2, "a").where(F.col("b") < F.col("b2"))
     # b < b2 by id, so the closing edge's canonical (u < v) form is
-    # exactly (b, b2) — a plain two-key equi-join
+    # exactly (b, b2) — a plain two-key equi-join against the (already
+    # materialized) edge set
     return wedges.join(
-        canon,
+        ranked.select("u", "v"),
         (F.col("b") == F.col("u")) & (F.col("b2") == F.col("v")),
         "inner",
     ).select("a", "b", "b2")
@@ -331,22 +352,28 @@ def edge_link_scores(
     0 when both endpoints have no other neighbors) — emitted as an
     INTEGER so the score itself hash-matches any engine.
 
-    Plan: the SAME degree-oriented wedge schedule as triangle counting
-    (one lineage-cut canon feeding the orientation, closing join, and
-    degree/output joins): each closed triangle explodes to its 3 edges
-    (canonicalized with least/greatest — the apex is rank-lowest, not
-    id-lowest), one count aggregate on the edge key, then two
-    broadcast-sized degree joins back onto the canon.  Wedge volume is
-    the O(m^1.5) Schank-Wagner bound; nothing ever materializes
-    per-pair beyond it.  Output is exactly one row per canonical edge.
+    Plan: the SAME degree-oriented wedge schedule as triangle counting,
+    fed by ONE lineage-cut ``(u, v, du, dv)`` frame (the edge list with
+    both endpoint degrees attached) that serves the orientation, the
+    closing join AND the per-edge output: each closed triangle explodes
+    to its 3 edges (canonicalized with least/greatest — the apex is
+    rank-lowest, not id-lowest), one count aggregate on the edge key,
+    one left join of the counts back onto the ranked frame.  The
+    degrees ride along from the start, so no per-edge degree join ever
+    re-shuffles the O(m) frame.  Wedge volume is the O(m^1.5)
+    Schank-Wagner bound; nothing ever materializes per-pair beyond it.
+    Output is exactly one row per canonical edge.
     """
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
     canon = cut_lineage(_canonical_edges(edges, src, dst))
-    # materialized once: feeds the orientation join (twice) and both
-    # output degree joins — see clustering_coefficients' deg note
-    deg = cut_lineage(_degrees(canon))
-    closed = _closed_triangles(canon, deg)
+    # ONE materialized (u, v, du, dv) frame feeds the orientation
+    # (both self-join branches), the closing join, AND the per-edge
+    # output — r8: this replaced a cut deg frame plus TWO extra
+    # shuffle joins of the O(m) edge frame back onto the degrees
+    # (the output already knows du/dv; measured in SCALE.md)
+    ranked = _ranked_edges(canon)
+    closed = _closed_triangles(ranked=ranked)
     tri_edges = closed.select(
         F.explode(
             F.array(
@@ -363,17 +390,12 @@ def edge_link_scores(
     cn = tri_edges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("cn")
     )
-    out = (
-        canon.join(cn, ["u", "v"], "left")
-        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "deg_u"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "deg_v"), "v")
-        .select(
-            "u",
-            "v",
-            F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("cn"),
-            "deg_u",
-            "deg_v",
-        )
+    out = ranked.join(cn, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("cn"),
+        F.col("du").alias("deg_u"),
+        F.col("dv").alias("deg_v"),
     )
     union_sz = F.col("deg_u") + F.col("deg_v") - F.lit(2) - F.col("cn")
     return out.select(
@@ -504,11 +526,11 @@ def clustering_coefficients(
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
     canon = cut_lineage(_canonical_edges(edges, src, dst))
-    # r8: ONE materialized degree frame feeds the orientation join
-    # (twice), and the coefficient join — without its own lineage cut
-    # each of those references would re-run the aggregate over the
-    # canon RDD (no subplan CSE; same trap as the canon itself, just
-    # one tier smaller)
+    # r8: ONE materialized degree frame feeds the ranked-edge build
+    # (inside _closed_triangles) and the coefficient join — without
+    # its own lineage cut each reference would re-run the aggregate
+    # over the canon RDD (no subplan CSE; same trap as the canon
+    # itself, just one tier smaller)
     deg = cut_lineage(_degrees(canon))
     tri = _corner_counts(_closed_triangles(canon, deg))
     joined = deg.select(

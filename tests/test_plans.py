@@ -674,3 +674,27 @@ def test_part_clustering_single_edge_derivation(spark):
     # one eager checkpoint — any parquet scan in the final plan means
     # a consumer re-derives edges from raw data
     assert "Scan parquet" not in plan, plan[:800]
+
+
+def test_part_link_scores_degrees_ride_the_ranked_frame(spark):
+    """r8: edge_link_scores materializes ONE (u, v, du, dv) ranked
+    frame that serves the orientation (both wedge self-join branches),
+    the closing join AND the per-edge output — so the final plan must
+    (a) read only checkpointed RDDs (zero parquet re-derivations),
+    (b) join the triangle counts back with a single left join, and
+    (c) contain NO degree aggregate at all: the degrees were attached
+    before the cut, so re-aggregating them (the pre-r8 shape: two
+    extra shuffle joins of the O(m) edge frame) would show up as a
+    union-explode HashAggregate here (measured 4.5s -> 2.0s idle
+    median at sf0.1, SCALE.md)."""
+    plan = explain_str(q(spark, "part_link_scores"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ranked feeds: oriented, o2, closing-join right side, output left
+    assert plan.count("Scan ExistingRDD") >= 4
+    assert "Scan parquet" not in plan, plan[:800]
+    # exactly one aggregate survives: the cn count on the edge key
+    # (partial + final; degree aggregates live behind the ranked cut)
+    import re
+
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan[:800]
