@@ -154,6 +154,14 @@ HEADLINE = [
     "attribution_position",
     "attribution_decay",
     "part_kcore",
+    # late r8: resource-allocation link scores (~2.1 s at sf0.1 —
+    # Spark 0.11x DuckDB: the degree-oriented wedge schedule vs the
+    # oracle's naive triple join), reciprocal-rank fusion (~0.9 s,
+    # broadcast top-k lists + one item-key aggregate) and RFM
+    # quartile segmentation (~0.6 s, customer-grain NTILE floor)
+    "part_link_ra",
+    "rrf_fusion",
+    "rfm_segments",
 ]
 
 

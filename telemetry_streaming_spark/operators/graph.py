@@ -411,6 +411,76 @@ def edge_link_scores(
     )
 
 
+def edge_ra_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-edge resource-allocation link score (Zhou, Lü & Zhang
+    2009) — ``ra_e9 = Σ_{w ∈ N(u) ∩ N(v)} floor(scale / deg(w))``:
+    common neighbors weighted INVERSELY by their degree, so a shared
+    hub (every product bought with everything) contributes almost
+    nothing while a shared niche neighbor is strong evidence.  The
+    usual companion to the raw common-neighbor count / Jaccard of
+    :func:`edge_link_scores`; Adamic-Adar's ``1/log deg`` variant is
+    deliberately NOT offered — ``log`` is not guaranteed correctly
+    rounded across engines, while ``scale div deg`` is integer-exact
+    in all of them (the registry's engine-portability contract).
+
+    Plan: the same degree-oriented wedge schedule — each closed
+    triangle (a, b, b2) contributes its THIRD corner as the common
+    neighbor of each of its three edges, one equi-join of the
+    contribution stream against the lineage-cut degree frame, one
+    aggregate on the edge key, one left join back onto the edge list.
+    Wedge volume stays the O(m^1.5) Schank-Wagner bound; the degree
+    join is node-keyed (never per-pair).  Output: one row per
+    canonical edge — ``(u, v, cn, ra_e9)``, all BIGINT.
+    """
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
+    canon = cut_lineage(_canonical_edges(edges, src, dst))
+    # deg feeds the ranked-edge build AND the apex weight join
+    deg = cut_lineage(_degrees(canon))
+    ranked = _ranked_edges(canon, deg)
+    closed = _closed_triangles(ranked=ranked)
+    # (edge u < v, common neighbor w): the triangle corner not on the edge
+    contrib = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                    F.col("b2").alias("w"),
+                ),
+                F.struct(
+                    F.least("a", "b2").alias("u"),
+                    F.greatest("a", "b2").alias("v"),
+                    F.col("b").alias("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("b2").alias("v"),
+                    F.col("a").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v", "e.w")
+    weighted = contrib.join(
+        deg.withColumnRenamed("n", "w").withColumnRenamed("d", "dw"), "w"
+    )
+    agg = weighted.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(F.expr(f"{scale} div dw")).cast("long").alias("ra_e9"),
+    )
+    return ranked.select("u", "v").join(agg, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("cn"),
+        F.coalesce(F.col("ra_e9"), F.lit(0)).cast("long").alias("ra_e9"),
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 3,

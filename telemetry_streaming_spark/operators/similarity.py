@@ -352,6 +352,42 @@ def hard_negatives(
     )
 
 
+def rrf_fuse(
+    rankings: DataFrame,
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000,
+    list_col: str = "list_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    number of ranked retrieval lists — the standard score-free way to
+    combine heterogeneous retrievers (dense ANN + BM25, two prompts,
+    multiple query expansions): each list contributes
+    ``floor(scale / (rrf_k + rank))`` to every item it ranked, and
+    items are fused by the SUM.  Using integer floor division instead
+    of the float ``1/(k+r)`` makes the fused score — not just the
+    input ranks — hash-exact in any engine (the registry contract);
+    with ``scale = 1e9`` the quantization never reorders items for
+    any realistic list depth (adjacent ranks differ by ≥ scale/(k+r)²
+    ≫ 1 for r up to tens of thousands).
+
+    Input: one row per (list, item) with the item's 1-based rank in
+    that list.  Output: one row per distinct item — ``n_lists`` (how
+    many lists retrieved it), ``best_rank``, ``rrf_e9``.  ONE
+    aggregate on the item key; list size × list count rows in, one row
+    per item out — at web scale the lists are already top-k-bounded by
+    the retrievers, so the exchange is k·|lists| rows, never
+    corpus-sized."""
+    return rankings.groupBy(F.col(item_col).alias("item_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.min(rank_col).cast("int").alias("best_rank"),
+        F.sum(F.expr(f"{scale} div ({rrf_k} + {rank_col})"))
+        .cast("long")
+        .alias("rrf_e9"),
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     queries: DataFrame,

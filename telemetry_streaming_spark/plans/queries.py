@@ -9270,6 +9270,252 @@ def dtw_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_window_stats(_t(spark, sf_dir, "events"), _DTW_P_CENTS, band=1)
 
 
+@query(
+    "part_link_ra",
+    oracle="""
+    WITH small_orders AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) <= 5
+    ),
+    items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN small_orders s USING (l_orderkey)
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    contrib AS (
+        SELECT a AS u, b AS v, c AS w FROM tri
+        UNION ALL SELECT a, c, b FROM tri
+        UNION ALL SELECT b, c, a FROM tri
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) e
+        GROUP BY node
+    ),
+    agg AS (
+        SELECT c.u, c.v,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000000 // d.degree) AS BIGINT) AS ra_e9
+        FROM contrib c JOIN deg d ON d.node = c.w
+        GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           CAST(COALESCE(a.cn, 0) AS BIGINT) AS cn,
+           CAST(COALESCE(a.ra_e9, 0) AS BIGINT) AS ra_e9
+    FROM edges e
+    LEFT JOIN agg a ON a.u = e.u AND a.v = e.v
+    """,
+)
+def part_link_ra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: resource-allocation link scores over the co-purchase
+    graph (operators/graph.py:edge_ra_scores) — common neighbors
+    weighted by ``floor(1e9 / deg(w))``, so a shared hub contributes
+    ~nothing while a shared niche item is strong evidence (Zhou, Lü &
+    Zhang 2009; the integer-exact stand-in for Adamic-Adar, whose
+    ``1/log deg`` is not correctly-rounded-portable).  Same ≤5-arity
+    edge derivation and degree-oriented wedge schedule as
+    part_triangles/part_link_scores; the oracle's a < b < c triple
+    join makes its corner order the id order, so ``contrib``
+    enumerates each triangle's (edge, third-corner) contributions
+    exactly once on both sides."""
+    from telemetry_streaming_spark.operators.graph import edge_ra_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return edge_ra_scores(edges)
+
+
+@query(
+    "rrf_fusion",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id < 2
+    ),
+    qf AS (
+        SELECT query_id,
+               unnest(generate_series(1, len(query_vec))) AS i,
+               unnest(CAST(query_vec AS DOUBLE[])) AS x
+        FROM q
+    ),
+    cf AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS y
+        FROM embeddings
+    ),
+    scores AS (
+        SELECT qf.query_id, cf.vec_id AS neighbor_id,
+               CAST(SUM(CAST(FLOOR(qf.x * 10000 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(cf.y * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS score_e8
+        FROM qf JOIN cf USING (i)
+        GROUP BY 1, 2
+    ),
+    pruned AS (SELECT * FROM scores WHERE neighbor_id <> query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_e8 DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM pruned
+    ),
+    lists AS (SELECT * FROM ranked WHERE rank <= 100),
+    fused AS (
+        SELECT neighbor_id AS item_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lists,
+               CAST(MIN(rank) AS INT) AS best_rank,
+               CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_e9
+        FROM lists GROUP BY 1
+    )
+    SELECT item_id, n_lists, best_rank, rrf_e9
+    FROM fused
+    ORDER BY rrf_e9 DESC, item_id ASC
+    LIMIT 20
+    """,
+)
+def rrf_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: reciprocal-rank fusion of two dense-retrieval lists
+    (operators/similarity.py:rrf_fuse) — the standard score-free way
+    to combine heterogeneous retrievers.  Here the two lists are the
+    top-100 BIGINT-dot rankings for query vectors 0 and 1 (the
+    hard_negatives brute-force tier with self as the only exclusion);
+    each list contributes ``floor(1e9 / (60 + rank))`` and the fused
+    top-20 is emitted under the (rrf DESC, id) total order — every
+    cell integer, so the fusion itself hash-matches any engine.
+    Plan: broadcast query batch, map-side WindowGroupLimit top-k, ONE
+    item-key aggregate over ≤ k·|lists| rows, TakeOrdered for the
+    final cut — corpus vectors never shuffle."""
+    from telemetry_streaming_spark.operators.similarity import (
+        hard_negatives,
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    positives = queries.select(
+        "query_id", F.col("query_id").alias("pos_id")
+    )
+    lists = hard_negatives(emb, queries, positives, k=100).select(
+        F.col("query_id").alias("list_id"),
+        F.col("neighbor_id").alias("item_id"),
+        "rank",
+    )
+    return (
+        rrf_fuse(lists)
+        .orderBy(F.col("rrf_e9").desc(), F.col("item_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    mx AS (SELECT MAX(day) AS maxday FROM o),
+    rfm AS (
+        SELECT o.o_custkey,
+               CAST(mx.maxday - MAX(o.day) AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(o.cents) AS BIGINT) AS monetary_cents
+        FROM o CROSS JOIN mx
+        GROUP BY o.o_custkey, mx.maxday
+    ),
+    seg AS (
+        SELECT monetary_cents,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+               NTILE(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_q
+        FROM rfm
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents_sum
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: RFM (recency / frequency / monetary) quartile
+    segmentation — the classic CRM / churn-targeting cut.  Per
+    customer: days since last order (vs the corpus max order day,
+    floor-exact BIGINT), order count, and exact cents spend; each
+    dimension quartiled with NTILE(4) under a (metric, custkey) TOTAL
+    order so bucket membership is deterministic in any engine
+    (r_q = 1 is the MOST recent quartile — recency ascends).  Output:
+    the 4×4×4 segment grid with customer counts and spend.  The
+    global NTILE runs over the customer grain (one row per customer —
+    dimension-sized by TPC-H construction, same routing note as
+    balance_deciles: a fact-sized cut would use the percentile-edge
+    recipe from sources/layout.py instead — stated, not hidden)."""
+    from telemetry_streaming_spark.functions import epoch_seconds
+
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (epoch_seconds("o_orderdate") - F.pmod(epoch_seconds("o_orderdate"), F.lit(86400)))
+        .cast("long")
+        .alias("__day_s"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    ).select(
+        "o_custkey",
+        F.expr("__day_s div 86400").cast("long").alias("day"),
+        "cents",
+    )
+    mx = o.agg(F.max("day").alias("maxday"))
+    rfm = (
+        o.join(F.broadcast(mx))
+        .groupBy("o_custkey", "maxday")
+        .agg(
+            (F.col("maxday") - F.max("day")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .select("o_custkey", "recency_days", "frequency", "monetary_cents")
+    )
+    seg = rfm.select(
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_q"),
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("monetary_cents_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -9331,7 +9577,8 @@ def dtw_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     "attribution_decay", "attribution_position", "dtw_window_stats",
-    "part_kcore", "part_link_scores", "asof_join",
+    "part_kcore", "part_link_ra", "part_link_scores",
+    "rfm_segments", "rrf_fusion", "asof_join",
     "chunk_dedup", "chunk_dedup_apply", "cohort_retention",
     "contamination_report", "conversion_funnel", "customer_distribution",
     "dedup_components", "dedup_incremental", "distinctive_terms",
@@ -9345,8 +9592,7 @@ _FRONT_WINDOW = [
     "resample_ffill", "robust_stats", "scd2_intervals",
     "segment_overlap", "sequence_packing", "session_stats",
     "share_of_total", "snapshot_diff", "time_rollup",
-    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
-    "value_quantiles", "value_trend",
+    "time_weighted_avg", "top_orders_per_customer",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -253,3 +253,41 @@ def test_kcore_peel_rounds_and_convergence(spark):
         kcore_peel(edges, k=0)
     with pytest.raises(ValueError):
         kcore_peel(edges, k=2, rounds=0)
+
+
+def test_edge_ra_scores_hand_verified(spark):
+    """late r8: resource-allocation link scores on the same square +
+    diagonal + pendant graph as the Jaccard test.  For edge (1,3) the
+    common neighbors are 2 and 4 (deg 2 each): ra = 2 * floor(1e9/2);
+    for (1,2) / (1,4) the single common neighbor is node 3 (deg 3);
+    for (2,3) / (3,4) it is node 1 (deg 4); the pendant edge scores
+    0."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import edge_ra_scores
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b)
+         for a, b in [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (2, 1)]]
+    )
+    got = {(r.u, r.v): (r.cn, r.ra_e9) for r in edge_ra_scores(edges).collect()}
+    expect = {
+        (1, 2): (1, 333333333),
+        (1, 3): (2, 1000000000),
+        (1, 4): (1, 333333333),
+        (1, 5): (0, 0),
+        (2, 3): (1, 250000000),
+        (3, 4): (1, 250000000),
+    }
+    assert got == expect
+
+
+def test_edge_ra_scores_triangle_free(spark):
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import edge_ra_scores
+
+    path = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(1, 5)])
+    rows = edge_ra_scores(path).collect()
+    assert len(rows) == 4
+    assert all(r.cn == 0 and r.ra_e9 == 0 for r in rows)

@@ -99,3 +99,30 @@ def test_hard_negatives_drops_null_and_misdimensioned_vectors(spark):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "neighbor_id", "score_e8", "rank",
     ]
+
+
+def test_rrf_fuse_hand_lists(spark):
+    """late r8: two hand rankings — item 10 is rank 1 in list A and
+    rank 3 in list B; item 20 only in A at rank 2; item 30 only in B
+    at ranks 1.  rrf_e9 = sum(1e9 // (60 + rank)) exactly."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.similarity import rrf_fuse
+
+    rankings = spark.createDataFrame(
+        [
+            Row(list_id=1, item_id=10, rank=1),
+            Row(list_id=1, item_id=20, rank=2),
+            Row(list_id=2, item_id=30, rank=1),
+            Row(list_id=2, item_id=10, rank=3),
+        ]
+    )
+    got = {
+        r.item_id: (r.n_lists, r.best_rank, r.rrf_e9)
+        for r in rrf_fuse(rankings).collect()
+    }
+    assert got == {
+        10: (2, 1, 1_000_000_000 // 61 + 1_000_000_000 // 63),
+        20: (1, 2, 1_000_000_000 // 62),
+        30: (1, 1, 1_000_000_000 // 61),
+    }
