@@ -739,3 +739,60 @@ def dedup_against(
     )
     corpus_fps = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
     return batch_fps.join(corpus_fps, "fp", "left_anti")
+
+
+def deletion_neighborhood_pairs(
+    tokens: DataFrame,
+    token_col: str = "token",
+) -> DataFrame:
+    """All distinct token pairs within edit distance 1 — the FastSS /
+    SymSpell deletion-neighborhood join (Bocek et al. 2007): each
+    token emits itself plus every 1-deletion variant; two tokens share
+    a variant **iff** they are within one substitution, insertion or
+    deletion of each other (substitution at position i → both delete
+    position i; insertion/deletion → the shorter string IS a variant
+    of the longer and of itself), so a plain equi-join on the variant
+    string finds every candidate and a single ``levenshtein <= 1``
+    check verifies it.  The corpus-wide typo/variant-spelling
+    discovery pass behind vocabulary normalization — unlike a
+    broadcast dictionary matcher (``fuzzy_token_match``) it needs no
+    reference list and no all-pairs product.
+
+    Scale shape: a token of length L emits L+1 variant rows; a variant
+    of length L can only be reached by L+1 deletions of itself plus at
+    most ``|alphabet|·(L+2)`` one-insertion parents, so bucket arity
+    has a CONSTANT alphabet-bounded cap — the hot-bucket failure mode
+    of content-hash LSH cannot occur by construction.  One shuffle on
+    the variant key, candidate pairs distinct-ed before the verify (a
+    pair can share several variants), output one row per unordered
+    pair ``a < b``.
+
+    Input: one row per distinct token (callers aggregate frequency
+    upstream and join it back on the output keys if needed).
+    """
+    t = F.col(token_col)
+    variants = tokens.select(
+        t.alias("__tok"),
+        F.explode(
+            F.concat(
+                F.array(t),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda i: F.concat(
+                        F.substring(t, F.lit(1), i - 1),
+                        t.substr(i + 1, F.length(t)),
+                    ),
+                ),
+            )
+        ).alias("__var"),
+    )
+    b = variants.select(
+        F.col("__tok").alias("__tok_b"), F.col("__var")
+    )
+    cand = (
+        variants.join(b, "__var")
+        .where(F.col("__tok") < F.col("__tok_b"))
+        .select(F.col("__tok").alias("tok_a"), F.col("__tok_b").alias("tok_b"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("tok_a", "tok_b") <= 1)

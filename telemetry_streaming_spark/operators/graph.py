@@ -481,6 +481,60 @@ def edge_ra_scores(
     )
 
 
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree-assortativity sufficient statistics of an undirected
+    graph (Newman 2002) — the Pearson correlation of endpoint degrees
+    over all edge STUBS (each canonical edge contributes both
+    orientations, so the statistic is symmetric by construction).
+    Social graphs are assortative (hubs befriend hubs, r > 0);
+    co-purchase / dependency graphs are typically disassortative
+    (hubs connect leaves, r < 0) — the one-number screen for "does
+    this graph have hub-and-spoke structure" before sampling.
+
+    Everything is BIGINT until the last step: with ``N = 2m`` stubs,
+    ``Sx = Σ(du+dv)``, ``Sxy = 2·Σ(du·dv)``, ``Sxx = Σ(du²+dv²)``,
+    the correlation is ``r = (N·Sxy − Sx²) / (N·Sxx − Sx²)`` — exact
+    integer numerator and denominator, ONE IEEE division, so the
+    value hashes across engines (den = 0, a degree-regular graph,
+    yields NULL).  Plan: the canonical edge derivation, one degree
+    aggregate, two degree joins, ONE global aggregate whose partials
+    are 4 BIGINTs per partition — nothing edge-sized ever hits a
+    single task."""
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
+    canon = cut_lineage(_canonical_edges(edges, src, dst))
+    deg = _degrees(canon)
+    ranked = (
+        canon.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sum_deg"),
+        (F.lit(2) * F.sum(F.col("du") * F.col("dv"))).cast("long").alias("sum_prod2"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("sum_sq"),
+    )
+    num = F.lit(2) * F.col("n_edges") * F.col("sum_prod2") - F.col("sum_deg") * F.col("sum_deg")
+    den = F.lit(2) * F.col("n_edges") * F.col("sum_sq") - F.col("sum_deg") * F.col("sum_deg")
+    return agg.select(
+        "n_edges",
+        "sum_deg",
+        "sum_prod2",
+        "sum_sq",
+        num.cast("long").alias("r_num"),
+        den.cast("long").alias("r_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 3,

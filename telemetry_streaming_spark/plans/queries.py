@@ -9516,6 +9516,193 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "typo_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT lower(c_name) AS token FROM customer
+    ),
+    del AS (
+        SELECT token,
+               unnest(generate_series(1, length(token))) AS i
+        FROM tok
+    ),
+    v AS (
+        SELECT token, token AS variant FROM tok
+        UNION ALL
+        SELECT token,
+               substr(token, 1, i - 1) || substr(token, i + 1,
+                   length(token)) AS variant
+        FROM del
+    ),
+    cand AS (
+        SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+        FROM v a JOIN v b ON a.variant = b.variant AND a.token < b.token
+    )
+    SELECT tok_a, tok_b,
+           CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+)
+def typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: corpus-wide edit-distance-1 identifier pairs via the
+    FastSS deletion-neighborhood join
+    (operators/dedup.py:deletion_neighborhood_pairs) — the complement
+    of name_linkage: a SELF-join that also catches insertions and
+    deletions (variable-length pairs), with no reference dictionary.
+    Each token emits itself + its 1-deletion variants; one equi-join
+    on the variant string finds every candidate (complete for
+    distance ≤ 1), a levenshtein verify on candidates only confirms.
+    Bucket arity is alphabet-bounded by construction — the hot-bucket
+    failure mode of content-hash LSH cannot occur.  The oracle mirrors
+    the neighborhood generation in SQL (the naive all-pairs
+    levenshtein over 15k names runs ~2 minutes in DuckDB at sf0.1;
+    the neighborhood shape is what EITHER engine must use at scale —
+    the levenshtein predicate on candidates keeps the semantic
+    contract, and the unit test pins the operator against naive
+    all-pairs on a hand vocabulary)."""
+    from telemetry_streaming_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    tokens = cust.select(F.lower(F.col("c_name")).alias("token")).distinct()
+    pairs = deletion_neighborhood_pairs(tokens)
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
+    )
+
+
+@query(
+    "part_assortativity",
+    oracle="""
+    WITH small_orders AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) <= 5
+    ),
+    items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN small_orders s USING (l_orderkey)
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) s
+        GROUP BY node
+    ),
+    ranked AS (
+        SELECT du.d AS du, dv.d AS dv
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(du + dv) AS BIGINT) AS sum_deg,
+               CAST(2 * SUM(du * dv) AS BIGINT) AS sum_prod2,
+               CAST(SUM(du * du + dv * dv) AS BIGINT) AS sum_sq
+        FROM ranked
+    )
+    SELECT n_edges, sum_deg, sum_prod2, sum_sq,
+           CAST(2 * n_edges * sum_prod2 - sum_deg * sum_deg AS BIGINT)
+               AS r_num,
+           CAST(2 * n_edges * sum_sq - sum_deg * sum_deg AS BIGINT)
+               AS r_den,
+           CASE WHEN 2 * n_edges * sum_sq - sum_deg * sum_deg <> 0
+                THEN CAST(2 * n_edges * sum_prod2 - sum_deg * sum_deg
+                          AS DOUBLE)
+                     / CAST(2 * n_edges * sum_sq - sum_deg * sum_deg
+                            AS DOUBLE)
+           END AS assortativity
+    FROM agg
+    """,
+)
+def part_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: degree assortativity of the co-purchase graph
+    (operators/graph.py:degree_assortativity, Newman 2002) — the
+    one-number hub-and-spoke screen: Pearson correlation of endpoint
+    degrees over edge stubs, exact BIGINT moments and ONE IEEE
+    division, so the correlation itself hashes across engines.  Same
+    ≤5-arity edge derivation as the triangle family; the global
+    aggregate's partials are 4 BIGINTs per partition."""
+    from telemetry_streaming_spark.operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return degree_assortativity(edges)
+
+
+@query(
+    "zipf_digit_buckets",
+    oracle=r"""
+    WITH tokens AS (
+        SELECT source, unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tokens WHERE token <> ''
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(length(CAST(f AS VARCHAR)) AS BIGINT) AS digit_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(MIN(f) AS BIGINT) AS min_freq,
+           CAST(MAX(f) AS BIGINT) AS max_freq
+    FROM freq GROUP BY 1, 2
+    """,
+)
+def zipf_digit_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Zipf-shape audit of the per-source vocabulary —
+    token frequencies bucketed by DECIMAL DIGIT COUNT (an integer-exact
+    log10 via string length: no float log, so the histogram hashes in
+    any engine).  A healthy natural-language source shows type counts
+    decaying ~10x per bucket; a templated/boilerplate source collapses
+    into few high-frequency buckets — the cheap corpus screen run
+    before expensive dedup.  Two map-side-combining aggregates: corpus
+    -> (source, token) frequencies -> digit-bucket rollup; nothing
+    wider than a token crosses either exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    freq = tokens.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return freq.groupBy(
+        "source",
+        F.length(F.col("f").cast("string")).cast("long").alias("digit_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.min("f").cast("long").alias("min_freq"),
+        F.max("f").cast("long").alias("max_freq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -9577,8 +9764,9 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     "attribution_decay", "attribution_position", "dtw_window_stats",
-    "part_kcore", "part_link_ra", "part_link_scores",
-    "rfm_segments", "rrf_fusion", "asof_join",
+    "part_assortativity", "part_kcore", "part_link_ra",
+    "part_link_scores", "rfm_segments", "rrf_fusion",
+    "typo_pairs", "zipf_digit_buckets", "asof_join",
     "chunk_dedup", "chunk_dedup_apply", "cohort_retention",
     "contamination_report", "conversion_funnel", "customer_distribution",
     "dedup_components", "dedup_incremental", "distinctive_terms",
@@ -9591,8 +9779,7 @@ _FRONT_WINDOW = [
     "pattern_match_topk", "priority_rollup", "profile_columns",
     "resample_ffill", "robust_stats", "scd2_intervals",
     "segment_overlap", "sequence_packing", "session_stats",
-    "share_of_total", "snapshot_diff", "time_rollup",
-    "time_weighted_avg", "top_orders_per_customer",
+    "share_of_total", "snapshot_diff",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -339,3 +339,40 @@ def test_approx_quantiles_rank_error_bounded(spark):
             lo = vals[max(0, rank - slack - 1)]
             hi = vals[min(n - 1, rank + slack + 1)]
             assert lo <= a[col] <= hi, (etype, col, a[col], lo, hi)
+
+
+def test_deletion_neighborhood_pairs_matches_naive(spark):
+    """late r8: FastSS deletion-neighborhood join == naive all-pairs
+    levenshtein <= 1 on a hand vocabulary covering substitution
+    (hello/hallo), deletion/insertion (hell/hello, variable length),
+    a same-length non-match (help/hell is distance 1 — included —
+    vs world/help distance 5), and an isolated token."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    vocab = ["hello", "hallo", "hell", "help", "world", "word", "wort", "xyz"]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    naive = sorted(
+        (a, b) for a, b in itertools.combinations(sorted(vocab), 2) if lev(a, b) <= 1
+    )
+    toks = spark.createDataFrame([Row(token=t) for t in vocab])
+    got = sorted(
+        (r.tok_a, r.tok_b) for r in deletion_neighborhood_pairs(toks).collect()
+    )
+    assert got == naive

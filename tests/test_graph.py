@@ -291,3 +291,26 @@ def test_edge_ra_scores_triangle_free(spark):
     rows = edge_ra_scores(path).collect()
     assert len(rows) == 4
     assert all(r.cn == 0 and r.ra_e9 == 0 for r in rows)
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    """late r8: a star K1,3 is perfectly disassortative (r = -1:
+    every edge joins the deg-3 hub to a deg-1 leaf); a K4 is
+    degree-regular, so the stub variance is 0 and r is NULL."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [Row(src=0, dst=i) for i in (1, 2, 3)]
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r.n_edges, r.sum_deg, r.sum_prod2, r.sum_sq) == (3, 12, 18, 30)
+    assert (r.r_num, r.r_den) == (-36, 36)
+    assert r.assortativity == -1.0
+
+    k4 = spark.createDataFrame(
+        [Row(src=a, dst=b) for a in range(4) for b in range(a + 1, 4)]
+    )
+    r = degree_assortativity(k4).collect()[0]
+    assert r.r_den == 0 and r.assortativity is None
