@@ -8544,12 +8544,12 @@ def znorm_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l.l_orderkey, l.l_partkey
         FROM lineitem l JOIN small_orders s USING (l_orderkey)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u
@@ -9000,12 +9000,12 @@ def attribution_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l.l_orderkey, l.l_partkey
         FROM lineitem l JOIN small_orders s USING (l_orderkey)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u
@@ -9075,12 +9075,12 @@ def part_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l.l_orderkey, l.l_partkey
         FROM lineitem l JOIN small_orders s USING (l_orderkey)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u
@@ -9281,12 +9281,12 @@ def dtw_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l.l_orderkey, l.l_partkey
         FROM lineitem l JOIN small_orders s USING (l_orderkey)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u
@@ -9586,7 +9586,7 @@ def typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT l.l_orderkey, l.l_partkey
         FROM lineitem l JOIN small_orders s USING (l_orderkey)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -360,6 +360,97 @@ def op_dtw(spark: SparkSession, factor: int) -> DataFrame:
     return dtw_window_stats(ev, [100, 300, 200, 400], band=1)
 
 
+def op_link_ra(spark: SparkSession, factor: int) -> DataFrame:
+    """Resource-allocation link scores over the same K-fold
+    co-purchase graph as op_triangles: the wedge schedule + one apex
+    degree join + one edge-key aggregate — slope must track the
+    triangle slope."""
+    from telemetry_streaming_spark.operators.graph import edge_ra_scores
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ),
+        factor,
+        ["l_orderkey", "l_partkey"],
+    )
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return edge_ra_scores(edges)
+
+
+def op_assortativity(spark: SparkSession, factor: int) -> DataFrame:
+    """Degree assortativity over the K-fold co-purchase graph: edge
+    derivation + degree joins + ONE global aggregate whose partials
+    are 4 BIGINTs per partition — must be edge-linear."""
+    from telemetry_streaming_spark.operators.graph import degree_assortativity
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ),
+        factor,
+        ["l_orderkey", "l_partkey"],
+    )
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return degree_assortativity(edges)
+
+
+def op_typo_pairs(spark: SparkSession, factor: int) -> DataFrame:
+    """FastSS deletion-neighborhood join over K-fold customer names,
+    each replica prefixed 'r%02d#' so replicas stay (near-)independent
+    vocabularies: variant-bucket arity stays alphabet-bounded (a
+    cross-replica match needs the two rep digits to collapse to one
+    deletion — a bounded ~digit-alphabet fraction), so candidate and
+    output volume must grow ~linearly in K."""
+    from telemetry_streaming_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.lower(F.col("c_name")).alias("name")
+    )
+    if factor == 1:
+        toks = base.select(F.col("name").alias("token")).distinct()
+    else:
+        rep = base.withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        toks = rep.select(
+            F.concat(F.format_string("r%02d#", F.col("__rep")), F.col("name")).alias(
+                "token"
+            )
+        ).distinct()
+    return deletion_neighborhood_pairs(toks)
+
+
 OPS = {
     "asof_join": op_asof,
     "sessionize": op_sessionize,
@@ -376,6 +467,10 @@ OPS = {
     "part_clustering": op_clustering,
     "hard_negatives": op_hard_negatives,
     "dtw_window_stats": op_dtw,
+    # late-r8 families
+    "part_link_ra": op_link_ra,
+    "part_assortativity": op_assortativity,
+    "typo_pairs": op_typo_pairs,
 }
 
 
