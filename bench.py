@@ -154,14 +154,26 @@ HEADLINE = [
     "attribution_position",
     "attribution_decay",
     "part_kcore",
-    # late r8: resource-allocation link scores (~2.1 s at sf0.1 —
-    # Spark 0.11x DuckDB: the degree-oriented wedge schedule vs the
-    # oracle's naive triple join), reciprocal-rank fusion (~0.9 s,
-    # broadcast top-k lists + one item-key aggregate) and RFM
+    # late r8: resource-allocation link scores (~2.1 s at sf0.1 — the
+    # degree-oriented wedge schedule; the oracle's triple join runs
+    # 1.6 s once its CTEs are MATERIALIZED), reciprocal-rank fusion
+    # (~0.9 s, broadcast top-k lists + one item-key aggregate) and RFM
     # quartile segmentation (~0.6 s, customer-grain NTILE floor)
     "part_link_ra",
     "rrf_fusion",
     "rfm_segments",
+    # late r8, second batch: FastSS typo pairs (~1.1 s / 1.4x after the
+    # variant-key repartition beat AQE's one-task coalesce — SCALE.md),
+    # degree assortativity (~1.9 s: the co-purchase edge derivation +
+    # one 4-BIGINT aggregate; TREND-tracked), and four sub-second
+    # screens (Zipf digit buckets, session entry/exit matrix, vocab
+    # growth curve, Matryoshka truncation audit)
+    "typo_pairs",
+    "part_assortativity",
+    "zipf_digit_buckets",
+    "entry_exit_stats",
+    "vocab_growth",
+    "embedding_truncation_error",
 ]
 
 
@@ -228,6 +240,11 @@ TREND_FULL = [
     # near-flat Spark seconds); the attribution flavors share
     # attribution_linear's three-exchange floor and fall the same way
     "part_kcore", "attribution_position", "attribution_decay",
+    # late r8: degree assortativity — ~1.9s Spark vs ~0.2s DuckDB at
+    # sf0.1 is the co-purchase edge-derivation floor (distinct + arity
+    # cap + self-join stages) over a 4-BIGINT aggregate; the same
+    # derivation under part_triangles shows the falling pattern
+    "part_assortativity",
     # NOT tracked: dtw_window_stats — sub-second at sf0.1 (0.7s idle),
     # below the >=1s TREND bar, and its oracle's unrolled DP does real
     # per-row work so the ratio (~4-5x) is CPU-shape, not a fixed
