@@ -495,15 +495,20 @@ def degree_assortativity(
     (hubs connect leaves, r < 0) — the one-number screen for "does
     this graph have hub-and-spoke structure" before sampling.
 
-    Everything is BIGINT until the last step: with ``N = 2m`` stubs,
-    ``Sx = Σ(du+dv)``, ``Sxy = 2·Σ(du·dv)``, ``Sxx = Σ(du²+dv²)``,
-    the correlation is ``r = (N·Sxy − Sx²) / (N·Sxx − Sx²)`` — exact
-    integer numerator and denominator, ONE IEEE division, so the
-    value hashes across engines (den = 0, a degree-regular graph,
-    yields NULL).  Plan: the canonical edge derivation, one degree
-    aggregate, two degree joins, ONE global aggregate whose partials
-    are 4 BIGINTs per partition — nothing edge-sized ever hits a
-    single task."""
+    The four moments are exact BIGINTs: with ``N = 2m`` stubs,
+    ``Sx = Σ(du+dv)``, ``Sxy = 2·Σ(du·dv)``, ``Sxx = Σ(du²+dv²)``
+    (bounded by ``2·m·dmax²`` — inside int64 up to ~10^12 edges at
+    hub degree ~10^3; the per-term products are degree-squared, never
+    moment-squared).  The correlation ``r = (N·Sxy − Sx²) /
+    (N·Sxx − Sx²)`` is computed in IEEE doubles with the SAME
+    expression shape the oracle states — ``N·Sxy`` and ``Sx²`` exceed
+    int64 on a 64x-replicated sf0.1 graph (caught by the replication
+    smoke), and correctly-rounded double *, − and / are deterministic
+    in any engine, so the value still hashes (a degree-regular graph
+    has zero stub variance → NULL).  Plan: the canonical edge
+    derivation, one degree aggregate, two degree joins, ONE global
+    aggregate whose partials are 4 BIGINTs per partition — nothing
+    edge-sized ever hits a single task."""
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
     canon = cut_lineage(_canonical_edges(edges, src, dst))
@@ -520,18 +525,20 @@ def degree_assortativity(
         .cast("long")
         .alias("sum_sq"),
     )
-    num = F.lit(2) * F.col("n_edges") * F.col("sum_prod2") - F.col("sum_deg") * F.col("sum_deg")
-    den = F.lit(2) * F.col("n_edges") * F.col("sum_sq") - F.col("sum_deg") * F.col("sum_deg")
+    # doubles from here down (see docstring): identical expression
+    # shape to the oracle, so the IEEE result is engine-portable
+    n = F.col("n_edges").cast("double")
+    sx = F.col("sum_deg").cast("double")
+    sxy = F.col("sum_prod2").cast("double")
+    sxx = F.col("sum_sq").cast("double")
+    num = F.lit(2.0) * n * sxy - sx * sx
+    den = F.lit(2.0) * n * sxx - sx * sx
     return agg.select(
         "n_edges",
         "sum_deg",
         "sum_prod2",
         "sum_sq",
-        num.cast("long").alias("r_num"),
-        den.cast("long").alias("r_den"),
-        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
-            "assortativity"
-        ),
+        F.when(den != 0.0, num / den).alias("assortativity"),
     )
 
 

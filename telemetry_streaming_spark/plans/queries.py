@@ -9610,15 +9610,15 @@ def typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT n_edges, sum_deg, sum_prod2, sum_sq,
-           CAST(2 * n_edges * sum_prod2 - sum_deg * sum_deg AS BIGINT)
-               AS r_num,
-           CAST(2 * n_edges * sum_sq - sum_deg * sum_deg AS BIGINT)
-               AS r_den,
-           CASE WHEN 2 * n_edges * sum_sq - sum_deg * sum_deg <> 0
-                THEN CAST(2 * n_edges * sum_prod2 - sum_deg * sum_deg
-                          AS DOUBLE)
-                     / CAST(2 * n_edges * sum_sq - sum_deg * sum_deg
-                            AS DOUBLE)
+           CASE WHEN 2.0 * CAST(n_edges AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                     - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE)
+                     <> 0.0
+                THEN (2.0 * CAST(n_edges AS DOUBLE)
+                          * CAST(sum_prod2 AS DOUBLE)
+                      - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))
+                     / (2.0 * CAST(n_edges AS DOUBLE)
+                            * CAST(sum_sq AS DOUBLE)
+                        - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))
            END AS assortativity
     FROM agg
     """,
