@@ -242,9 +242,14 @@ TREND_FULL = [
     "part_kcore", "attribution_position", "attribution_decay",
     # late r8: degree assortativity — ~1.9s Spark vs ~0.2s DuckDB at
     # sf0.1 is the co-purchase edge-derivation floor (distinct + arity
-    # cap + self-join stages) over a 4-BIGINT aggregate; the same
-    # derivation under part_triangles shows the falling pattern
+    # cap + self-join stages) over a 4-BIGINT aggregate; measured
+    # falling 29.8x -> 27.6x -> 7.7x across the three scale points
     "part_assortativity",
+    # late r8: re-promoted from TREND_GRADUATED — its spot check came
+    # back 2.72/2.55 (first pass / symmetric re-measure), above the
+    # 2.5 graduate bound, and the artifact flagged it `regressed`;
+    # the tiering contract moves it back to full 3-point tracking
+    "bigram_surprisal_stats",
     # NOT tracked: dtw_window_stats — sub-second at sf0.1 (0.7s idle),
     # below the >=1s TREND bar, and its oracle's unrolled DP does real
     # per-row work so the ratio (~4-5x) is CPU-shape, not a fixed
@@ -258,7 +263,6 @@ TREND_FULL = [
 # r7 TREND rows 1.77 / 1.49 repeated the judge's independent idle
 # measurements 2.0 / 1.4 — named as graduates in the r7 verdict).
 TREND_GRADUATED = [
-    "bigram_surprisal_stats",
     "dup_span_stats",
     "dup_span_removal",
 ]
