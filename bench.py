@@ -174,6 +174,9 @@ HEADLINE = [
     "entry_exit_stats",
     "vocab_growth",
     "embedding_truncation_error",
+    # late r8: session path mining (~0.9 s: one user exchange shared by
+    # three windows + a (session, path) aggregate + TakeOrdered)
+    "session_path_topk",
 ]
 
 

@@ -698,3 +698,26 @@ def test_part_link_scores_degrees_ride_the_ranked_frame(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan[:800]
+
+
+def test_typo_pairs_partitions_pinned_against_aqe_coalesce(spark):
+    """late r8 (SCALE.md "AQE one-task coalesce"): the deletion-
+    neighborhood self-join must carry an EXPLICIT variant-key
+    repartition — AQE's byte-based coalescing otherwise collapses the
+    CPU-bound join + levenshtein verify to one task (measured 5.2s ->
+    1.1s).  The explicit exchange doubles as the join's shuffle, and
+    the thresholded verify must sit BELOW the pair distinct (verify
+    the duplicated candidate stream in parallel, then shuffle only
+    survivors)."""
+    plan = explain_str(q(spark, "typo_pairs"))
+    assert "REPARTITION_BY_COL" in plan or "hashpartitioning(__var" in plan, plan[:800]
+    # the verify is a filter on the join output, not a post-distinct
+    # step: levenshtein must appear in the plan exactly where the
+    # join's filter runs (before the final aggregate's exchange)
+    assert "levenshtein" in plan
+    agg_pos = plan.find("HashAggregate")
+    lev_pos = plan.rfind("levenshtein")
+    assert agg_pos != -1 and lev_pos > agg_pos, (
+        "levenshtein verify must run below (before) the distinct "
+        "aggregate in the formatted plan's top-down order"
+    )
