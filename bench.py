@@ -352,7 +352,12 @@ def trend_main() -> None:
     _wait_for_idle()
     trend_runs = int(os.environ.get("SPARK_GRAFT_TREND_RUNS", "5"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="bench-trend", shuffle_partitions=min(cpus, 16))
+    # UI store off — same progressive-degradation reason as main()
+    spark = get_spark(
+        app_name="bench-trend",
+        shuffle_partitions=min(cpus, 16),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # three scale points: sf0.001 is ~pure fixed floor on both engines'
@@ -589,7 +594,17 @@ def main() -> None:
     ) // (1024 * 1024)
     parts = max(8, min(cpus, int(data_mb)))
 
-    spark = get_spark(app_name="bench", shuffle_partitions=parts)
+    # late r8: UI store OFF — with it on, ~400 query executions of
+    # AQE-stage updates progressively degrade the driver: an idle run
+    # (loadavg 0.02) ended with the FIRST query re-timing 4.2x its own
+    # early median, tripping the contention self-check on a machine
+    # with no contention.  Every stable standalone measurement session
+    # had the UI disabled; the bench session now matches.
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=parts,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Steady-state warm-up: run the same query shapes once at the
@@ -597,6 +612,18 @@ def main() -> None:
     # scale-independent JVM cost — irrelevant at 100TB, dominant at
     # sf<=0.1) is paid outside the timed region.  The timed runs below
     # still execute end-to-end on the target scale factor.
+    #
+    # late r8, measured across four instrumented refresh runs: this
+    # whole-set sf0.001 pass is what warms the JVM/codegen in general
+    # (removing it inflated the first ~10 floor-dominated queries
+    # ~2-3x), while moving the warm-up adjacent to each query's timed
+    # samples bought the checkpoint-heavy graph queries nothing —
+    # their per-run cost is real re-materialization (fresh RDD
+    # lineage per run), not compile amortization.  So the sf0.001 pass
+    # stays, per-query warm runs do not exist, and the honest
+    # statement is: median-of-3 at the target SF includes each
+    # query's first-at-this-SF execution, symmetrically with the
+    # DuckDB oracle timings.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
@@ -615,7 +642,6 @@ def main() -> None:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-
         def sample() -> list[float]:
             ts: list[float] = []
             for _ in range(runs):
