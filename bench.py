@@ -252,7 +252,14 @@ TREND_FULL = [
     # back 2.72/2.55 (first pass / symmetric re-measure), above the
     # 2.5 graduate bound, and the artifact flagged it `regressed`;
     # the tiering contract moves it back to full 3-point tracking
+    # (the UI-off re-run then measured it falling 16.0 -> 3.7)
     "bigram_surprisal_stats",
+    # late r8: dup_span_removal's graduated spot check flipped to 2.57
+    # in the UI-off trend run (1.44 the round before — a sub-second
+    # spark numerator over a ~0.3s DuckDB denominator is exactly the
+    # noise regime the 3-point endpoint fall was designed to settle);
+    # the same contract re-promotes it
+    "dup_span_removal",
     # NOT tracked: dtw_window_stats — sub-second at sf0.1 (0.7s idle),
     # below the >=1s TREND bar, and its oracle's unrolled DP does real
     # per-row work so the ratio (~4-5x) is CPU-shape, not a fixed
@@ -267,7 +274,6 @@ TREND_FULL = [
 # measurements 2.0 / 1.4 — named as graduates in the r7 verdict).
 TREND_GRADUATED = [
     "dup_span_stats",
-    "dup_span_removal",
 ]
 
 # the combined set (manifest tests pin TREND ⊆ HEADLINE, oracle-backed)
