@@ -141,9 +141,9 @@ HEADLINE = [
     # r8: the integer-exact banded-DTW companion (~0.7 s at sf0.1 —
     # the znorm plan shape with the DP as one fold expression), the
     # co-purchase clustering coefficients (shared-canon plan, 0.4x
-    # DuckDB idle), and per-edge link-prediction scores (~5.9 s at
-    # 1.46x — the heaviest graph query; wedge schedule + edge-key
-    # aggregate + degree joins)
+    # DuckDB idle), and per-edge link-prediction scores (late-r8
+    # ranked-frame refactor: 4.8 -> 2.0 s idle; wedge schedule +
+    # edge-key aggregate, degrees ride the ranked frame)
     "dtw_window_stats",
     "part_clustering",
     "part_link_scores",
