@@ -316,3 +316,52 @@ def test_degree_assortativity_star_and_regular(spark):
     )
     r = degree_assortativity(k4).collect()[0]
     assert r.assortativity is None
+
+
+def test_edge_scores_match_naive_on_random_graph(spark):
+    """late r8: the shared wedge schedule's per-EDGE outputs — common
+    neighbors, Jaccard, resource allocation — equal naive adjacency-set
+    computation on a random graph (the node-grain triangle test's edge
+    analogue, covering the explode-to-three-edges canonicalization and
+    the apex attribution)."""
+    import random
+
+    from telemetry_streaming_spark.operators.graph import (
+        edge_link_scores,
+        edge_ra_scores,
+    )
+
+    rng = random.Random(11)
+    n = 40
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    want_link = {}
+    want_ra = {}
+    for a, b in edges:
+        cn = adj[a] & adj[b]
+        du, dv = len(adj[a]), len(adj[b])
+        union = du + dv - 2 - len(cn)
+        want_link[(a, b)] = (
+            len(cn),
+            du,
+            dv,
+            (1_000_000 * len(cn)) // union if union > 0 else 0,
+        )
+        want_ra[(a, b)] = (
+            len(cn),
+            sum(1_000_000_000 // len(adj[w]) for w in cn),
+        )
+
+    got_link = {
+        (r.u, r.v): (r.cn, r.deg_u, r.deg_v, r.jaccard_e6)
+        for r in edge_link_scores(df).collect()
+    }
+    got_ra = {(r.u, r.v): (r.cn, r.ra_e9) for r in edge_ra_scores(df).collect()}
+    assert got_link == want_link
+    assert got_ra == want_ra
