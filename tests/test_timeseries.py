@@ -846,3 +846,42 @@ def test_dtw_window_stats_rejects_bad_args(spark):
         dtw_window_stats(df, [100, 200], band=-1)
     with pytest.raises(ValueError, match="integers"):
         dtw_window_stats(df, [100.5, 200])
+
+
+def test_concurrency_sweep_hand_intervals(spark):
+    """late r8: hand-checkable sweep — [0,10)+[5,15) overlap to peak 2
+    in bucket 0 (bucket_s=3600 puts everything in one bucket for the
+    intra case); a window spanning a bucket boundary carries its open
+    count into the next bucket (peak there stays 1 even though the
+    only local delta is a close); a close and an open at the same
+    instant never double-count (close sorts first)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import concurrency_sweep
+
+    def ts(sec):
+        return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            seconds=sec
+        )
+
+    # duration 10s, bucket 100s
+    rows = [Row(ts=ts(s)) for s in (0, 5, 20, 95, 130)]
+    # windows: [0,10) [5,15) [20,30) [95,105) [130,140)
+    df = spark.createDataFrame(rows)
+    got = {
+        r.bucket: (r.n_deltas, r.peak_concurrency)
+        for r in concurrency_sweep(df, duration_s=10, bucket_s=100).collect()
+    }
+    # bucket 0: deltas at 0+,5+,10-,15-,20+,30-,95+ -> peaks 2
+    # bucket 1: deltas at 105-,130+,140- with carry-in 1 -> peak 1
+    assert got == {0: (7, 2), 1: (3, 1)}
+
+    # close-before-open tie: [0,10) and [10,20) never overlap
+    df2 = spark.createDataFrame([Row(ts=ts(0)), Row(ts=ts(10))])
+    got2 = {
+        r.bucket: r.peak_concurrency
+        for r in concurrency_sweep(df2, duration_s=10, bucket_s=3600).collect()
+    }
+    assert got2 == {0: 1}
