@@ -175,8 +175,11 @@ HEADLINE = [
     "vocab_growth",
     "embedding_truncation_error",
     # late r8: session path mining (~0.9 s: one user exchange shared by
-    # three windows + a (session, path) aggregate + TakeOrdered)
+    # three windows + a (session, path) aggregate + TakeOrdered) and
+    # the two-level peak-concurrency sweep (~0.7 s: bucket exchange +
+    # intra-bucket sort; the only global window is over the hour table)
     "session_path_topk",
+    "peak_concurrency",
 ]
 
 
