@@ -10136,23 +10136,23 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "attribution_decay", "attribution_position", "dtw_window_stats",
-    "embedding_truncation_error", "entry_exit_stats", "part_assortativity",
-    "part_kcore", "part_link_ra", "part_link_scores",
-    "peak_concurrency", "rfm_segments", "rrf_fusion",
-    "session_path_topk", "typo_pairs", "vocab_growth",
-    "zipf_digit_buckets", "asof_join", "chunk_dedup",
-    "chunk_dedup_apply", "cohort_retention", "contamination_report",
-    "conversion_funnel", "customer_distribution", "dedup_components",
-    "dedup_incremental", "distinctive_terms", "diversified_topk",
-    "dup_window_fraction", "embedding_quantize", "equidepth_histogram",
-    "event_cube", "fuzzy_token_match", "heavy_hitters",
-    "incremental_distinct_merge", "incremental_merge", "inter_event_gaps",
-    "large_orders", "latest_snapshot", "market_share",
-    "min_cost_supplier", "mode_per_group", "multimodal_audio_chunks",
-    "nation_trade_volume", "packing_stats", "pattern_match_topk",
-    "priority_rollup", "profile_columns", "resample_ffill",
-    "robust_stats", "scd2_intervals",
+    "segment_overlap", "sequence_packing", "session_stats",
+    "share_of_total", "snapshot_diff", "time_rollup",
+    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
+    "value_quantiles", "value_trend", "weighted_sample",
+    "winsorized_stats", "approx_heavy_hitters", "approx_value_quantiles",
+    "attribution_last_touch", "avg_qty_threshold", "cross_source_leakage",
+    "dedup_containment", "dedup_minhash_incremental", "disjunctive_revenue",
+    "doc_length_buckets", "domain_cap_sample", "dominant_part_suppliers",
+    "dtw_pattern_match", "dup_cluster_stats", "embedding_norm_stats",
+    "embedding_prototypicality", "event_dedup_stats", "event_type_pivot",
+    "forecast_revenue", "important_parts", "kmeans_assign",
+    "kmeans_update", "mixture_plan", "pareto_spend_bands",
+    "pattern_match_znorm", "product_profit", "promo_revenue",
+    "quality_logit", "range_join", "rare_token_score",
+    "returned_items", "running_order_total", "sales_opportunity",
+    "semantic_contamination", "semdedup", "shard_manifest",
+    "shipping_delay_priority", "skew_report",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
