@@ -768,7 +768,11 @@ def deletion_neighborhood_pairs(
     pair ``a < b``.
 
     Input: one row per distinct token (callers aggregate frequency
-    upstream and join it back on the output keys if needed).
+    upstream and join it back on the output keys if needed).  Empty
+    and NULL tokens are dropped up front: ``sequence(1, 0)`` would
+    otherwise infer step -1 and emit spurious ``[1, 0]`` variant rows
+    for a zero-length token (r8 ADVICE) — and an empty string has no
+    meaningful edit-distance neighborhood anyway.
 
     Two plan decisions that matter (A/B'd at sf0.1 on 15k ids,
     5.2 s -> 1.1 s idle median, SCALE.md):
@@ -787,6 +791,7 @@ def deletion_neighborhood_pairs(
       THRESHOLDED form (early-exit DP returning -1 past the bound).
     """
     t = F.col(token_col)
+    tokens = tokens.where(t.isNotNull() & (F.length(t) > 0))
     try:
         nparts = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except Exception:

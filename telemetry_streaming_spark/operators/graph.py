@@ -512,7 +512,10 @@ def degree_assortativity(
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
     canon = cut_lineage(_canonical_edges(edges, src, dst))
-    deg = _degrees(canon)
+    # cut deg too: it feeds TWO join branches, and Spark does not CSE
+    # subplans, so an uncut degree aggregate re-runs once per branch
+    # (same trap edge_ra_scores guards against; r8 ADVICE).
+    deg = cut_lineage(_degrees(canon))
     ranked = (
         canon.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")

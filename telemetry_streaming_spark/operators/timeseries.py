@@ -834,8 +834,13 @@ def concurrency_sweep(
     t = epoch_seconds(ts_col)
     starts = df.select(t.alias("t"), F.lit(1).alias("d"))
     ends = df.select((t + F.lit(int(duration_s))).alias("t"), F.lit(-1).alias("d"))
+    # FLOOR division, not `div` (which truncates toward zero): for
+    # pre-1970 timestamps (negative epoch seconds) truncate-vs-floor
+    # diverges and the bucket assignment would differ from the oracle's
+    # `//` — same pmod pattern as functions.epoch_seconds (r8 ADVICE).
+    b = int(bucket_s)
     pts = starts.unionAll(ends).withColumn(
-        "bucket", F.expr(f"t div {int(bucket_s)}").cast("long")
+        "bucket", F.expr(f"(t - pmod(t, {b})) div {b}").cast("long")
     )
     w_intra = (
         Window.partitionBy("bucket")

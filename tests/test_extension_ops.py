@@ -376,3 +376,28 @@ def test_deletion_neighborhood_pairs_matches_naive(spark):
         (r.tok_a, r.tok_b) for r in deletion_neighborhood_pairs(toks).collect()
     )
     assert got == naive
+
+
+def test_deletion_neighborhood_pairs_drops_empty_and_null_tokens(spark):
+    """r9 (r8 ADVICE): zero-length and NULL tokens must be filtered up
+    front — sequence(1, 0) infers step -1 and would emit spurious
+    [1, 0] variant rows for an empty string.  'a' and 'b' are both
+    distance-1 from '' via their deletion variant, but the empty token
+    is excluded by contract, so only the (a, b) substitution pair
+    survives."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from telemetry_streaming_spark.operators.dedup import (
+        deletion_neighborhood_pairs,
+    )
+
+    schema = StructType([StructField("token", StringType(), True)])
+    toks = spark.createDataFrame(
+        [Row(token="a"), Row(token="b"), Row(token=""), Row(token=None)],
+        schema,
+    )
+    got = sorted(
+        (r.tok_a, r.tok_b) for r in deletion_neighborhood_pairs(toks).collect()
+    )
+    assert got == [("a", "b")]

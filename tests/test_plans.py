@@ -721,3 +721,19 @@ def test_typo_pairs_partitions_pinned_against_aqe_coalesce(spark):
         "levenshtein verify must run below (before) the distinct "
         "aggregate in the formatted plan's top-down order"
     )
+
+
+def test_part_assortativity_degree_aggregate_runs_once(spark):
+    """r9 (r8 ADVICE): degree_assortativity's degree frame feeds TWO
+    join branches; Spark does not CSE subplans, so an uncut degree
+    aggregate re-runs per branch.  After cutting deg the final plan
+    reads only checkpointed RDDs and the ONLY aggregate left is the
+    global 4-BIGINT moment fold (partial + final)."""
+    import re
+
+    plan = explain_str(q(spark, "part_assortativity"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # canon + deg (x2 branches) all read cut RDDs
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan[:800]

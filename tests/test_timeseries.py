@@ -885,3 +885,32 @@ def test_concurrency_sweep_hand_intervals(spark):
         for r in concurrency_sweep(df2, duration_s=10, bucket_s=3600).collect()
     }
     assert got2 == {0: 1}
+
+
+def test_concurrency_sweep_negative_epoch_floor_buckets(spark):
+    """r9 (r8 ADVICE): pre-1970 timestamps (negative epoch seconds)
+    must bucket by FLOOR division, matching the oracle's `//` — a
+    truncate-toward-zero `div` would put t=-7 (bucket_s=100) in bucket
+    0 instead of -1 and shift the intra-bucket prefix maxima."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import concurrency_sweep
+
+    def ts(sec):
+        return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            seconds=sec
+        )
+
+    # windows: [-150,-140) [-7,3) [0,10) — the -7 start floors to
+    # bucket -1 and overlaps [0,10)'s bucket-0 carry
+    df = spark.createDataFrame([Row(ts=ts(s)) for s in (-150, -7, 0)])
+    got = {
+        r.bucket: (r.n_deltas, r.peak_concurrency)
+        for r in concurrency_sweep(df, duration_s=10, bucket_s=100).collect()
+    }
+    # bucket -2: open -150, close -140 -> peak 1
+    # bucket -1: open -7 -> peak 1 (carry 0)
+    # bucket 0: open 0, close 3, close 10, carry-in 1 -> peak 2
+    assert got == {-2: (2, 1), -1: (1, 1), 0: (3, 2)}
