@@ -138,46 +138,46 @@ HEADLINE = [
     "znorm_window_stats",
     "part_triangles",
     "attribution_linear",
-    # r8: the integer-exact banded-DTW companion (~0.7 s at sf0.1 —
-    # the znorm plan shape with the DP as one fold expression), the
-    # co-purchase clustering coefficients (shared-canon plan, 0.4x
-    # DuckDB idle), and per-edge link-prediction scores (late-r8
-    # ranked-frame refactor: 4.8 -> 2.0 s idle; wedge schedule +
-    # edge-key aggregate, degrees ride the ranked frame)
+    # r8: the integer-exact banded-DTW companion (the znorm plan shape
+    # with the DP as one fold expression), the co-purchase clustering
+    # coefficients (shared-canon plan) and per-edge link-prediction
+    # scores (ranked-frame refactor: degrees ride the cut frame; A/B
+    # in SCALE.md, per-query seconds in BENCH_BASELINE.json — numbers
+    # live in artifacts, not comments)
     "dtw_window_stats",
     "part_clustering",
     "part_link_scores",
     # r8: the position (U-shaped) and time-decay attribution flavors —
-    # same interval-join shape as attribution_linear (~0.7 s each) —
-    # and fixed-round k-core peeling (~2.5 s: 4 lineage-cut rounds of
-    # degree-agg + semi-joins over the shrinking co-purchase edges)
+    # same interval-join shape as attribution_linear — and fixed-round
+    # k-core peeling (lineage-cut rounds of degree-agg + semi-joins
+    # over the shrinking co-purchase edges)
     "attribution_position",
     "attribution_decay",
     "part_kcore",
-    # late r8: resource-allocation link scores (~2.1 s at sf0.1 — the
-    # degree-oriented wedge schedule; the oracle's triple join runs
-    # 1.6 s once its CTEs are MATERIALIZED), reciprocal-rank fusion
-    # (~0.9 s, broadcast top-k lists + one item-key aggregate) and RFM
-    # quartile segmentation (~0.6 s, customer-grain NTILE floor)
+    # late r8: resource-allocation link scores (degree-oriented wedge
+    # schedule; the oracle's triple join only competes once its CTEs
+    # are MATERIALIZED — see the c79990f note in plans/queries.py),
+    # reciprocal-rank fusion (broadcast top-k lists + one item-key
+    # aggregate) and RFM quartile segmentation (customer-grain NTILE)
     "part_link_ra",
     "rrf_fusion",
     "rfm_segments",
-    # late r8, second batch: FastSS typo pairs (~1.1 s / 1.4x after the
-    # variant-key repartition beat AQE's one-task coalesce — SCALE.md),
-    # degree assortativity (~1.9 s: the co-purchase edge derivation +
-    # one 4-BIGINT aggregate; TREND-tracked), and four sub-second
-    # screens (Zipf digit buckets, session entry/exit matrix, vocab
-    # growth curve, Matryoshka truncation audit)
+    # late r8, second batch: FastSS typo pairs (variant-key
+    # repartition beats AQE's one-task coalesce — A/B in SCALE.md),
+    # degree assortativity (co-purchase edge derivation + one 4-BIGINT
+    # aggregate; TREND-tracked), and four sub-second screens (Zipf
+    # digit buckets, session entry/exit matrix, vocab growth curve,
+    # Matryoshka truncation audit)
     "typo_pairs",
     "part_assortativity",
     "zipf_digit_buckets",
     "entry_exit_stats",
     "vocab_growth",
     "embedding_truncation_error",
-    # late r8: session path mining (~0.9 s: one user exchange shared by
-    # three windows + a (session, path) aggregate + TakeOrdered) and
-    # the two-level peak-concurrency sweep (~0.7 s: bucket exchange +
-    # intra-bucket sort; the only global window is over the hour table)
+    # late r8: session path mining (one user exchange shared by three
+    # windows + a (session, path) aggregate + TakeOrdered) and the
+    # two-level peak-concurrency sweep (bucket exchange + intra-bucket
+    # sort; the only global window is over the hour table)
     "session_path_topk",
     "peak_concurrency",
 ]
@@ -200,10 +200,10 @@ HEADLINE = [
 GRADUATE_BOUND = 2.5
 TREND_FULL = [
     "product_profit", "sessionize", "waiting_suppliers", "asof_join",
-    # r4 floor-dominated additions: kmeans_update pays a fixed ~0.6s
-    # centroid-literal analysis cost, domain_cap_sample and
-    # text_ngram_topk a fixed multi-stage scheduling floor
-    "kmeans_update", "domain_cap_sample", "text_ngram_topk",
+    # r4 floor-dominated addition: a fixed multi-stage scheduling
+    # floor (kmeans_update and domain_cap_sample moved to the
+    # seconds-pinned tier in r9 — see TREND_SECONDS_PINNED)
+    "text_ngram_topk",
     # r4-verdict `weak` stamps: the only >=1s, >2x-ratio queries not
     # yet floor-thesis-proven — multi-stage scheduling (basket cap +
     # self-join + TakeOrdered), bounded cumsum window, two-level hash
@@ -263,12 +263,24 @@ TREND_FULL = [
     # noise regime the 3-point endpoint fall was designed to settle);
     # the same contract re-promotes it
     "dup_span_removal",
-    # NOT tracked: dtw_window_stats — sub-second at sf0.1 (0.7s idle),
-    # below the >=1s TREND bar, and its oracle's unrolled DP does real
+    # NOT tracked: dtw_window_stats — sub-second at sf0.1 (see
+    # BENCH_BASELINE.json), below the >=1s TREND bar, and its
+    # oracle's unrolled DP does real
     # per-row work so the ratio (~4-5x) is CPU-shape, not a fixed
     # floor that amortizes; the 11-sample r8 trend run measured it
     # ~flat 4.3 -> 5.1 and the honest response is to not claim a
     # falling-floor defense for it
+    #
+    # r9 (r8 verdict item 2): the wedge-schedule graph family + the
+    # FastSS typo join.  Until r8 their ratios looked fine only
+    # because the DuckDB oracles re-ran their CTEs per consumer;
+    # c79990f honestly MATERIALIZED them, collapsing the denominators
+    # and leaving these five >=1s >2x with no committed falling-ratio
+    # row.  Their work DOES scale superlinearly (wedges O(m^1.5)), so
+    # the fixed multi-job checkpoint floor amortizes with SF — the
+    # 3-point run is the committed evidence for that.
+    "part_triangles", "part_clustering", "part_link_scores",
+    "part_link_ra", "typo_pairs",
 ]
 
 # Proven floor cases: sf0.1 ratio < GRADUATE_BOUND two rounds running
@@ -279,8 +291,23 @@ TREND_GRADUATED = [
     "dup_span_stats",
 ]
 
+# Second graduation path (r9, r8 verdict item 7): queries whose Spark
+# seconds are SUB-SECOND and FLAT across all three scale points for
+# two consecutive rounds (TREND_r07/TREND_r08), over a ~10ms DuckDB
+# denominator.  The falling-RATIO thesis can never resolve for them —
+# the denominator is pure parse+plan noise and the numerator is pure
+# scheduling floor — so 3-point tracking burns idle time without
+# information.  Instead each carries a committed seconds PIN (~1.6x
+# its TREND_r08 sf0.1 median); the spot check re-measures sf0.1 Spark
+# seconds only and flags `regressed` when the pin is exceeded, which
+# re-promotes the entry to TREND_FULL the following round.
+TREND_SECONDS_PINNED = {
+    "kmeans_update": 1.5,
+    "domain_cap_sample": 0.8,
+}
+
 # the combined set (manifest tests pin TREND ⊆ HEADLINE, oracle-backed)
-TREND = TREND_FULL + TREND_GRADUATED
+TREND = TREND_FULL + TREND_GRADUATED + list(TREND_SECONDS_PINNED)
 
 
 def _median_time(fn, runs: int = 3) -> float:
@@ -497,6 +524,28 @@ def trend_main() -> None:
             entry["first_pass"] = first_pass
         con.close()
         entry["regressed"] = bool(ratio is not None and ratio > GRADUATE_BOUND)
+        out["queries"][name] = entry
+    # seconds-pinned entries: flat sub-second scheduling floors whose
+    # DuckDB denominator is parse+plan noise — spot-check Spark
+    # seconds at sf0.1 against the committed pin (no ratio claimed)
+    for name, pin_s in TREND_SECONDS_PINNED.items():
+        spec = QUERIES[name]
+        spark_t = _median_time(lambda: spec.fn(spark, sf01).collect(), trend_runs)
+        spark.catalog.clearCache()
+        entry = {
+            "0.1": {"spark_sec": round(spark_t, 4)},
+            "seconds_pinned": pin_s,
+        }
+        if spark_t > pin_s:
+            first_pass = dict(entry["0.1"])
+            spark_t = _median_time(
+                lambda: spec.fn(spark, sf01).collect(), 2 * trend_runs + 1
+            )
+            spark.catalog.clearCache()
+            entry["0.1"] = {"spark_sec": round(spark_t, 4)}
+            entry["remeasured"] = True
+            entry["first_pass"] = first_pass
+        entry["regressed"] = bool(spark_t > pin_s)
         out["queries"][name] = entry
     out["value"] = sum(
         1

@@ -28,13 +28,26 @@ def test_trend_names_are_headline_and_oracle_backed():
 
 
 def test_trend_tiers_are_disjoint_and_complete():
-    """r8 (r7 verdict item 8): TREND is split into a 3-scale-point
-    FULL tier and a proven-floor GRADUATED spot-check tier; the union
-    is the committed TREND surface, and no entry may sit in both."""
-    overlap = set(bench.TREND_FULL) & set(bench.TREND_GRADUATED)
-    assert not overlap, f"entries in both trend tiers: {overlap}"
-    assert bench.TREND == bench.TREND_FULL + bench.TREND_GRADUATED
+    """r8 (r7 verdict item 8), extended r9: TREND is split into a
+    3-scale-point FULL tier, a proven-floor GRADUATED spot-check tier
+    and a flat-sub-second SECONDS_PINNED tier; the union is the
+    committed TREND surface, and no entry may sit in two tiers."""
+    tiers = [
+        set(bench.TREND_FULL),
+        set(bench.TREND_GRADUATED),
+        set(bench.TREND_SECONDS_PINNED),
+    ]
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1:]:
+            assert not (a & b), f"entries in two trend tiers: {a & b}"
+    assert bench.TREND == (
+        bench.TREND_FULL
+        + bench.TREND_GRADUATED
+        + list(bench.TREND_SECONDS_PINNED)
+    )
     assert bench.GRADUATE_BOUND > 2, "graduation must stay above the 2x gate"
+    # a seconds pin of 0 (or negative) would flag every run regressed
+    assert all(p > 0 for p in bench.TREND_SECONDS_PINNED.values())
 
 
 def test_baseline_names_are_registered():
