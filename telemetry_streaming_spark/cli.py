@@ -469,6 +469,29 @@ def run_minhash_index(spark, args):
         )
         dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
         admitted = batch_docs.join(dup_ids, "doc_id", "left_anti")
+        # The night's near-dup PAIR drop for the `clusters` labeling
+        # flow: a rejected doc is recorded against the corpus doc(s)
+        # it duplicated, so labeling can fold it into that cluster
+        # without re-resolving history.  Per-epoch overwrite keeps the
+        # write idempotent on foreachBatch replay, and `clusters`
+        # skips batch dirs its manifest already incorporated — the
+        # handoff is idempotent from both sides.
+        if getattr(args, "pairs_output", None):
+            batch_name = getattr(args, "pairs_batch_name", "batch") or "batch"
+            if epoch is not None:
+                batch_name = f"{batch_name}-epoch{epoch}"
+            night_pairs = (
+                pairs.where(F.col("batch_id") != F.col("corpus_id"))
+                .select(
+                    F.col("batch_id").cast("long").alias("id1"),
+                    F.col("corpus_id").cast("long").alias("id2"),
+                )
+                .distinct()
+            )
+            pair_dir = os.path.join(args.pairs_output, batch_name)
+            night_pairs.write.mode("overwrite").parquet(pair_dir)
+            n_pair_rows = spark.read.parquet(pair_dir).count()
+            print(f"{tag}pairs_written: {n_pair_rows}")
         if args.stream_input:
             # per-epoch overwrite: replaying a micro-batch after a
             # crash (foreachBatch is at-least-once) rewrites the same
@@ -784,7 +807,11 @@ def run_maintain(spark, args):
     1. **admit**: drain the watched dir through the checkpointed
        availableNow stream (run_minhash_index admit semantics with
        --update-index); replayed micro-batches rewrite their epoch
-       subdir, so a crash-rerun never duplicates output rows.
+       subdir, so a crash-rerun never duplicates output rows.  With
+       ``--pairs-output`` each batch also drops its (id1, id2)
+       near-dup pairs as a batch subdir — the handoff that makes
+       ``maintain`` -> ``clusters`` one nightly sequence (r8 verdict
+       item 6).
     2. **compact**: the nightly band appends accumulate small files;
        rewrite the index into ~--target-file-mb files clustered by
        band (band_key-sorted within files for row-group skipping on
@@ -1821,6 +1848,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-path", help="stream checkpoint dir (stream mode)")
     p.add_argument("--max-files-per-trigger", type=int, default=1,
                    help="files per admission micro-batch (1 honors per-drop admission)")
+    p.add_argument("--pairs-output",
+                   help="also write each batch's (id1, id2) near-dup pairs "
+                        "as a batch subdir `clusters --pairs-input` consumes")
+    p.add_argument("--pairs-batch-name", default="batch",
+                   help="batch subdir name under --pairs-output; stream "
+                        "epochs suffix -epochN; reruns overwrite")
 
     p = sub.add_parser(
         "maintain",
@@ -1837,6 +1870,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-files-per-trigger", type=int, default=1)
     p.add_argument("--target-file-mb", type=int, default=256,
                    help="compacted index file sizing")
+    p.add_argument("--pairs-output",
+                   help="also write the night's (id1, id2) near-dup pairs "
+                        "as a batch subdir `clusters --pairs-input` consumes")
+    p.add_argument("--pairs-batch-name", default="batch",
+                   help="batch subdir name under --pairs-output "
+                        "(e.g. night-2024-01-01); reruns overwrite it")
 
     p = sub.add_parser(
         "clusters",

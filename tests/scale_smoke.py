@@ -392,6 +392,39 @@ def op_link_ra(spark: SparkSession, factor: int) -> DataFrame:
     return edge_ra_scores(edges)
 
 
+def op_link_scores(spark: SparkSession, factor: int) -> DataFrame:
+    """Common-neighbor + Jaccard link scores over the K-fold
+    co-purchase graph: the same wedge schedule as op_link_ra fed by
+    the ONE lineage-cut ranked (u, v, du, dv) frame — slope must track
+    the triangle/RA slope (r8 verdict item 4: the one sibling without
+    a smoke row)."""
+    from telemetry_streaming_spark.operators.graph import edge_link_scores
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ),
+        factor,
+        ["l_orderkey", "l_partkey"],
+    )
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return edge_link_scores(edges)
+
+
 def op_assortativity(spark: SparkSession, factor: int) -> DataFrame:
     """Degree assortativity over the K-fold co-purchase graph: edge
     derivation + degree joins + ONE global aggregate whose partials
@@ -469,6 +502,7 @@ OPS = {
     "dtw_window_stats": op_dtw,
     # late-r8 families
     "part_link_ra": op_link_ra,
+    "part_link_scores": op_link_scores,
     "part_assortativity": op_assortativity,
     "typo_pairs": op_typo_pairs,
 }

@@ -136,6 +136,50 @@ def test_pipeline_walkthrough(spark, tmp_path, capsys):
     }
     assert got_labels == expect_labels
 
+    # 5b3. night 2, the CHAINED nightly sequence (r8 verdict item 6):
+    # drop a near-dup of an existing corpus doc; maintain rejects it
+    # AND writes its (id1, id2) pair drop via --pairs-output; clusters
+    # folds that drop incrementally; the rejected doc must land in its
+    # corpus twin's component.
+    twin = spark.read.parquet(f"{work}/clean").orderBy("doc_id").first()
+    spark.createDataFrame(
+        [(
+            990_002,
+            twin["text"],  # verbatim copy -> certain near-dup rejection
+            twin["lang"], twin["source"], twin["n_chars"],
+        )],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{incoming}/night2")
+    main([
+        "maintain", "--stream-input", incoming + "/*",
+        "--corpus-path", f"{work}/clean", "--index-path", f"{work}/idx",
+        "--output-path", f"{work}/admitted",
+        "--checkpoint-path", f"{work}/maintain_ckpt",
+        "--pairs-output", f"{work}/pair_batches",
+        "--pairs-batch-name", "night2",
+    ], spark=spark)
+    night2_out = capsys.readouterr().out
+    assert "rejected: 1" in night2_out
+    assert "pairs_written: " in night2_out
+    night2_batches = [
+        d for d in os.listdir(f"{work}/pair_batches") if d.startswith("night2")
+    ]
+    assert night2_batches, "maintain wrote no night2 pair batch"
+    main([
+        "clusters", "--pairs-input", f"{work}/pair_batches",
+        "--labels-path", f"{work}/clusters",
+    ], spark=spark)
+    night2_cluster_out = capsys.readouterr().out
+    assert "clusters_batches_processed: 1" in night2_cluster_out
+    labels_now = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(f"{work}/clusters").collect()
+    }
+    assert 990_002 in labels_now
+    assert labels_now[990_002] == labels_now.get(
+        twin["doc_id"], twin["doc_id"]
+    ), "rejected near-dup did not join its corpus twin's cluster"
+
     # 5c. incremental day-grain rollup over date-named dirs
     # (maintain --update-index appended the admitted doc to the
     # corpus, so count the corpus as it stands now)
