@@ -180,6 +180,12 @@ HEADLINE = [
     # sort; the only global window is over the hour table)
     "session_path_topk",
     "peak_concurrency",
+    # r9: EXACT prefix-filtered set-similarity join (the AllPairs /
+    # PPJoin family — ~1M verified pairs at sf0.1, real work on both
+    # engines) and the two-sided integer CUSUM shift screen (one
+    # per-key sort, day-grain input)
+    "setsim_pairs",
+    "cusum_shifts",
 ]
 
 

@@ -825,3 +825,154 @@ def deletion_neighborhood_pairs(
         )
         .distinct()
     )
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT token-set Jaccard join via prefix filtering (the AllPairs
+    / PPJoin family — Bayardo, Ma & Srikant 2007, Xiao et al. 2008):
+    every unordered doc pair whose word-set Jaccard is ``>=
+    threshold_num/threshold_den``, with NO document-frequency cap and
+    NO hashing approximation — the exactness complement of the capped
+    postings tier (:func:`ngram_jaccard_pairs`) and the probabilistic
+    MinHash tier (:func:`minhash_lsh_pairs`).
+
+    The filter: order the corpus vocabulary by ascending document
+    frequency (ties by token — a deterministic total order), sort each
+    doc's tokens in that order, and keep only its first ``L = n -
+    ceil(t*n) + 1`` tokens as its PREFIX.  Two docs with Jaccard >= t
+    must share at least one prefix token (if all shared tokens sat
+    outside both prefixes, the overlap would be < the minimum t
+    requires), so a plain equi-join of the prefix streams finds every
+    qualifying pair.  The length filter ``t*n1 <= n2 <= n1/t`` prunes
+    further before the distinct.  Verification is candidate-scoped:
+    intersection counts come from joining the candidate list against
+    the two docs' full token sets, never from an all-pairs product.
+
+    Why this scales where naive inverted-index joins don't: the
+    HOTTEST tokens (stopwords — exactly the postings that explode a
+    plain token self-join) sort LAST in the df order and so almost
+    never enter a prefix; candidate volume is governed by RARE tokens
+    whose postings are short by definition.  This is the inverse of
+    the hot-bucket failure mode — the skew guard is built into the
+    ordering itself rather than bolted on as a cap.  One exchange for
+    the df aggregate, one for the per-doc sort, one prefix equi-join
+    (rare-token-bounded), one candidate-scoped verify join.
+
+    All-integer contract: the threshold is the rational
+    ``threshold_num/threshold_den``, acceptance is ``den * inter >=
+    num * (n1 + n2 - inter)`` in BIGINTs, and the emitted score is
+    ``jaccard_e6 = 1_000_000 * inter div (n1 + n2 - inter)`` — the
+    whole result hash-matches any engine.
+
+    Output: ``(id1 < id2, n_common, n1, n2, jaccard_e6)``.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("need 0 < threshold_num <= threshold_den")
+    num, den = int(threshold_num), int(threshold_den)
+    # whitespace-set trim (F.trim strips only spaces) + \S guard: the
+    # registry's established cross-engine tokenization convention
+    toks = (
+        df.where(F.col(text_col).rlike(r"\S"))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(
+                    F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"),
+                    r"\s+",
+                )
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    # toks fans out to FOUR consumers (sizes, df aggregate, the
+    # ordered join, the verify arrays) — no subplan CSE in Spark, so
+    # cut once (the canon/deg discipline of the graph family)
+    toks = cut_lineage(toks)
+    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("__id").orderBy("df", "token")
+    ordered = (
+        toks.join(dfreq, "token")
+        .join(sizes, "__id")
+        .withColumn("p", F.row_number().over(w))
+    )
+    # L = n - ceil(num*n/den) + 1, all-integer ceil (div, not `/` —
+    # Spark's `/` is IEEE double division).  Cut: the prefix frame is
+    # read by BOTH sides of the candidate self-join, and each branch
+    # would otherwise re-run the df join + per-doc sort (measured
+    # ~2x the phase cost at sf0.1).
+    prefix = cut_lineage(
+        ordered.where(
+            F.col("p")
+            <= F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+        ).select("__id", "token", "n")
+    )
+    a = prefix.select(
+        F.col("__id").alias("id1"), "token", F.col("n").alias("n1")
+    )
+    b = prefix.select(
+        F.col("__id").alias("id2"), "token", F.col("n").alias("n2")
+    )
+    cand = (
+        a.join(b, "token")
+        .where(F.col("id1") < F.col("id2"))
+        .where(
+            (F.lit(den) * F.col("n1") >= F.lit(num) * F.col("n2"))
+            & (F.lit(den) * F.col("n2") >= F.lit(num) * F.col("n1"))
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    # Candidate-scoped verify over per-doc token ARRAYS: joining the
+    # candidate list back against the exploded token stream would
+    # materialize |cand| x avg-doc-length rows (measured 137M at
+    # sf0.1 — the verify dominated everything); two id joins carrying
+    # one bounded token array each + a per-row array_intersect do the
+    # identical exact intersection with nothing exploded.
+    arrays = toks.groupBy("__id").agg(
+        F.sort_array(F.collect_list("token")).alias("__toks"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a1 = arrays.select(
+        F.col("__id").alias("id1"),
+        F.col("__toks").alias("__t1"),
+        F.col("n").alias("n1"),
+    )
+    a2 = arrays.select(
+        F.col("__id").alias("id2"),
+        F.col("__toks").alias("__t2"),
+        F.col("n").alias("n2"),
+    )
+    inter = (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("__t1", "__t2"))
+            .cast("long")
+            .alias("n_common"),
+            "n1",
+            "n2",
+        )
+    )
+    union_sz = F.col("n1") + F.col("n2") - F.col("n_common")
+    return inter.where(
+        F.lit(den) * F.col("n_common") >= F.lit(num) * union_sz
+    ).select(
+        "id1",
+        "id2",
+        "n_common",
+        "n1",
+        "n2",
+        F.expr("1000000 * n_common div (n1 + n2 - n_common)")
+        .cast("long")
+        .alias("jaccard_e6"),
+    )

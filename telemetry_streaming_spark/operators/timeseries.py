@@ -34,6 +34,8 @@ from telemetry_streaming_spark.functions import epoch_seconds
 from telemetry_streaming_spark.operators.joins import asof_join
 
 __all__ = [
+    "concurrency_sweep",
+    "cusum_shifts",
     "dtw_pattern_match",
     "dtw_unrolled_cells_sql",
     "dtw_window_stats",
@@ -865,4 +867,87 @@ def concurrency_sweep(
         )
         .cast("long")
         .alias("peak_concurrency"),
+    )
+
+
+def cusum_shifts(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    threshold_pct: int = 100,
+) -> DataFrame:
+    """Two-sided integer CUSUM change detection per key (Page 1954) —
+    the standard sequential test for "did this series' level shift":
+    ``S+`` accumulates upward deviations from the key's own mean
+    level, ``S-`` downward, each resetting to 0 whenever the evidence
+    reverses, and an alert fires when either exceeds ``threshold_pct``
+    percent of the target level.  The day-grain demand/revenue shift
+    screen that EWMA smoothing (:func:`power_decay_ewma`) deliberately
+    blurs: CUSUM integrates *persistent* small shifts that individual
+    z-score anomaly flags never trip on.
+
+    The sequential recurrence ``S+_i = max(0, S+_{i-1} + d_i)`` looks
+    window-inexpressible, but has the classic prefix closed form
+    (max-drawdown duality): with ``P_i = sum_{k<=i} d_k``,
+
+        S+_i = P_i - min(0, min_{j<=i} P_j)
+        S-_i = max(0, max_{j<=i} P_j) - P_i
+
+    so BOTH sides come from one running sum and two running extrema
+    over the SAME per-key sort — one exchange on the key, one
+    in-partition sort, three frame columns, no recursion.  The target
+    is the key's integer mean level ``floor(sum/n)`` (exact BIGINT
+    division), deviations are exact BIGINTs, so every S value — and
+    the alert flags — hash-matches any engine.
+
+    Per-key sequential scans are inherent to CUSUM semantics; the
+    partitionBy keeps each key's scan a single in-partition pass, and
+    the input here is already aggregated to key x period grain
+    (days-per-key rows, not events), so the window never sees the raw
+    event stream — same posture as :func:`concurrency_sweep`'s
+    hour-table rule.
+
+    Output: one row per (key, period): ``value``, ``target``,
+    ``cusum_pos``, ``cusum_neg``, ``alert`` (1 when either side
+    exceeds ``threshold_pct/100 * target``, else 0).
+    """
+    if threshold_pct <= 0:
+        raise ValueError("threshold_pct must be positive")
+    v = F.col(value_col).cast("long")
+    w_all = Window.partitionBy(*key_cols)
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # target = floor(key total / key periods): integer `div`, exact
+    with_target = df.withColumn(
+        "__n", F.count(F.lit(1)).over(w_all).cast("long")
+    ).withColumn(
+        "__tot", F.sum(v).over(w_all).cast("long")
+    ).withColumn("__target", F.expr("__tot div __n"))
+    d = v - F.col("__target")
+    run = with_target.withColumn("__p", F.sum(d).over(w_run).cast("long"))
+    run = run.withColumn(
+        "__minp", F.least(F.lit(0).cast("long"), F.min("__p").over(w_run))
+    ).withColumn(
+        "__maxp", F.greatest(F.lit(0).cast("long"), F.max("__p").over(w_run))
+    )
+    s_pos = (F.col("__p") - F.col("__minp")).cast("long")
+    s_neg = (F.col("__maxp") - F.col("__p")).cast("long")
+    h = (F.lit(int(threshold_pct)) * F.col("__target")).cast("long")
+    return run.select(
+        *key_cols,
+        F.col(order_col),
+        v.alias("value"),
+        F.col("__target").alias("target"),
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
+        F.when(
+            (F.lit(100) * s_pos > h) | (F.lit(100) * s_neg > h), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("alert"),
     )

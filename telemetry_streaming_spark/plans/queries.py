@@ -10076,6 +10076,141 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "setsim_pairs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text), E' \t\r\n'),
+                                         '\s+')) AS token
+        FROM documents WHERE regexp_matches(text, '\S')
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+    ordered AS (
+        SELECT t.doc_id, t.token, s.n,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.token) AS p
+        FROM toks t JOIN dfreq d USING (token) JOIN sizes s USING (doc_id)
+    ),
+    prefix AS (
+        SELECT doc_id, token, n FROM ordered
+        WHERE p <= n - ((9 * n + 9) // 10) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM prefix a JOIN prefix b USING (token)
+        WHERE a.doc_id < b.doc_id
+          AND 10 * a.n >= 9 * b.n AND 10 * b.n >= 9 * a.n
+    ),
+    inter AS (
+        SELECT c.id1, c.id2, COUNT(*) AS n_common
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.id1
+        JOIN toks tb ON tb.doc_id = c.id2 AND tb.token = ta.token
+        GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(s1.n AS BIGINT) AS n1,
+           CAST(s2.n AS BIGINT) AS n2,
+           CAST(1000000 * i.n_common // (s1.n + s2.n - i.n_common)
+                AS BIGINT) AS jaccard_e6
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.id1
+    JOIN sizes s2 ON s2.doc_id = i.id2
+    WHERE 10 * i.n_common >= 9 * (s1.n + s2.n - i.n_common)
+    """,
+)
+def setsim_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9): EXACT word-set Jaccard >= 9/10 pairs via prefix
+    filtering (operators/dedup.py:setsim_prefix_pairs — the AllPairs /
+    PPJoin family), the uncapped-exactness complement of the df-capped
+    postings tier and the probabilistic MinHash tier.  Vocabulary is
+    ordered by ascending document frequency, each doc keeps only its
+    ``n - ceil(9n/10) + 1`` rarest tokens as its prefix (the synthetic
+    docs are heavily templated — at t = 1/2 three quarters of ALL
+    pairs qualify, so the informative threshold here is high), and a prefix
+    equi-join + size filter generates every candidate — stopword
+    postings never explode because hot tokens sort OUT of the prefix.
+    All-integer acceptance and score, so the result hash-matches.
+    The oracle states the identical prefix pipeline (a naive all-pairs
+    product over 5k docs would be ~12.5M pairwise set intersections in
+    DuckDB)."""
+    from telemetry_streaming_spark.operators.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(
+        _t(spark, sf_dir, "documents"), threshold_num=9, threshold_den=10
+    )
+
+
+@query(
+    "cusum_shifts",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority, o_orderdate,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT *,
+               CAST(SUM(value) OVER (PARTITION BY o_orderpriority)
+                    // COUNT(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS target
+        FROM daily
+    ),
+    r AS (
+        SELECT *, CAST(SUM(value - target) OVER w AS BIGINT) AS p
+        FROM t
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+        SELECT *,
+               LEAST(0, MIN(p) OVER w) AS minp,
+               GREATEST(0, MAX(p) OVER w) AS maxp
+        FROM r
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT o_orderpriority, o_orderdate, value, target,
+           CAST(p - minp AS BIGINT) AS cusum_pos,
+           CAST(maxp - p AS BIGINT) AS cusum_neg,
+           CAST(CASE WHEN 100 * (p - minp) > 200 * target
+                       OR 100 * (maxp - p) > 200 * target
+                     THEN 1 ELSE 0 END AS INT) AS alert
+    FROM m
+    """,
+)
+def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9): two-sided integer CUSUM level-shift detection
+    over daily order revenue per priority class
+    (operators/timeseries.py:cusum_shifts).  The sequential
+    ``S+ = max(0, S+ + d)`` recurrence is computed by its prefix
+    closed form (running sum + running extrema over ONE per-key sort),
+    the target is the key's exact integer mean ``sum div n_days``, and
+    the alert threshold is 200% of the target — all BIGINT, so every
+    CUSUM value and flag hash-matches the windowed SQL oracle."""
+    from telemetry_streaming_spark.operators.timeseries import cusum_shifts
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("value"))
+    )
+    return cusum_shifts(
+        daily,
+        key_cols=["o_orderpriority"],
+        order_col="o_orderdate",
+        value_col="value",
+        threshold_pct=200,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -10136,23 +10271,23 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "segment_overlap", "sequence_packing", "session_stats",
-    "share_of_total", "snapshot_diff", "time_rollup",
-    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
-    "value_quantiles", "value_trend", "weighted_sample",
-    "winsorized_stats", "approx_heavy_hitters", "approx_value_quantiles",
-    "attribution_last_touch", "avg_qty_threshold", "cross_source_leakage",
-    "dedup_containment", "dedup_minhash_incremental", "disjunctive_revenue",
-    "doc_length_buckets", "domain_cap_sample", "dominant_part_suppliers",
-    "dtw_pattern_match", "dup_cluster_stats", "embedding_norm_stats",
-    "embedding_prototypicality", "event_dedup_stats", "event_type_pivot",
-    "forecast_revenue", "important_parts", "kmeans_assign",
-    "kmeans_update", "mixture_plan", "pareto_spend_bands",
-    "pattern_match_znorm", "product_profit", "promo_revenue",
-    "quality_logit", "range_join", "rare_token_score",
-    "returned_items", "running_order_total", "sales_opportunity",
-    "semantic_contamination", "semdedup", "shard_manifest",
-    "shipping_delay_priority", "skew_report",
+    "cusum_shifts", "setsim_pairs", "segment_overlap",
+    "sequence_packing", "session_stats", "share_of_total",
+    "snapshot_diff", "time_rollup", "time_weighted_avg",
+    "top_orders_per_customer", "value_histogram", "value_quantiles",
+    "value_trend", "weighted_sample", "winsorized_stats",
+    "approx_heavy_hitters", "approx_value_quantiles", "attribution_last_touch",
+    "avg_qty_threshold", "cross_source_leakage", "dedup_containment",
+    "dedup_minhash_incremental", "disjunctive_revenue", "doc_length_buckets",
+    "domain_cap_sample", "dominant_part_suppliers", "dtw_pattern_match",
+    "dup_cluster_stats", "embedding_norm_stats", "embedding_prototypicality",
+    "event_dedup_stats", "event_type_pivot", "forecast_revenue",
+    "important_parts", "kmeans_assign", "kmeans_update",
+    "mixture_plan", "pareto_spend_bands", "pattern_match_znorm",
+    "product_profit", "promo_revenue", "quality_logit",
+    "range_join", "rare_token_score", "returned_items",
+    "running_order_total", "sales_opportunity", "semantic_contamination",
+    "semdedup", "shard_manifest",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

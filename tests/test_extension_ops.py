@@ -401,3 +401,57 @@ def test_deletion_neighborhood_pairs_drops_empty_and_null_tokens(spark):
         (r.tok_a, r.tok_b) for r in deletion_neighborhood_pairs(toks).collect()
     )
     assert got == [("a", "b")]
+
+
+def test_setsim_prefix_pairs_matches_naive(spark):
+    """r9: the prefix-filtered exact set-similarity join returns
+    EXACTLY the pairs a naive all-pairs Jaccard computation yields —
+    including boundary cases (jaccard == t exactly, identical sets,
+    disjoint sets, a subset pair below t)."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.dedup import setsim_prefix_pairs
+
+    docs = {
+        1: "a b c d",
+        2: "a b c e",      # J(1,2) = 3/5 = 0.6
+        3: "a b c d",      # J(1,3) = 1
+        4: "x y z",        # disjoint from 1-3
+        5: "x y z w v",    # J(4,5) = 3/5
+        6: "a b",          # subset of 1, J(1,6) = 2/4 = 0.5
+        7: "  a   b  c d ",  # whitespace noise, same set as 1
+    }
+
+    def jac(s, t):
+        return len(s & t) / len(s | t)
+
+    sets = {k: set(v.split()) for k, v in docs.items()}
+    num, den = 3, 5
+    expect = sorted(
+        (i, j)
+        for i, j in itertools.combinations(sorted(docs), 2)
+        if den * len(sets[i] & sets[j]) >= num * len(sets[i] | sets[j])
+    )
+    df = spark.createDataFrame([Row(doc_id=k, text=v) for k, v in docs.items()])
+    got = setsim_prefix_pairs(df, threshold_num=num, threshold_den=den)
+    got_pairs = sorted((r.id1, r.id2) for r in got.collect())
+    assert got_pairs == expect
+    # spot-check the integer score: J(1,2) = 3/5 -> 600000
+    by_pair = {(r.id1, r.id2): r for r in got.collect()}
+    assert by_pair[(1, 2)].jaccard_e6 == 600_000
+    assert by_pair[(1, 3)].jaccard_e6 == 1_000_000
+    assert by_pair[(1, 3)].n_common == 4
+
+
+def test_setsim_prefix_pairs_rejects_bad_threshold(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.dedup import setsim_prefix_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        setsim_prefix_pairs(df, threshold_num=0, threshold_den=2)
+    with pytest.raises(ValueError):
+        setsim_prefix_pairs(df, threshold_num=3, threshold_den=2)

@@ -914,3 +914,44 @@ def test_concurrency_sweep_negative_epoch_floor_buckets(spark):
     # bucket -1: open -7 -> peak 1 (carry 0)
     # bucket 0: open 0, close 3, close 10, carry-in 1 -> peak 2
     assert got == {-2: (2, 1), -1: (1, 1), 0: (3, 2)}
+
+
+def test_cusum_shifts_matches_sequential_recurrence(spark):
+    """r9: the closed-form (prefix sum + running extrema) CUSUM must
+    equal the textbook sequential recurrence S+ = max(0, S+ + d),
+    S- = max(0, S- - d) computed in plain Python, on a series with a
+    deliberate upward level shift — and the alert must fire only
+    after the shift accumulates."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.timeseries import cusum_shifts
+
+    vals = [10, 9, 11, 10, 10, 16, 17, 16, 18, 17]  # shift up at i=5
+    rows = [Row(k="a", day=i, value=v) for i, v in enumerate(vals)]
+    # a flat second key: never alerts, CUSUM pinned at 0
+    rows += [Row(k="b", day=i, value=5) for i in range(4)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.k, r.day): r
+        for r in cusum_shifts(
+            df, ["k"], "day", "value", threshold_pct=50
+        ).collect()
+    }
+
+    target = sum(vals) // len(vals)
+    sp = sn = 0
+    for i, v in enumerate(vals):
+        d = v - target
+        sp = max(0, sp + d)
+        sn = max(0, sn - d)
+        r = got[("a", i)]
+        assert (r.cusum_pos, r.cusum_neg) == (sp, sn), f"i={i}"
+        assert r.target == target
+        assert r.alert == int(
+            100 * sp > 50 * target or 100 * sn > 50 * target
+        )
+    # the shift must actually have alerted by the end
+    assert got[("a", len(vals) - 1)].alert == 1
+    for i in range(4):
+        r = got[("b", i)]
+        assert (r.cusum_pos, r.cusum_neg, r.alert) == (0, 0, 0)
