@@ -186,6 +186,10 @@ HEADLINE = [
     # per-key sort, day-grain input)
     "setsim_pairs",
     "cusum_shifts",
+    # r9: fixed-round label-propagation communities (two key shuffles
+    # per round over the co-purchase edges, per-round lineage cuts —
+    # the part_kcore plan shape, TREND-defended from day one)
+    "part_communities",
 ]
 
 
@@ -287,6 +291,10 @@ TREND_FULL = [
     # 3-point run is the committed evidence for that.
     "part_triangles", "part_clustering", "part_link_scores",
     "part_link_ra", "typo_pairs",
+    # r9: LPA communities — per-round localCheckpoint scheduling is
+    # the fixed floor, the same shape part_kcore's committed rows
+    # already prove falls with SF; tracked from its first round
+    "part_communities",
 ]
 
 # Proven floor cases: sf0.1 ratio < GRADUATE_BOUND two rounds running

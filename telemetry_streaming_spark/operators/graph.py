@@ -688,3 +688,108 @@ def clustering_coefficients(
         .cast("long")
         .alias("coeff_e6"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan, Albert &
+    Kumara 2007) — the near-linear-time community detector: every node
+    starts labeled with its own id, and each round adopts the MOST
+    FREQUENT label among its neighbors (ties broken by the smallest
+    label; a node keeps its label only through the tie rule, not by
+    voting for itself).  Dense clusters converge onto one label within
+    a couple of rounds while bridges stay contested — the standard
+    screen for "which co-purchase / co-occurrence communities exist"
+    before sampling, one level softer than connected components
+    (which merge everything touching) and far cheaper than modularity
+    optimization.
+
+    FIXED synchronous rounds, not run-to-convergence, for the same
+    reason as :func:`kcore_peel` and :func:`pagerank_fixed_point`: a
+    bounded unroll with a deterministic tie rule is a pure integer
+    function of the edge set — hash-exact against an unrolled-CTE SQL
+    oracle — whereas asynchronous/converged LPA depends on visit
+    order.  (Synchronous LPA can 2-cycle on bipartite structure; a
+    fixed round count makes that a defined, reproducible output.)
+
+    Plan per round: neighbor stubs (both directions of the canonical
+    edge frame) equi-join the current label frame on the neighbor id,
+    count per (node, label) with map-side partial aggregation, argmax
+    per node via ONE ``max_by``-style struct aggregate — two key
+    shuffles per round, no window over the neighbor stream.  The label
+    frame is lineage-cut every round (planning time would otherwise
+    grow with the unroll — the kcore discipline).  Hubs are absorbed
+    by partial aggregation: a node with a million neighbors still
+    exchanges at most one (node, label, count) row per label per
+    mapper.  Output: ``(node, community)``.
+    """
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    canon = cut_lineage(_canonical_edges(edges, src, dst))
+    stubs = canon.select(
+        F.col("u").alias("n"), F.col("v").alias("nbr")
+    ).unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("nbr")))
+    labels = stubs.select("n").distinct().select(
+        F.col("n").alias("node"), F.col("n").cast("long").alias("lab")
+    )
+    for _ in range(rounds):
+        msgs = stubs.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("n", "lab")
+        counts = msgs.groupBy("n", "lab").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        # argmax by (count desc, label asc): max of (c, -lab) structs
+        labels = cut_lineage(
+            counts.groupBy("n")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("b"))
+            .select(
+                F.col("n").alias("node"),
+                (-F.col("b.neg")).cast("long").alias("lab"),
+            )
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+def lpa_unrolled_sql(edges_cte: str, rounds: int) -> tuple[str, str]:
+    """Fixed-round synchronous LPA unrolled as CTE stages — the oracle
+    twin of :func:`label_propagation`.  ``edges_cte`` must name a CTE
+    holding the DISTINCT canonical ``u < v`` edge list.  Stages are
+    ``AS MATERIALIZED`` for the same reason as
+    :func:`kcore_unrolled_sql` (each label CTE feeds the next round's
+    join; default inlining re-derives exponentially)."""
+    parts = [
+        f"""stubs AS MATERIALIZED (
+        SELECT u AS n, v AS nbr FROM {edges_cte}
+        UNION ALL SELECT v, u FROM {edges_cte}
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT n AS node, CAST(n AS BIGINT) AS lab FROM stubs
+    )"""
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+        SELECT s.n, l.lab, COUNT(*) AS c
+        FROM stubs s JOIN {prev} l ON l.node = s.nbr
+        GROUP BY s.n, l.lab
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT n AS node, CAST(lab AS BIGINT) AS lab
+        FROM (SELECT n, lab,
+                     ROW_NUMBER() OVER (PARTITION BY n
+                                        ORDER BY c DESC, lab ASC) AS rn
+              FROM c{i})
+        WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    stages = ",\n    ".join(parts)
+    return stages, prev

@@ -10147,6 +10147,62 @@ def setsim_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle() -> str:
+    from telemetry_streaming_spark.operators.graph import lpa_unrolled_sql
+
+    stages, final = lpa_unrolled_sql("edges", rounds=3)
+    return f"""
+    WITH small_orders AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) <= 5
+    ),
+    items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN small_orders s USING (l_orderkey)
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {stages}
+    SELECT node, lab AS community FROM {final}
+    """
+
+
+@query("part_communities", oracle=_lpa_oracle())
+def part_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9): fixed-round synchronous label-propagation
+    communities over the co-purchase graph
+    (operators/graph.py:label_propagation) — three rounds of "adopt
+    the most frequent neighbor label, ties to the smallest", the
+    near-linear-time community screen one level softer than connected
+    components.  Deterministic by construction (bounded unroll +
+    integer tie rule), so the oracle is the same three rounds as
+    MATERIALIZED unrolled CTE stages and the per-node labels
+    hash-match cell-exactly.  Two key shuffles per round; the label
+    frame is lineage-cut every round (kcore discipline)."""
+    from telemetry_streaming_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .where(F.col("__k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return label_propagation(edges, rounds=3)
+
+
 @query(
     "cusum_shifts",
     oracle="""
@@ -10271,23 +10327,23 @@ def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "cusum_shifts", "setsim_pairs", "segment_overlap",
-    "sequence_packing", "session_stats", "share_of_total",
-    "snapshot_diff", "time_rollup", "time_weighted_avg",
-    "top_orders_per_customer", "value_histogram", "value_quantiles",
-    "value_trend", "weighted_sample", "winsorized_stats",
-    "approx_heavy_hitters", "approx_value_quantiles", "attribution_last_touch",
-    "avg_qty_threshold", "cross_source_leakage", "dedup_containment",
-    "dedup_minhash_incremental", "disjunctive_revenue", "doc_length_buckets",
-    "domain_cap_sample", "dominant_part_suppliers", "dtw_pattern_match",
-    "dup_cluster_stats", "embedding_norm_stats", "embedding_prototypicality",
-    "event_dedup_stats", "event_type_pivot", "forecast_revenue",
-    "important_parts", "kmeans_assign", "kmeans_update",
-    "mixture_plan", "pareto_spend_bands", "pattern_match_znorm",
-    "product_profit", "promo_revenue", "quality_logit",
-    "range_join", "rare_token_score", "returned_items",
-    "running_order_total", "sales_opportunity", "semantic_contamination",
-    "semdedup", "shard_manifest",
+    "cusum_shifts", "part_communities", "setsim_pairs",
+    "segment_overlap", "sequence_packing", "session_stats",
+    "share_of_total", "snapshot_diff", "time_rollup",
+    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
+    "value_quantiles", "value_trend", "weighted_sample",
+    "winsorized_stats", "approx_heavy_hitters", "approx_value_quantiles",
+    "attribution_last_touch", "avg_qty_threshold", "cross_source_leakage",
+    "dedup_containment", "dedup_minhash_incremental", "disjunctive_revenue",
+    "doc_length_buckets", "domain_cap_sample", "dominant_part_suppliers",
+    "dtw_pattern_match", "dup_cluster_stats", "embedding_norm_stats",
+    "embedding_prototypicality", "event_dedup_stats", "event_type_pivot",
+    "forecast_revenue", "important_parts", "kmeans_assign",
+    "kmeans_update", "mixture_plan", "pareto_spend_bands",
+    "pattern_match_znorm", "product_profit", "promo_revenue",
+    "quality_logit", "range_join", "rare_token_score",
+    "returned_items", "running_order_total", "sales_opportunity",
+    "semantic_contamination", "semdedup",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

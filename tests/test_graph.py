@@ -365,3 +365,55 @@ def test_edge_scores_match_naive_on_random_graph(spark):
     got_ra = {(r.u, r.v): (r.cn, r.ra_e9) for r in edge_ra_scores(df).collect()}
     assert got_link == want_link
     assert got_ra == want_ra
+
+
+def test_label_propagation_matches_python_replica(spark):
+    """r9: fixed-round synchronous LPA == a plain Python replica of
+    the same rounds/tie rule, on two triangles joined by one bridge
+    edge — each triangle must converge onto its own minimum label, and
+    the replica guards every intermediate round's semantics."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    rounds = 3
+
+    # python replica: synchronous, most-frequent neighbor label,
+    # ties -> smallest label
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in nbrs:
+            counts = {}
+            for m in nbrs[n]:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lab = new
+
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {
+        r.node: r.community for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == lab
+    # each triangle is internally uniform, and the two differ (the
+    # bridge leaks label 3 into the 10-triangle via the round-1 tie,
+    # which is exactly what the replica predicts)
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_label_propagation_rejects_bad_rounds(spark):
+    import pytest
+
+    from telemetry_streaming_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        label_propagation(df, rounds=0)
