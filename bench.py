@@ -6,7 +6,9 @@ Prints ONE JSON line:
 
 Timing excludes session startup (JVM boot is a fixed cost amortized
 away on a long-lived cluster) but includes full query execution to a
-collected result.  Each query reports the MEDIAN of 3 back-to-back
+natively extracted result (extraction v2: Spark Arrow toPandas /
+DuckDB fetch_df on BOTH engines — see the EXTRACTION note below and
+the committed EXTRACTION_AB.json for the v1-vs-v2 per-query deltas).  Each query reports the MEDIAN of 3 back-to-back
 runs: single-shot numbers on this JVM swing 2x run-to-run (C2 JIT
 compilation of codegen'd stages, GC pauses), and the median is the
 steady-state a long-lived cluster session actually delivers.
@@ -324,6 +326,33 @@ TREND_SECONDS_PINNED = {
 TREND = TREND_FULL + TREND_GRADUATED + list(TREND_SECONDS_PINNED)
 
 
+# ---------------------------------------------------------------------------
+# Extraction methodology v2 (r9): BOTH engines are timed to their
+# native bulk-extraction path — Spark's Arrow `toPandas()` and
+# DuckDB's `fetch_df()` — instead of v1's per-row Python object
+# construction (`collect()` / `fetchall()`).  v1 charged each engine
+# ~O(rows) of Python Row/tuple marshalling, which penalized whichever
+# QUERY returned more rows rather than measuring either ENGINE (the
+# 520k-row link-score results spent ~half their measured time building
+# Row objects).  v2 is symmetric — both engines end at a native
+# columnar batch — and is marked in every artifact
+# (`"extraction": "arrow_native_v2"`).  The one-time committed A/B of
+# both methodologies over the full headline set is EXTRACTION_AB.json
+# (same session, idle, both engines both ways); per-query v1-vs-v2
+# deltas live there, not in comments.
+EXTRACTION = "arrow_native_v2"
+
+
+def _extract(df) -> None:
+    """Timed Spark extraction: execute + Arrow-batch to the driver."""
+    df.toPandas()
+
+
+def _fetch(con, sql: str) -> None:
+    """Timed DuckDB extraction: execute + native DataFrame fetch."""
+    con.execute(sql).fetch_df()
+
+
 def _median_time(fn, runs: int = 3) -> float:
     ts = []
     for _ in range(runs):
@@ -357,7 +386,7 @@ def duckdb_main() -> None:
         if spec is None or spec.oracle is None:
             continue
         timings[name] = round(
-            _median_time(lambda: con.execute(spec.oracle).fetchall(), runs), 4
+            _median_time(lambda: _fetch(con, spec.oracle), runs), 4
         )
     skipped = [
         n for n in HEADLINE
@@ -370,6 +399,7 @@ def duckdb_main() -> None:
                 "metric": "headline_oracle_duckdb_total_runtime",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
+                "extraction": EXTRACTION,
                 "queries": timings,
                 # oracle-less headline queries are absent from this
                 # total but present in main()'s — surface the
@@ -430,7 +460,7 @@ def trend_main() -> None:
         entry: dict = {}
         for sf_dir in sf_dirs:
             sf = sf_dir.rsplit("sf", 1)[1]
-            spark_t = _median_time(lambda: spec.fn(spark, sf_dir).collect(), runs)
+            spark_t = _median_time(lambda: _extract(spec.fn(spark, sf_dir)), runs)
             spark.catalog.clearCache()
             con = duckdb.connect()
             for t in TABLES:
@@ -440,7 +470,7 @@ def trend_main() -> None:
                         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                     )
             duck_t = _median_time(
-                lambda: con.execute(spec.oracle).fetchall(), runs
+                lambda: _fetch(con, spec.oracle), runs
             )
             con.close()
             entry[sf] = {
@@ -457,7 +487,12 @@ def trend_main() -> None:
         )
         return entry
 
-    out: dict = {"metric": "floor_thesis_trend", "unit": "ratio", "queries": {}}
+    out: dict = {
+        "metric": "floor_thesis_trend",
+        "unit": "ratio",
+        "extraction": EXTRACTION,
+        "queries": {},
+    }
     for name in TREND_FULL:
         spec = QUERIES[name]
         assert spec.oracle is not None, (
@@ -495,7 +530,7 @@ def trend_main() -> None:
     for name in TREND_GRADUATED:
         spec = QUERIES[name]
         assert spec.oracle is not None
-        spark_t = _median_time(lambda: spec.fn(spark, sf01).collect(), trend_runs)
+        spark_t = _median_time(lambda: _extract(spec.fn(spark, sf01)), trend_runs)
         spark.catalog.clearCache()
         con = duckdb.connect()
         for t in TABLES:
@@ -504,7 +539,7 @@ def trend_main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        duck_t = _median_time(lambda: con.execute(spec.oracle).fetchall(), trend_runs)
+        duck_t = _median_time(lambda: _fetch(con, spec.oracle), trend_runs)
         ratio = round(spark_t / duck_t, 2) if duck_t > 0 else None
         entry = {
             "0.1": {
@@ -522,11 +557,11 @@ def trend_main() -> None:
         if ratio is None or abs(ratio - GRADUATE_BOUND) <= 0.25 * GRADUATE_BOUND:
             first_pass = dict(entry["0.1"])
             spark_t = _median_time(
-                lambda: spec.fn(spark, sf01).collect(), 2 * trend_runs + 1
+                lambda: _extract(spec.fn(spark, sf01)), 2 * trend_runs + 1
             )
             spark.catalog.clearCache()
             duck_t = _median_time(
-                lambda: con.execute(spec.oracle).fetchall(), 2 * trend_runs + 1
+                lambda: _fetch(con, spec.oracle), 2 * trend_runs + 1
             )
             ratio = round(spark_t / duck_t, 2) if duck_t > 0 else None
             entry["0.1"] = {
@@ -544,7 +579,7 @@ def trend_main() -> None:
     # seconds at sf0.1 against the committed pin (no ratio claimed)
     for name, pin_s in TREND_SECONDS_PINNED.items():
         spec = QUERIES[name]
-        spark_t = _median_time(lambda: spec.fn(spark, sf01).collect(), trend_runs)
+        spark_t = _median_time(lambda: _extract(spec.fn(spark, sf01)), trend_runs)
         spark.catalog.clearCache()
         entry = {
             "0.1": {"spark_sec": round(spark_t, 4)},
@@ -553,7 +588,7 @@ def trend_main() -> None:
         if spark_t > pin_s:
             first_pass = dict(entry["0.1"])
             spark_t = _median_time(
-                lambda: spec.fn(spark, sf01).collect(), 2 * trend_runs + 1
+                lambda: _extract(spec.fn(spark, sf01)), 2 * trend_runs + 1
             )
             spark.catalog.clearCache()
             entry["0.1"] = {"spark_sec": round(spark_t, 4)}
@@ -630,6 +665,7 @@ def assemble_output(
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
         "sf": sf,
+        "extraction": EXTRACTION,
         "queries": timings,
         "baseline_delta": baseline_delta,
         "resampled_for_spread": resampled,
@@ -718,7 +754,7 @@ def main() -> None:
             ts: list[float] = []
             for _ in range(runs):
                 t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).collect()
+                _extract(spec.fn(spark, sf_dir))
                 ts.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             return ts
@@ -745,7 +781,7 @@ def main() -> None:
     if recheck_name is not None:
         spec = QUERIES[recheck_name]
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
+        _extract(spec.fn(spark, sf_dir))
         recheck_sec = round(time.perf_counter() - t0, 4)
         first_sec = timings[recheck_name]
         spread = round(

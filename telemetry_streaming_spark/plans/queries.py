@@ -10233,7 +10233,9 @@ def part_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
                      ROWS UNBOUNDED PRECEDING)
     )
-    SELECT o_orderpriority, o_orderdate, value, target,
+    SELECT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           value, target,
            CAST(p - minp AS BIGINT) AS cusum_pos,
            CAST(maxp - p AS BIGINT) AS cusum_neg,
            CAST(CASE WHEN 100 * (p - minp) > 200 * target
@@ -10258,12 +10260,23 @@ def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderdate")
         .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("value"))
     )
-    return cusum_shifts(
+    out = cusum_shifts(
         daily,
         key_cols=["o_orderpriority"],
         order_col="o_orderdate",
         value_col="value",
         threshold_pct=200,
+    )
+    # date emitted as yyyy-MM-dd (registry convention: no raw DATE in
+    # a final select — the driver hashes strings/integers portably)
+    return out.select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "value",
+        "target",
+        "cusum_pos",
+        "cusum_neg",
+        "alert",
     )
 
 

@@ -484,6 +484,65 @@ def op_typo_pairs(spark: SparkSession, factor: int) -> DataFrame:
     return deletion_neighborhood_pairs(toks)
 
 
+def op_setsim(spark: SparkSession, factor: int) -> DataFrame:
+    """Prefix-filtered exact set-similarity join over K-fold documents,
+    each replica's text prefixed with a replica-unique token so the
+    vocabularies stay near-independent (a cross-replica candidate needs
+    a shared rare token, which the rep marker makes unlikely):
+    candidate and output volume must grow ~linearly in K."""
+    from telemetry_streaming_spark.operators.dedup import setsim_prefix_pairs
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if factor == 1:
+        docs = base
+    else:
+        rep = base.withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        docs = rep.select(
+            (F.col("doc_id") + F.col("__rep").cast("long") * 10_000_000).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.format_string("rep%02dmark ", F.col("__rep")), F.col("text")
+            ).alias("text"),
+        )
+    return setsim_prefix_pairs(docs, threshold_num=9, threshold_den=10)
+
+
+def op_communities(spark: SparkSession, factor: int) -> DataFrame:
+    """Fixed-round LPA over the K-fold co-purchase graph — per-round
+    join + two aggregates; must track the edge-linear slope of the
+    degree/assortativity siblings."""
+    from telemetry_streaming_spark.operators.graph import label_propagation
+
+    li = replicate(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        ),
+        factor,
+        ["l_orderkey", "l_partkey"],
+    )
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") <= 5)
+        .select("l_orderkey")
+    )
+    pairs = items.join(small, "l_orderkey")
+    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return label_propagation(edges, rounds=3)
+
+
 OPS = {
     "asof_join": op_asof,
     "sessionize": op_sessionize,
@@ -503,6 +562,9 @@ OPS = {
     # late-r8 families
     "part_link_ra": op_link_ra,
     "part_link_scores": op_link_scores,
+    # r9 families
+    "setsim_pairs": op_setsim,
+    "part_communities": op_communities,
     "part_assortativity": op_assortativity,
     "typo_pairs": op_typo_pairs,
 }

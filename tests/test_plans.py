@@ -737,3 +737,33 @@ def test_part_assortativity_degree_aggregate_runs_once(spark):
     # canon + deg (x2 branches) all read cut RDDs
     assert plan.count("Scan ExistingRDD") >= 3
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan[:800]
+
+
+def test_setsim_pairs_no_cartesian_and_shared_frames_cut(spark):
+    """r9: the prefix-filtered set-similarity join must be pure
+    equi-joins (prefix token join + two id joins for the array
+    verify) — no Cartesian/BNLJ anywhere — and its two shared frames
+    (the token set: 4 consumers; the prefix: both self-join branches)
+    must come from lineage cuts, so the final plan reads RDD scans,
+    not repeated tokenize+distinct derivations of the parquet."""
+    plan = explain_str(q(spark, "setsim_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "Scan parquet" not in plan, plan[:800]
+
+
+def test_part_communities_no_cartesian(spark):
+    """r9: each LPA round is one equi-join (stubs x labels) + two
+    aggregates; the label frame is cut per round, so the final plan
+    joins the stub stream against a checkpointed RDD — no
+    Cartesian/BNLJ, and no unpartitioned window anywhere (the argmax
+    is a max-of-struct aggregate, not a rank window)."""
+    import re
+
+    plan = explain_str(q(spark, "part_communities"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    # no window operator: the per-node argmax must be an aggregate
+    assert not re.search(r"\(\d+\) Window\b", plan), plan[:800]
