@@ -486,10 +486,13 @@ def op_typo_pairs(spark: SparkSession, factor: int) -> DataFrame:
 
 def op_setsim(spark: SparkSession, factor: int) -> DataFrame:
     """Prefix-filtered exact set-similarity join over K-fold documents,
-    each replica's text prefixed with a replica-unique token so the
-    vocabularies stay near-independent (a cross-replica candidate needs
-    a shared rare token, which the rep marker makes unlikely):
-    candidate and output volume must grow ~linearly in K."""
+    with EVERY token rep-prefixed, so replica vocabularies are fully
+    DISJOINT and cross-replica Jaccard is 0 — candidate and output
+    volume must grow ~linearly in K.  (A first version prefixed only
+    the document with one marker token; that leaves same-doc
+    cross-replica Jaccard at n/(n+2) > 0.9, i.e. a deliberate K^2 dup
+    blowup — a replication-harness bug, not an operator property;
+    measured: 8x ran 22x the 1x time before the fix.)"""
     from telemetry_streaming_spark.operators.dedup import setsim_prefix_pairs
 
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -501,12 +504,14 @@ def op_setsim(spark: SparkSession, factor: int) -> DataFrame:
         rep = base.withColumn(
             "__rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
         )
+        mark = F.format_string("r%02d", F.col("__rep"))
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         docs = rep.select(
             (F.col("doc_id") + F.col("__rep").cast("long") * 10_000_000).alias(
                 "doc_id"
             ),
-            F.concat(
-                F.format_string("rep%02dmark ", F.col("__rep")), F.col("text")
+            F.array_join(
+                F.transform(toks, lambda t: F.concat(mark, t)), " "
             ).alias("text"),
         )
     return setsim_prefix_pairs(docs, threshold_num=9, threshold_den=10)
@@ -591,8 +596,15 @@ def main() -> int:
     materialize(OPS[ops[0]](spark, 1))
 
     def timed(name: str, k: int) -> float:
-        df = OPS[name](spark, k)
+        # r9: the timer wraps CONSTRUCTION too — operators with eager
+        # lineage cuts (the whole graph family, setsim, LPA) do real
+        # materialization work inside the op call, and LPA's first
+        # smoke row measured ~0.05s because every round sat behind
+        # the final cut.  r7/r8 rows in SCALE.md were recorded with
+        # construction OUTSIDE the timer and are not row-comparable
+        # with r9+ rows for cut-heavy operators.
         t0 = time.monotonic()
+        df = OPS[name](spark, k)
         materialize(df)
         return time.monotonic() - t0
 
