@@ -837,6 +837,7 @@ def main() -> None:
                 json.dump(
                     {
                         "sf": sf,
+                        "extraction": EXTRACTION,
                         "queries": timings,
                         "loadavg_1m_start": load_at_start,
                         "recheck_spread": recheck.get("spread"),
