@@ -10340,23 +10340,23 @@ def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "cusum_shifts", "part_communities", "setsim_pairs",
-    "segment_overlap", "sequence_packing", "session_stats",
-    "share_of_total", "snapshot_diff", "time_rollup",
-    "time_weighted_avg", "top_orders_per_customer", "value_histogram",
-    "value_quantiles", "value_trend", "weighted_sample",
-    "winsorized_stats", "approx_heavy_hitters", "approx_value_quantiles",
-    "attribution_last_touch", "avg_qty_threshold", "cross_source_leakage",
-    "dedup_containment", "dedup_minhash_incremental", "disjunctive_revenue",
-    "doc_length_buckets", "domain_cap_sample", "dominant_part_suppliers",
-    "dtw_pattern_match", "dup_cluster_stats", "embedding_norm_stats",
-    "embedding_prototypicality", "event_dedup_stats", "event_type_pivot",
-    "forecast_revenue", "important_parts", "kmeans_assign",
-    "kmeans_update", "mixture_plan", "pareto_spend_bands",
-    "pattern_match_znorm", "product_profit", "promo_revenue",
-    "quality_logit", "range_join", "rare_token_score",
-    "returned_items", "running_order_total", "sales_opportunity",
-    "semantic_contamination", "semdedup",
+    "shard_manifest", "shipping_delay_priority", "skew_report",
+    "text_chunks", "text_ngram_topk", "token_entropy",
+    "top_supplier", "waiting_suppliers", "windowed_top_keys",
+    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
+    "pricing_summary", "sessionize", "similarity_topk",
+    "windowed_sum", "boilerplate_chunks", "constraint_violations",
+    "dup_cluster_keep", "pagerank_top", "pca_top_component",
+    "target_likeness", "windowed_drift", "active_user_snapshot",
+    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
+    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
+    "activity_overlap", "balance_deciles", "basket_rules",
+    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
+    "bloom_semi_join", "bpe_pair_stats", "bpe_train",
+    "cohort_revenue_matrix", "conversion_delay_buckets", "cumulative_unique_users",
+    "dedup_normalized", "discount_quantity_slope", "dow_seasonality",
+    "dup_span_removal", "dup_span_stats", "embedding_gram_matrix",
+    "event_transition_matrix", "ewma_revenue",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

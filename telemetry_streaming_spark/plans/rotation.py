@@ -90,18 +90,42 @@ def compute_front_window(
     return ranked[:window_size]
 
 
+def render_front_window(window: list[str]) -> str:
+    lines = ["_FRONT_WINDOW = ["]
+    for i in range(0, len(window), 3):
+        chunk = ", ".join(f'"{n}"' for n in window[i : i + 3])
+        lines.append(f"    {chunk},")
+    lines.append("]")
+    return "\n".join(lines)
+
+
 def main() -> None:  # pragma: no cover - exercised via the pin test
+    import sys
+
     import telemetry_streaming_spark.plans.queries as q
 
     repo_root = Path(__file__).resolve().parents[2]
     window = compute_front_window(
         list(q.QUERIES), load_check_history(repo_root)
     )
-    print("_FRONT_WINDOW = [")
-    for i in range(0, len(window), 3):
-        chunk = ", ".join(f'"{n}"' for n in window[i : i + 3])
-        print(f"    {chunk},")
-    print("]")
+    rendered = render_front_window(window)
+    if "--write" in sys.argv:
+        # Round-start ritual, one command: patch the committed
+        # _FRONT_WINDOW literal in plans/queries.py in place so the
+        # test_rotation.py pin goes green (r9 verdict, "Next round"
+        # item 1: automate the regeneration that consumed the first
+        # commit of rounds 7-9).
+        path = repo_root / "telemetry_streaming_spark" / "plans" / "queries.py"
+        src = path.read_text()
+        start = src.index("_FRONT_WINDOW = [")
+        end = src.index("]", start) + 1
+        if src[start:end] == rendered:
+            print(f"{path}: _FRONT_WINDOW already current")
+        else:
+            path.write_text(src[:start] + rendered + src[end:])
+            print(f"{path}: _FRONT_WINDOW rewritten ({len(window)} entries)")
+    else:
+        print(rendered)
 
 
 if __name__ == "__main__":
