@@ -477,7 +477,27 @@ def run_minhash_index(spark, args):
         # skips batch dirs its manifest already incorporated — the
         # handoff is idempotent from both sides.
         if getattr(args, "pairs_output", None):
-            batch_name = getattr(args, "pairs_batch_name", "batch") or "batch"
+            batch_name = getattr(args, "pairs_batch_name", None)
+            if not batch_name:
+                if epoch is not None:
+                    # stream mode: the -epochN suffix below makes the
+                    # default unique per micro-batch across restarts
+                    # (the checkpoint never reuses an epoch id)
+                    batch_name = "batch"
+                else:
+                    # batch mode: a constant default would make night
+                    # N+1 silently overwrite night N's pairs subdir —
+                    # and `clusters` skips batch dirs already in its
+                    # manifest, so every night after the first would
+                    # drop out of the labeling flow (r9 ADVICE).
+                    # Derive the name from the input instead: distinct
+                    # nightly drop dirs get distinct subdirs, and a
+                    # RERUN of the same drop overwrites its own subdir
+                    # (the idempotency the overwrite is for).
+                    base = os.path.basename(
+                        os.path.normpath(args.input_path)
+                    ) or "batch"
+                    batch_name = f"batch-{base}"
             if epoch is not None:
                 batch_name = f"{batch_name}-epoch{epoch}"
             night_pairs = (
@@ -1851,9 +1871,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pairs-output",
                    help="also write each batch's (id1, id2) near-dup pairs "
                         "as a batch subdir `clusters --pairs-input` consumes")
-    p.add_argument("--pairs-batch-name", default="batch",
+    p.add_argument("--pairs-batch-name", default=None,
                    help="batch subdir name under --pairs-output; stream "
-                        "epochs suffix -epochN; reruns overwrite")
+                        "epochs suffix -epochN; reruns overwrite. Default: "
+                        "'batch' in stream mode, 'batch-<input basename>' "
+                        "in batch mode (so nightly reruns never collide)")
 
     p = sub.add_parser(
         "maintain",
@@ -1873,9 +1895,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pairs-output",
                    help="also write the night's (id1, id2) near-dup pairs "
                         "as a batch subdir `clusters --pairs-input` consumes")
-    p.add_argument("--pairs-batch-name", default="batch",
+    p.add_argument("--pairs-batch-name", default=None,
                    help="batch subdir name under --pairs-output "
-                        "(e.g. night-2024-01-01); reruns overwrite it")
+                        "(e.g. night-2024-01-01); reruns overwrite it. "
+                        "Default: 'batch' in stream mode (epoch-suffixed), "
+                        "'batch-<input basename>' in batch mode")
 
     p = sub.add_parser(
         "clusters",

@@ -836,10 +836,13 @@ def concurrency_sweep(
     t = epoch_seconds(ts_col)
     starts = df.select(t.alias("t"), F.lit(1).alias("d"))
     ends = df.select((t + F.lit(int(duration_s))).alias("t"), F.lit(-1).alias("d"))
-    # FLOOR division, not `div` (which truncates toward zero): for
-    # pre-1970 timestamps (negative epoch seconds) truncate-vs-floor
-    # diverges and the bucket assignment would differ from the oracle's
-    # `//` — same pmod pattern as functions.epoch_seconds (r8 ADVICE).
+    # FLOOR division, not `div` (which truncates toward zero): bucket
+    # boundaries must stay aligned across the 1970 epoch (bucket -1 is
+    # [-b, 0), not a half-width sliver).  NOTE: DuckDB's `//` ALSO
+    # truncates toward zero (verified on 1.0.0: -7 // 2 = -3), so any
+    # oracle must spell out the same pmod floor shape — `t // b` would
+    # diverge on negative t (r9 ADVICE; the peak_concurrency oracle
+    # carries the matching expression).
     b = int(bucket_s)
     pts = starts.unionAll(ends).withColumn(
         "bucket", F.expr(f"(t - pmod(t, {b})) div {b}").cast("long")
@@ -897,9 +900,13 @@ def cusum_shifts(
     so BOTH sides come from one running sum and two running extrema
     over the SAME per-key sort — one exchange on the key, one
     in-partition sort, three frame columns, no recursion.  The target
-    is the key's integer mean level ``floor(sum/n)`` (exact BIGINT
-    division), deviations are exact BIGINTs, so every S value — and
-    the alert flags — hash-matches any engine.
+    is the key's integer mean level ``sum div n`` — TRUNCATING
+    integer division (toward zero), Spark's ``div`` semantics, which
+    DuckDB's ``//`` matches exactly (both truncate; verified on
+    1.0.0) — so for a key with a NEGATIVE total the target rounds
+    toward zero, not down.  Deviations are exact BIGINTs, so every S
+    value — and the alert flags — hash-matches any engine whose
+    integer division truncates.
 
     Per-key sequential scans are inherent to CUSUM semantics; the
     partitionBy keeps each key's scan a single in-partition pass, and

@@ -10036,15 +10036,26 @@ def session_path_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak_concurrency",
     oracle="""
     WITH pts AS (
-        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM events
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) - 1705276800 AS t, 1 AS d
+        FROM events
         UNION ALL
-        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800, -1 FROM events
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) - 1705276800 + 1800, -1
+        FROM events
+    ),
+    -- FLOOR bucketing, spelled out: DuckDB's `//` truncates toward
+    -- zero (-7 // 2 = -3 on 1.0.0), so `t // 3600` would disagree
+    -- with the engine's floor buckets for the pre-1970 half of this
+    -- shifted stream.  (t - pmod) is an exact multiple of 3600, and
+    -- truncation equals floor on exact multiples.
+    bucketed AS (
+        SELECT (t - ((t % 3600) + 3600) % 3600) // 3600 AS bucket, t, d
+        FROM pts
     ),
     runs AS (
-        SELECT t // 3600 AS bucket, d,
-               SUM(d) OVER (PARTITION BY t // 3600 ORDER BY t, d
+        SELECT bucket, d,
+               SUM(d) OVER (PARTITION BY bucket ORDER BY t, d
                             ROWS UNBOUNDED PRECEDING) AS s
-        FROM pts
+        FROM bucketed
     ),
     per_bucket AS (
         SELECT bucket,
@@ -10068,12 +10079,25 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hour table, never the event stream: per-hour prefix maxima
     locally, cross-hour carry as a running sum of hourly delta sums,
     ``peak = carry + max(0, intra max)``.  All-integer, closes sort
-    before opens at one instant — hash-exact in any engine."""
+    before opens at one instant — hash-exact in any engine.
+
+    The stream is shifted back by 1_705_276_800 s (≈2024-01-15) so
+    roughly half the delta points carry NEGATIVE epoch seconds: the
+    driver check itself now exercises the floor-vs-truncate bucket
+    divergence (r9 ADVICE) instead of leaving it to a Spark-only
+    unit test.  Both sides bucket with explicit floor division —
+    Spark ``(t - pmod(t,b)) div b``, the oracle the same pmod shape —
+    because Spark ``div`` and DuckDB ``//`` BOTH truncate toward
+    zero and would disagree with each other only by accident."""
     from telemetry_streaming_spark.operators.timeseries import concurrency_sweep
 
-    return concurrency_sweep(
-        _t(spark, sf_dir, "events"), ts_col="ts", duration_s=1800, bucket_s=3600
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts")) - F.lit(1_705_276_800_000_000)
+        ),
     )
+    return concurrency_sweep(ev, ts_col="ts", duration_s=1800, bucket_s=3600)
 
 
 @query(
@@ -10098,13 +10122,13 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prefix AS (
         SELECT doc_id, token, n FROM ordered
-        WHERE p <= n - ((9 * n + 9) // 10) + 1
+        WHERE p <= n - ((19 * n + 19) // 20) + 1
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM prefix a JOIN prefix b USING (token)
         WHERE a.doc_id < b.doc_id
-          AND 10 * a.n >= 9 * b.n AND 10 * b.n >= 9 * a.n
+          AND 20 * a.n >= 19 * b.n AND 20 * b.n >= 19 * a.n
     ),
     inter AS (
         SELECT c.id1, c.id2, COUNT(*) AS n_common
@@ -10122,16 +10146,16 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes s1 ON s1.doc_id = i.id1
     JOIN sizes s2 ON s2.doc_id = i.id2
-    WHERE 10 * i.n_common >= 9 * (s1.n + s2.n - i.n_common)
+    WHERE 20 * i.n_common >= 19 * (s1.n + s2.n - i.n_common)
     """,
 )
 def setsim_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension (r9): EXACT word-set Jaccard >= 9/10 pairs via prefix
+    """Extension (r9): EXACT word-set Jaccard >= 19/20 pairs via prefix
     filtering (operators/dedup.py:setsim_prefix_pairs — the AllPairs /
     PPJoin family), the uncapped-exactness complement of the df-capped
     postings tier and the probabilistic MinHash tier.  Vocabulary is
     ordered by ascending document frequency, each doc keeps only its
-    ``n - ceil(9n/10) + 1`` rarest tokens as its prefix (the synthetic
+    ``n - ceil(19n/20) + 1`` rarest tokens as its prefix (the synthetic
     docs are heavily templated — at t = 1/2 three quarters of ALL
     pairs qualify, so the informative threshold here is high), and a prefix
     equi-join + size filter generates every candidate — stopword
@@ -10139,11 +10163,20 @@ def setsim_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer acceptance and score, so the result hash-matches.
     The oracle states the identical prefix pipeline (a naive all-pairs
     product over 5k docs would be ~12.5M pairwise set intersections in
-    DuckDB)."""
+    DuckDB).
+
+    Threshold history: r9 shipped 9/10 (964,854 pairs at sf0.1); its
+    DuckDB oracle swung 8-29 s run-to-run — 15-40% of the ENTIRE
+    headline DuckDB denominator — so r10 raised the headline to 19/20
+    (190,925 pairs, oracle 3.4-4.5 s back-to-back), per the r9 verdict
+    ("stabilize the setsim denominator", option 2).  The 9/10 tier is
+    still exercised by the scale smoke's setsim op and the operator
+    unit tests; the semantics under test are unchanged — only the
+    headline's noise share shrank."""
     from telemetry_streaming_spark.operators.dedup import setsim_prefix_pairs
 
     return setsim_prefix_pairs(
-        _t(spark, sf_dir, "documents"), threshold_num=9, threshold_den=10
+        _t(spark, sf_dir, "documents"), threshold_num=19, threshold_den=20
     )
 
 

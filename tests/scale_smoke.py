@@ -506,8 +506,13 @@ def op_setsim(spark: SparkSession, factor: int) -> DataFrame:
         )
         mark = F.format_string("r%02d", F.col("__rep"))
         toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        # Replica id offset is a bit shift far above any plausible id
+        # domain (2^40 ≈ 1.1e12; base doc_ids are ~1e4 at smoke SFs and
+        # would have to reach a trillion to collide), so distinct
+        # replica docs can never merge and corrupt the measured slope
+        # (r9 ADVICE: the old +__rep*1e7 offset collided at 10M ids).
         docs = rep.select(
-            (F.col("doc_id") + F.col("__rep").cast("long") * 10_000_000).alias(
+            (F.col("doc_id") + F.col("__rep").cast("long") * (1 << 40)).alias(
                 "doc_id"
             ),
             F.array_join(
