@@ -9,9 +9,12 @@ away on a long-lived cluster) but includes full query execution to a
 natively extracted result (extraction v2: Spark Arrow toPandas /
 DuckDB fetch_df on BOTH engines — see the EXTRACTION note below and
 the committed EXTRACTION_AB.json for the v1-vs-v2 per-query deltas).  Each query reports the MEDIAN of 3 back-to-back
-runs: single-shot numbers on this JVM swing 2x run-to-run (C2 JIT
-compilation of codegen'd stages, GC pauses), and the median is the
-steady-state a long-lived cluster session actually delivers.
+runs — widened to median-of-5 on BOTH engines when the median lands
+under SUBSEC_BOUND (r9 verdict item 4: sub-second rows are where
+phantom round-over-round deltas live): single-shot numbers on this
+JVM swing 2x run-to-run (C2 JIT compilation of codegen'd stages, GC
+pauses), and the median is the steady-state a long-lived cluster
+session actually delivers.
 """
 
 from __future__ import annotations
@@ -78,9 +81,7 @@ HEADLINE = [
     "top_supplier",
     "dominant_part_suppliers",
     "cross_source_leakage",
-    "domain_cap_sample",
     "attribution_last_touch",
-    "kmeans_update",
     "text_ngram_topk",
     # late-r4 additions with real work at sf0.1 (>=0.4 s)
     "dedup_normalized",
@@ -192,6 +193,35 @@ HEADLINE = [
     # per round over the co-purchase edges, per-round lineage cuts —
     # the part_kcore plan shape, TREND-defended from day one)
     "part_communities",
+]
+
+# ---------------------------------------------------------------------------
+# Headline tiering contract (r10, r9 verdict item 8): HEADLINE is
+# FROZEN — it may never exceed HEADLINE_MAX entries.  The set grew
+# ~3-17 queries per round through r9; unchecked, the 2x gate metric
+# (sum of Spark medians / sum of DuckDB medians over this set) becomes
+# dominated by per-query scheduling floors and oracle parse noise
+# rather than plan quality.  From r10 on:
+#   * every new registry query joins the driver CORRECTNESS rotation
+#     automatically (that gate is unaffected by headline membership);
+#   * a new query joins HEADLINE only by DISPLACING a floor-proven
+#     entry into HEADLINE_RETIRED — eligible retirees are sub-second,
+#     TREND-defended-or-seconds-pinned entries whose ratio is
+#     scheduling floor over a ~10ms denominator, i.e. entries the
+#     gate metric learns nothing from;
+#   * retired entries are still EXECUTED once per bench run (untimed
+#     count-only smoke, reported as `retired_smoke`) so a regression
+#     to crash/empty is caught the same day, and their seconds pins
+#     (TREND_SECONDS_PINNED) keep being re-measured by --trend.
+# tests/test_bench_manifest.py pins the freeze and the disjointness.
+HEADLINE_MAX = 100
+HEADLINE_RETIRED = [
+    # r10 retirees, displaced by the r10 additions: both moved to the
+    # seconds-pinned trend tier in r9 (flat sub-second across all
+    # scale points, ~10ms DuckDB denominators — the ratio thesis can
+    # never resolve for them and their pins still gate regressions).
+    "kmeans_update",
+    "domain_cap_sample",
 ]
 
 
@@ -322,7 +352,10 @@ TREND_SECONDS_PINNED = {
     "domain_cap_sample": 0.8,
 }
 
-# the combined set (manifest tests pin TREND ⊆ HEADLINE, oracle-backed)
+# the combined set (manifest tests pin TREND ⊆ HEADLINE ∪
+# HEADLINE_RETIRED with TREND_FULL strictly ⊆ HEADLINE — only the
+# proven-floor spot-check tiers may follow an entry into retirement,
+# where --trend still re-measures their pins)
 TREND = TREND_FULL + TREND_GRADUATED + list(TREND_SECONDS_PINNED)
 
 
@@ -353,12 +386,24 @@ def _fetch(con, sql: str) -> None:
     con.execute(sql).fetch_df()
 
 
+# Below this median, widen sampling from median-of-runs to
+# median-of-(runs+2) on BOTH engines: r9's committed baseline carried
+# 1.7-2.5x phantom deltas on three sub-second rows that median-of-3
+# could not damp (r9 verdict item 4).
+SUBSEC_BOUND = 1.0
+
+
 def _median_time(fn, runs: int = 3) -> float:
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
+    if sorted(ts)[len(ts) // 2] < SUBSEC_BOUND:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 
 
@@ -652,6 +697,8 @@ def assemble_output(
     load_at_end: float,
     idle_gate_passed: bool,
     contention: bool,
+    retired_smoke: dict | None = None,
+    subsec_median5: list | None = None,
 ) -> dict:
     """Build the one-line JSON artifact.  KEY ORDER IS LOAD-BEARING:
     the driver keeps only the TAIL of bench output, so the big
@@ -668,6 +715,8 @@ def assemble_output(
         "extraction": EXTRACTION,
         "queries": timings,
         "baseline_delta": baseline_delta,
+        "retired_smoke": retired_smoke or {},
+        "subsec_median5": subsec_median5 or [],
         "resampled_for_spread": resampled,
         "recheck": recheck,
         "loadavg_1m_start": load_at_start,
@@ -746,13 +795,14 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     resampled: list[str] = []
+    subsec_median5: list[str] = []
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        def sample() -> list[float]:
+        def sample(n: int = runs) -> list[float]:
             ts: list[float] = []
-            for _ in range(runs):
+            for _ in range(n):
                 t0 = time.perf_counter()
                 _extract(spec.fn(spark, sf_dir))
                 ts.append(time.perf_counter() - t0)
@@ -768,7 +818,25 @@ def main() -> None:
             if max(ts2) / max(min(ts2), 1e-9) < max(ts) / max(min(ts), 1e-9):
                 ts = ts2
             resampled.append(name)
+        # sub-second medians are where round-over-round phantom deltas
+        # live (r9 verdict item 4: three committed rows read 1.7-2.5x
+        # their reproducible values under median-of-3); below
+        # SUBSEC_BOUND, widen to median-of-(runs+2) — two extra
+        # samples cost <2 s per affected query and halve the
+        # committed-baseline tail's noise band
+        if sorted(ts)[len(ts) // 2] < SUBSEC_BOUND:
+            ts = ts + sample(2)
+            subsec_median5.append(name)
         timings[name] = round(sorted(ts)[len(ts) // 2], 4)
+
+    # retired entries: count-only smoke, untimed — a crash or empty
+    # result regresses loudly, the gate metric stays floor-free
+    retired_smoke: dict[str, int] = {}
+    for name in HEADLINE_RETIRED:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        retired_smoke[name] = int(spec.fn(spark, sf_dir).count())
 
     # Contention self-identification (r5: the driver artifact was
     # inflated ~1.8x by a concurrent workload and nothing in the JSON
@@ -820,6 +888,8 @@ def main() -> None:
         load_at_end=round(os.getloadavg()[0], 2),
         idle_gate_passed=idle_gate_passed,
         contention=contention,
+        retired_smoke=retired_smoke,
+        subsec_median5=subsec_median5,
     )
     print(json.dumps(out))
 

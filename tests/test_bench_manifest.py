@@ -20,9 +20,31 @@ def test_headline_names_are_registered():
     assert not missing, f"HEADLINE names not in registry: {missing}"
 
 
+def test_headline_is_frozen():
+    """r10 tiering contract (r9 verdict item 8): the headline set may
+    never exceed HEADLINE_MAX — a new query displaces a floor-proven
+    entry into HEADLINE_RETIRED instead of growing the gate metric."""
+    assert len(bench.HEADLINE) <= bench.HEADLINE_MAX, (
+        f"HEADLINE has {len(bench.HEADLINE)} entries, frozen at "
+        f"{bench.HEADLINE_MAX} — retire a floor-proven sub-second "
+        "entry into HEADLINE_RETIRED instead"
+    )
+    overlap = set(bench.HEADLINE) & set(bench.HEADLINE_RETIRED)
+    assert not overlap, f"entries both headline and retired: {overlap}"
+    missing = [n for n in bench.HEADLINE_RETIRED if n not in QUERIES]
+    assert not missing, f"HEADLINE_RETIRED names not in registry: {missing}"
+
+
 def test_trend_names_are_headline_and_oracle_backed():
-    not_headline = [n for n in bench.TREND if n not in bench.HEADLINE]
-    assert not not_headline, f"TREND names not in HEADLINE: {not_headline}"
+    benched = set(bench.HEADLINE) | set(bench.HEADLINE_RETIRED)
+    not_benched = [n for n in bench.TREND if n not in benched]
+    assert not not_benched, (
+        f"TREND names neither headline nor retired-smoke: {not_benched}"
+    )
+    # the FULL tier's falling-ratio rows are the public defense of the
+    # gate metric — a FULL entry must stay in the timed headline set
+    not_headline = [n for n in bench.TREND_FULL if n not in bench.HEADLINE]
+    assert not not_headline, f"TREND_FULL names not in HEADLINE: {not_headline}"
     no_oracle = [n for n in bench.TREND if QUERIES[n].oracle is None]
     assert not no_oracle, f"TREND names without oracle: {no_oracle}"
 
@@ -105,9 +127,12 @@ def test_output_markers_survive_tail_truncation():
 
 
 def test_headline_covers_committed_baseline():
-    """Every baseline query must still be benched: a HEADLINE removal
-    would silently stop tracking a query the baseline still grades."""
+    """Every baseline query must still be benched — timed (HEADLINE)
+    or count-only smoke (HEADLINE_RETIRED): a silent removal would
+    stop tracking a query the baseline still grades.  Retired entries
+    drop out of the baseline at its next --refresh-baseline."""
     path = REPO_ROOT / "BENCH_BASELINE.json"
     base = json.loads(path.read_text())
-    dropped = [n for n in base["queries"] if n not in bench.HEADLINE]
-    assert not dropped, f"baseline queries no longer in HEADLINE: {dropped}"
+    benched = set(bench.HEADLINE) | set(bench.HEADLINE_RETIRED)
+    dropped = [n for n in base["queries"] if n not in benched]
+    assert not dropped, f"baseline queries no longer benched: {dropped}"
