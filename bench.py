@@ -193,6 +193,11 @@ HEADLINE = [
     # per round over the co-purchase edges, per-round lineage cuts —
     # the part_kcore plan shape, TREND-defended from day one)
     "part_communities",
+    # r10: the URL hygiene pre-pass (canonicalize + canonical-dup
+    # collapse + per-domain cap) and its per-domain profile — both
+    # displaced seconds-pinned floor entries under the freeze below
+    "url_canonical_dedup",
+    "url_host_stats",
 ]
 
 # ---------------------------------------------------------------------------

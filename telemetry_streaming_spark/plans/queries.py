@@ -10314,6 +10314,196 @@ def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r10 — URL canonicalization + host-level hygiene (operators/urls.py):
+# the C4/RefinedWeb crawl pre-pass (r9 verdict item 7).  The documents
+# table carries no URL column, so both queries synthesize a
+# deterministic messy URL per doc from (doc_id, source) — six variants
+# covering every canonicalization rule: scheme case, www., default
+# ports, tracking params, fragments, trailing slashes, param order,
+# and a compound-suffix (.co.uk) host for the mini-PSL branch.  The
+# IDENTICAL expression appears in the oracle, so the check verifies
+# the canonicalization pipeline, not the synthesis.
+# ---------------------------------------------------------------------------
+
+# shared by both URL queries and their oracles: CASE doc_id % 6
+_URL_SYNTH_SQL = """
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'https://WWW.' || source || '.com/a/'
+                      || CAST(doc_id // 5 AS VARCHAR)
+                      || '/?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+          WHEN 1 THEN 'http://' || source || '.com:80/a/'
+                      || CAST(doc_id // 5 AS VARCHAR)
+                      || '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
+          WHEN 2 THEN 'https://' || source || '.com/a/'
+                      || CAST(doc_id // 5 AS VARCHAR) || '/#sec'
+          WHEN 3 THEN 'https://blog.' || source || '.co.uk/a/'
+                      || CAST(doc_id // 5 AS VARCHAR) || '?fbclid=xyz'
+          WHEN 4 THEN 'HTTPS://www.' || source || '.COM/a/'
+                      || CAST(doc_id // 5 AS VARCHAR)
+                      || '?gclid=1&id=' || CAST(doc_id % 4 AS VARCHAR)
+          ELSE 'https://' || source || '.com/b/'
+               || CAST(doc_id // 5 AS VARCHAR)
+        END
+"""
+
+# the oracle-side canonicalization pipeline (module-doc contract of
+# operators/urls.py, stated as CTE stages — regexp_replace in DuckDB
+# replaces the FIRST match, which suffices for every pattern here)
+_URL_CANON_CTES = """
+    raw AS (
+        SELECT doc_id, {url_expr} AS url FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(trim(url), '#.*', ''),
+                              '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rest
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id, rest, regexp_extract(rest, '^[^/?]*') AS hostport
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(hostport),
+                                             ':(80|443)$', ''),
+                              '^www\\.', '') AS host,
+               substring(rest, length(hostport) + 1) AS pq
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, host,
+               regexp_replace(regexp_extract(pq, '^[^?]*'), '/+$', '') AS path,
+               CASE WHEN instr(pq, '?') > 0
+                    THEN substring(pq, instr(pq, '?') + 1) ELSE '' END AS qs
+        FROM s3
+    ),
+    s5 AS (
+        SELECT doc_id, host, path,
+               array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$'))),
+                   '&') AS params
+        FROM s4
+    ),
+    canon AS (
+        SELECT doc_id, host,
+               host || path
+                    || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+                    AS canon_url,
+               CASE WHEN regexp_matches(regexp_replace(host, ':[0-9]+$', ''),
+                        '\\.(co|com|org|net|gov|ac|edu)\\.[a-z][a-z]$')
+                    THEN array_to_string(list_slice(
+                        string_split(regexp_replace(host, ':[0-9]+$', ''), '.'),
+                        GREATEST(len(string_split(regexp_replace(host, ':[0-9]+$', ''), '.')) - 2, 1),
+                        len(string_split(regexp_replace(host, ':[0-9]+$', ''), '.'))), '.')
+                    ELSE array_to_string(list_slice(
+                        string_split(regexp_replace(host, ':[0-9]+$', ''), '.'),
+                        GREATEST(len(string_split(regexp_replace(host, ':[0-9]+$', ''), '.')) - 1, 1),
+                        len(string_split(regexp_replace(host, ':[0-9]+$', ''), '.'))), '.')
+               END AS domain
+        FROM s5
+    )
+""".format(url_expr=_URL_SYNTH_SQL)
+
+
+def _url_synth_col() -> F.Column:
+    """The Spark twin of _URL_SYNTH_SQL (doc_id >= 0, so `div`/`//`
+    and `%` agree between the engines)."""
+    n = F.expr("doc_id div 5").cast("string")
+    k = F.expr("doc_id % 4").cast("string")
+    c = F.expr("CAST(doc_id % 6 AS INT)")
+    s = F.col("source")
+    return (
+        F.when(c == 0, F.concat(
+            F.lit("https://WWW."), s, F.lit(".com/a/"), n,
+            F.lit("/?utm_source=feed&id="), k))
+        .when(c == 1, F.concat(
+            F.lit("http://"), s, F.lit(".com:80/a/"), n,
+            F.lit("?id="), k, F.lit("&utm_campaign=x")))
+        .when(c == 2, F.concat(
+            F.lit("https://"), s, F.lit(".com/a/"), n, F.lit("/#sec")))
+        .when(c == 3, F.concat(
+            F.lit("https://blog."), s, F.lit(".co.uk/a/"), n,
+            F.lit("?fbclid=xyz")))
+        .when(c == 4, F.concat(
+            F.lit("HTTPS://www."), s, F.lit(".COM/a/"), n,
+            F.lit("?gclid=1&id="), k))
+        .otherwise(F.concat(
+            F.lit("https://"), s, F.lit(".com/b/"), n))
+    )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="WITH " + _URL_CANON_CTES + """,
+    uniq AS (
+        SELECT domain, canon_url,
+               CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM canon GROUP BY 1, 2
+    )
+    SELECT domain, canon_url, doc_id, n_dups, rk FROM (
+        SELECT domain, canon_url, doc_id, n_dups,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(canon_url), canon_url) AS INT) AS rk
+        FROM uniq
+    )
+    WHERE rk <= 10
+    """,
+)
+def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10): the C4/RefinedWeb URL hygiene pre-pass
+    (operators/urls.py:url_dedup_cap) — canonicalize (scheme/www/port
+    strip, fragment + tracking-param drop, param sort, trailing-slash
+    strip, mini-PSL registrable domain), collapse exact canonical
+    duplicates keeping MIN doc_id + the duplicate count, then cap each
+    registrable domain at 10 pages deterministically by md5(canon).
+    The oracle states the cap as one PARTITION BY window; the engine
+    computes the identical rank with per_group_cap's 256-bucket
+    two-level rank, so a domain that is half the crawl never sorts in
+    one task.  At sf0.01 the .com domains (~16-21 canonical pages
+    each) exercise the cap and the .co.uk domains (~4) pass through —
+    both branches are under the hash."""
+    from telemetry_streaming_spark.operators.urls import url_dedup_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _url_synth_col().alias("url")
+    )
+    return url_dedup_cap(docs, "url", "doc_id", cap=10).select(
+        "domain", "canon_url", "doc_id", "n_dups", "rk"
+    )
+
+
+@query(
+    "url_host_stats",
+    oracle="WITH " + _URL_CANON_CTES + """
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_canon,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT canon_url)))
+                // COUNT(*) AS BIGINT) AS dup_rate_e6
+    FROM canon GROUP BY domain
+    """,
+)
+def url_host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10): per-registrable-domain crawl hygiene profile
+    (operators/urls.py:host_profile) — raw rows, distinct canonical
+    pages, distinct hosts, and the URL-level duplication rate in exact
+    parts-per-million (integer div, hash-stable).  The report that
+    sizes per-domain caps; one domain aggregate after the codegen'd
+    canonicalization projection."""
+    from telemetry_streaming_spark.operators.urls import host_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _url_synth_col().alias("url")
+    )
+    return host_profile(docs, "url")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
 # Registration above follows the file's narrative order (reference
@@ -10373,23 +10563,23 @@ def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "shard_manifest", "shipping_delay_priority", "skew_report",
-    "text_chunks", "text_ngram_topk", "token_entropy",
-    "top_supplier", "waiting_suppliers", "windowed_top_keys",
-    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
-    "pricing_summary", "sessionize", "similarity_topk",
-    "windowed_sum", "boilerplate_chunks", "constraint_violations",
-    "dup_cluster_keep", "pagerank_top", "pca_top_component",
-    "target_likeness", "windowed_drift", "active_user_snapshot",
-    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
-    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
-    "activity_overlap", "balance_deciles", "basket_rules",
-    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
-    "bloom_semi_join", "bpe_pair_stats", "bpe_train",
-    "cohort_revenue_matrix", "conversion_delay_buckets", "cumulative_unique_users",
-    "dedup_normalized", "discount_quantity_slope", "dow_seasonality",
-    "dup_span_removal", "dup_span_stats", "embedding_gram_matrix",
-    "event_transition_matrix", "ewma_revenue",
+    "url_canonical_dedup", "url_host_stats", "shard_manifest",
+    "shipping_delay_priority", "skew_report", "text_chunks",
+    "text_ngram_topk", "token_entropy", "top_supplier",
+    "waiting_suppliers", "windowed_top_keys", "conditional_counts",
+    "dedup_exact", "dedup_ngram_jaccard", "pricing_summary",
+    "sessionize", "similarity_topk", "windowed_sum",
+    "boilerplate_chunks", "constraint_violations", "dup_cluster_keep",
+    "pagerank_top", "pca_top_component", "target_likeness",
+    "windowed_drift", "active_user_snapshot", "bigram_path_stats",
+    "int8_quant_error", "kmeans_silhouette", "pq_distortion_stats",
+    "price_qty_rank_corr", "windowed_violations", "activity_overlap",
+    "balance_deciles", "basket_rules", "benford_digits",
+    "bigram_lm_score", "bigram_surprisal_stats", "bloom_semi_join",
+    "bpe_pair_stats", "bpe_train", "cohort_revenue_matrix",
+    "conversion_delay_buckets", "cumulative_unique_users", "dedup_normalized",
+    "discount_quantity_slope", "dow_seasonality", "dup_span_removal",
+    "dup_span_stats", "embedding_gram_matrix",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -767,3 +767,27 @@ def test_part_communities_no_cartesian(spark):
     assert plan.count("Scan ExistingRDD") >= 2
     # no window operator: the per-node argmax must be an aggregate
     assert not re.search(r"\(\d+\) Window\b", plan), plan[:800]
+
+
+def test_url_canonical_dedup_broadcast_cap_no_cartesian(spark):
+    """r10: the URL hygiene pre-pass must stay codegen'd column
+    expressions + one canon aggregate + per_group_cap's
+    broadcast-offset join: no Cartesian/BNLJ, no row-at-a-time
+    BatchEvalPython, and the cap's offset table arrives broadcast
+    (the property that keeps a half-the-crawl domain from sorting
+    in one task)."""
+    plan = explain_str(q(spark, "url_canonical_dedup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_url_host_stats_single_exchange_after_projection(spark):
+    """r10: the per-domain profile is ONE aggregate over the
+    canonicalization projection — a partial_count map-side combine
+    must exist and nothing may evaluate Python row-at-a-time."""
+    plan = explain_str(q(spark, "url_host_stats"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_" in plan

@@ -1,0 +1,162 @@
+"""URL canonicalization + host-cap hygiene (operators/urls.py, r10).
+
+Golden pins for every canonicalization rule in the module-doc
+contract, the mini-PSL branch, NULL propagation, and the composed
+url_dedup_cap / host_profile semantics.  The cross-engine hash parity
+of the full pipeline is covered by test_oracle_parity.py via the
+url_canonical_dedup / url_host_stats registry entries.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_streaming_spark.operators.urls import (
+    host_profile,
+    url_dedup_cap,
+    with_url_columns,
+)
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(1, url)], ["doc_id", "url"])
+    row = with_url_columns(df, "url").collect()[0]
+    return row["host"], row["domain"], row["canon_url"]
+
+
+@pytest.mark.parametrize(
+    "url,host,domain,canon",
+    [
+        # scheme case + www + default https port + tracking param +
+        # trailing slash + fragment, all at once
+        (
+            "HTTPS://WWW.Example.com:443/a/b/?utm_source=x&id=3#frag",
+            "example.com",
+            "example.com",
+            "example.com/a/b?id=3",
+        ),
+        # http default port; param ORDER must not distinguish pages
+        (
+            "http://example.com:80/a/b?id=3&z=1",
+            "example.com",
+            "example.com",
+            "example.com/a/b?id=3&z=1",
+        ),
+        (
+            "http://example.com/a/b?z=1&id=3",
+            "example.com",
+            "example.com",
+            "example.com/a/b?id=3&z=1",
+        ),
+        # non-default port survives in host/canon (distinct origin)
+        # but never in the registrable-domain grouping key
+        (
+            "https://example.com:8443/a",
+            "example.com:8443",
+            "example.com",
+            "example.com:8443/a",
+        ),
+        # schemeless input
+        ("example.com/a/b?id=3", "example.com", "example.com",
+         "example.com/a/b?id=3"),
+        # all params tracking -> no '?' at all
+        ("https://example.com/?ref=rss&utm_medium=email", "example.com",
+         "example.com", "example.com"),
+        # bare host, no path
+        ("https://example.com", "example.com", "example.com", "example.com"),
+        # mini-PSL compound suffix keeps three labels; www NOT stripped
+        # mid-host, only one leading www.
+        (
+            "https://blog.example.co.uk/a?fbclid=z",
+            "blog.example.co.uk",
+            "example.co.uk",
+            "blog.example.co.uk/a",
+        ),
+        # non-www subdomain survives in host AND canon (m.example is a
+        # DIFFERENT page namespace), but folds into the same domain
+        ("http://m.example.com/a", "m.example.com", "example.com",
+         "m.example.com/a"),
+        # surrounding whitespace
+        ("  https://example.com/x  ", "example.com", "example.com",
+         "example.com/x"),
+        # single-label host: mini-PSL takes what exists
+        ("https://localhost:443/x", "localhost", "localhost",
+         "localhost/x"),
+    ],
+)
+def test_canonicalization_goldens(spark, url, host, domain, canon):
+    assert _canon(spark, url) == (host, domain, canon)
+
+
+def test_null_url_propagates_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://example.com/a")], ["doc_id", "url"]
+    )
+    rows = {r["doc_id"]: r for r in with_url_columns(df, "url").collect()}
+    assert rows[1]["canon_url"] is None
+    assert rows[2]["canon_url"] == "example.com/a"
+
+
+def test_url_dedup_cap_survivor_is_min_id_with_dup_count(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "https://WWW.Example.com/a/?utm_source=x"),
+            (3, "http://example.com/a"),
+            (9, "https://example.com/a/"),
+            (5, "https://example.com/b"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["canon_url"]: r
+        for r in url_dedup_cap(df, "url", "doc_id", cap=10).collect()
+    }
+    assert out["example.com/a"]["doc_id"] == 3
+    assert out["example.com/a"]["n_dups"] == 3
+    assert out["example.com/b"]["doc_id"] == 5
+    assert out["example.com/b"]["n_dups"] == 1
+
+
+def test_url_dedup_cap_caps_per_domain_deterministically(spark):
+    # 30 pages on one domain, 2 on another; cap=5 keeps exactly 5 of
+    # the hot domain chosen by md5(canon) — stable across runs
+    rows = [(i, f"https://hot.com/p/{i}") for i in range(30)]
+    rows += [(100, "https://cold.com/x"), (101, "https://cold.com/y")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = url_dedup_cap(df, "url", "doc_id", cap=5)
+    by_dom = {
+        d["domain"]: d["n"]
+        for d in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom == {"hot.com": 5, "cold.com": 2}
+    first = sorted(r["canon_url"] for r in out.where(F.col("domain") == "hot.com").collect())
+    again = sorted(
+        r["canon_url"]
+        for r in url_dedup_cap(df, "url", "doc_id", cap=5)
+        .where(F.col("domain") == "hot.com")
+        .collect()
+    )
+    assert first == again
+    # rank is 1..cap within the capped domain
+    rks = sorted(
+        r["rk"] for r in out.where(F.col("domain") == "hot.com").collect()
+    )
+    assert rks == [1, 2, 3, 4, 5]
+
+
+def test_host_profile_counts_and_dup_rate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/a/?utm_source=x"),
+            (2, "http://example.com/a"),
+            (3, "https://m.example.com/a"),
+            (4, "https://other.org/z"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {r["domain"]: r for r in host_profile(df, "url").collect()}
+    ex = out["example.com"]
+    # ids 1+2 collapse (www-strip makes the same host); id 3 is a
+    # different host AND a different canonical page
+    assert (ex["n_raw"], ex["n_canon"], ex["n_hosts"]) == (3, 2, 2)
+    assert ex["dup_rate_e6"] == (1_000_000 * 1) // 3
+    assert out["other.org"]["dup_rate_e6"] == 0
