@@ -1288,6 +1288,43 @@ def run_rollup(spark, args):
             )
 
 
+def run_urlcap(spark, args):
+    """URL hygiene pre-pass over a crawl parquet
+    (operators/urls.py:url_dedup_cap): canonicalize --url-col,
+    collapse canonical duplicates (MIN --id-col survives, duplicate
+    count kept as evidence), cap each registrable domain at --cap
+    pages, write survivors to --output-path.  --profile-path also
+    writes the per-domain hygiene report (host_profile) the next
+    run's --cap should be sized from.  Runs FIRST in a crawl
+    pipeline: it reads only (id, url) columns, so column pruning
+    keeps it scan-light even over a body-carrying table."""
+    from telemetry_streaming_spark.operators.urls import (
+        host_profile,
+        url_dedup_cap,
+    )
+
+    _require(args, "input-path", "output-path")
+    if args.cap <= 0:
+        raise SystemExit("--cap must be positive")
+    df = spark.read.parquet(args.input_path)
+    for col in (args.url_col, args.id_col):
+        if col not in df.columns:
+            raise SystemExit(
+                f"column {col!r} not in input (has: {df.columns})"
+            )
+    survivors = url_dedup_cap(
+        df.select(args.id_col, args.url_col), args.url_col, args.id_col,
+        cap=args.cap,
+    )
+    survivors.write.mode("overwrite").parquet(args.output_path)
+    n_out = spark.read.parquet(args.output_path).count()
+    print(f"urlcap_survivors: {n_out}")
+    if getattr(args, "profile_path", None):
+        prof = host_profile(df.select(args.id_col, args.url_col), args.url_col)
+        prof.write.mode("overwrite").parquet(args.profile_path)
+        print(f"urlcap_domains: {spark.read.parquet(args.profile_path).count()}")
+
+
 def run_compact(spark, args):
     """Small-files compaction: rewrite a parquet dir into
     ~--target-file-mb files (sized from the actual on-disk bytes, so
@@ -1953,6 +1990,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the sketch-merge quantile report even when "
                         "no new dates were processed")
 
+    p = sub.add_parser("urlcap", help="URL canonicalize + dedup + per-domain cap")
+    p.add_argument("--input-path")
+    p.add_argument("--output-path")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--cap", type=int, default=1000)
+    p.add_argument("--profile-path", help="also write the per-domain hygiene report here")
+
     p = sub.add_parser("compact", help="small-files parquet compaction")
     p.add_argument("--input-path")
     p.add_argument("--output-path")
@@ -2001,6 +2046,7 @@ RUNNERS = {
     "maintain": run_maintain,
     "clusters": run_clusters,
     "ann_index": run_ann_index,
+    "urlcap": run_urlcap,
     "sql": run_sql,
     "lint": run_lint,
     "report": run_report,

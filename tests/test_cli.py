@@ -1521,3 +1521,35 @@ def test_cli_rollup_kll_merge_within_rank_error_bound(spark, tmp_path, capsys):
             f"p{int(p * 100)}: reported {reported} has exact rank "
             f"{exact_rank:.4f}, off by {abs(exact_rank - p):.4f} > {eps}"
         )
+
+
+def test_cli_urlcap_end_to_end(spark, tmp_path, capsys):
+    """urlcap writes capped survivors + the per-domain profile: the
+    canonical dup collapses to its MIN id, the hot domain is capped,
+    and the profile's raw count covers every input row."""
+    inp = str(tmp_path / "crawl")
+    rows = [(i, f"https://hot.com/p/{i % 7}/?utm_source=x") for i in range(20)]
+    rows += [(100, "https://www.cold.com/a"), (101, "http://cold.com/a/")]
+    spark.createDataFrame(rows, ["doc_id", "url"]).write.parquet(inp)
+
+    from telemetry_streaming_spark.cli import main
+
+    out = str(tmp_path / "survivors")
+    prof = str(tmp_path / "profile")
+    main([
+        "urlcap", "--input-path", inp, "--output-path", out,
+        "--cap", "5", "--profile-path", prof,
+    ], spark=spark)
+    sv = spark.read.parquet(out)
+    by_dom = {r["domain"]: r["n"] for r in sv.groupBy("domain").count()
+              .withColumnRenamed("count", "n").collect()}
+    # hot.com has 7 canonical pages -> capped to 5; cold.com's two
+    # spellings collapse to ONE canonical page
+    assert by_dom == {"hot.com": 5, "cold.com": 1}
+    cold = sv.where(sv.domain == "cold.com").collect()[0]
+    assert cold["doc_id"] == 100 and cold["n_dups"] == 2
+    pr = {r["domain"]: r for r in spark.read.parquet(prof).collect()}
+    assert pr["hot.com"]["n_raw"] == 20 and pr["hot.com"]["n_canon"] == 7
+    assert pr["cold.com"]["n_raw"] == 2 and pr["cold.com"]["n_canon"] == 1
+    captured = capsys.readouterr().out
+    assert "urlcap_survivors: 6" in captured
