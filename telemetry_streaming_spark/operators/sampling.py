@@ -67,6 +67,66 @@ def train_eval_split(
     return df.withColumn(split_col, F.when(is_eval, F.lit("eval")).otherwise(F.lit("train")))
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, int]],
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe multi-way split: every row of a GROUP lands in the
+    same split, decided by ``md5(group)`` alone — the group-aware
+    train/val/test assignment web-corpus pipelines need (splitting by
+    doc hash leaks near-identical pages of one site across splits;
+    splitting by registrable domain cannot).
+
+    ``splits`` is an ordered list of (name, weight_e4) with weights
+    summing to 10000 (e.g. ``[("train", 9000), ("val", 500),
+    ("test", 500)]``).  Assignment compares the group's first four md5
+    hex chars — a fixed-width lowercase hex string, so lexicographic
+    order IS numeric order — against precomputed hex boundaries
+    (``floor(65536 * cum_weight / 10000)`` formatted %04x).  Pure
+    string expressions, no UDF, and the identical CASE is one line of
+    portable SQL for any oracle.  Stable under corpus growth: a
+    group's split never changes when other groups appear.
+
+    A NULL group has no hash; every comparison is NULL and the CASE
+    falls through to the LAST split — documented, not accidental (the
+    last split is the one an auditor already inspects hardest).
+    """
+    if sum(w for _, w in splits) != 10000:
+        raise ValueError("split weights must sum to 10000 (e4)")
+    if any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive")
+    b = F.substring(F.md5(F.col(group_col).cast("string")), 1, 4)
+    expr = F.lit(splits[-1][0])
+    cum = 0
+    arms = []
+    for name, w in splits[:-1]:
+        cum += w
+        arms.append((name, format(65536 * cum // 10000, "04x")))
+    for name, bound in reversed(arms):
+        expr = F.when(b < F.lit(bound), F.lit(name)).otherwise(expr)
+    # reversed WHEN-chain nesting evaluates boundaries ascending:
+    # b < bound_1 -> split_1, elif b < bound_2 -> split_2, ...
+    return df.withColumn(split_col, expr)
+
+
+def group_split_sql_case(group_expr: str, splits: list[tuple[str, int]]) -> str:
+    """The ANSI-SQL twin of :func:`group_split`'s assignment — shared
+    by the registry oracles so the boundary arithmetic can never fork
+    between the engine and the check."""
+    cum = 0
+    arms = []
+    for name, w in splits[:-1]:
+        cum += w
+        arms.append(
+            f"WHEN substring(md5({group_expr}), 1, 4) < '"
+            + format(65536 * cum // 10000, "04x")
+            + f"' THEN '{name}'"
+        )
+    return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -10316,33 +10316,37 @@ def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r10 — URL canonicalization + host-level hygiene (operators/urls.py):
 # the C4/RefinedWeb crawl pre-pass (r9 verdict item 7).  The documents
-# table carries no URL column, so both queries synthesize a
+# table carries no URL column, so these queries synthesize a
 # deterministic messy URL per doc from (doc_id, source) — six variants
 # covering every canonicalization rule: scheme case, www., default
 # ports, tracking params, fragments, trailing slashes, param order,
 # and a compound-suffix (.co.uk) host for the mini-PSL branch.  The
 # IDENTICAL expression appears in the oracle, so the check verifies
-# the canonicalization pipeline, not the synthesis.
+# the canonicalization pipeline, not the synthesis.  Page number is
+# doc_id div 40 so same-source ids 20 apart (source = src{id % 20})
+# share a page: ids with id%6==4 and id%40<20 canonical-merge with
+# id+20 (whose id%6 is 0) — the collapse path runs on REAL collisions
+# (~41 merged pages at sf0.01), not just structurally.
 # ---------------------------------------------------------------------------
 
 # shared by both URL queries and their oracles: CASE doc_id % 6
 _URL_SYNTH_SQL = """
         CASE CAST(doc_id % 6 AS INT)
           WHEN 0 THEN 'https://WWW.' || source || '.com/a/'
-                      || CAST(doc_id // 5 AS VARCHAR)
+                      || CAST(doc_id // 40 AS VARCHAR)
                       || '/?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
           WHEN 1 THEN 'http://' || source || '.com:80/a/'
-                      || CAST(doc_id // 5 AS VARCHAR)
+                      || CAST(doc_id // 40 AS VARCHAR)
                       || '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
           WHEN 2 THEN 'https://' || source || '.com/a/'
-                      || CAST(doc_id // 5 AS VARCHAR) || '/#sec'
+                      || CAST(doc_id // 40 AS VARCHAR) || '/#sec'
           WHEN 3 THEN 'https://blog.' || source || '.co.uk/a/'
-                      || CAST(doc_id // 5 AS VARCHAR) || '?fbclid=xyz'
+                      || CAST(doc_id // 40 AS VARCHAR) || '?fbclid=xyz'
           WHEN 4 THEN 'HTTPS://www.' || source || '.COM/a/'
-                      || CAST(doc_id // 5 AS VARCHAR)
+                      || CAST(doc_id // 40 AS VARCHAR)
                       || '?gclid=1&id=' || CAST(doc_id % 4 AS VARCHAR)
           ELSE 'https://' || source || '.com/b/'
-               || CAST(doc_id // 5 AS VARCHAR)
+               || CAST(doc_id // 40 AS VARCHAR)
         END
 """
 
@@ -10410,7 +10414,7 @@ _URL_CANON_CTES = """
 def _url_synth_col() -> F.Column:
     """The Spark twin of _URL_SYNTH_SQL (doc_id >= 0, so `div`/`//`
     and `%` agree between the engines)."""
-    n = F.expr("doc_id div 5").cast("string")
+    n = F.expr("doc_id div 40").cast("string")
     k = F.expr("doc_id % 4").cast("string")
     c = F.expr("CAST(doc_id % 6 AS INT)")
     s = F.col("source")
@@ -10503,6 +10507,127 @@ def url_host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_profile(docs, "url")
 
 
+def _split_case(group_expr: str) -> str:
+    from telemetry_streaming_spark.operators.sampling import (
+        group_split_sql_case,
+    )
+
+    return group_split_sql_case(
+        group_expr, [("train", 9000), ("val", 500), ("test", 500)]
+    )
+
+
+@query(
+    "leak_safe_split",
+    oracle="WITH " + _URL_CANON_CTES + """
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains
+    FROM (SELECT doc_id, domain, """ + _split_case("domain") + """ AS split
+          FROM canon)
+    GROUP BY split
+    """,
+)
+def leak_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10): leakage-safe 90/5/5 train/val/test assignment
+    by REGISTRABLE DOMAIN (operators/sampling.py:group_split) — every
+    page of a site lands in one split, so near-identical pages of one
+    host can never straddle train and eval.  Assignment is the first
+    four md5 hex chars of the group against precomputed hex
+    boundaries: fixed-width lowercase hex compares lexicographically
+    as numbers, so the CASE is portable to any engine verbatim
+    (the oracle uses the literal SQL twin generated by the SAME
+    boundary arithmetic).  Pure projection + one aggregate — at
+    100 TB this is scan-bound with a 3-row result."""
+    from telemetry_streaming_spark.operators.sampling import group_split
+    from telemetry_streaming_spark.operators.urls import with_url_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _url_synth_col().alias("url")
+    )
+    tagged = group_split(
+        with_url_columns(docs, "url"),
+        "domain",
+        [("train", 9000), ("val", 500), ("test", 500)],
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("domain").cast("long").alias("n_domains"),
+    )
+
+
+@query(
+    "split_leakage_audit",
+    oracle="WITH " + _URL_CANON_CTES + """,
+    tagged AS (
+        SELECT doc_id, domain, canon_url,
+               """ + _split_case("CAST(doc_id AS VARCHAR)") + """ AS doc_split,
+               """ + _split_case("domain") + """ AS grp_split
+        FROM canon
+    ),
+    by_method AS (
+        SELECT 'doc_hash' AS method, canon_url AS unit,
+               COUNT(DISTINCT doc_split) AS n_splits
+        FROM tagged GROUP BY canon_url
+        UNION ALL
+        SELECT 'domain_group', canon_url, COUNT(DISTINCT grp_split)
+        FROM tagged GROUP BY canon_url
+    )
+    SELECT method,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_pages
+    FROM by_method GROUP BY method
+    """,
+)
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10): the audit that motivates group_split — assign
+    splits two ways (naive per-document hash vs by registrable
+    domain) and count canonical PAGES whose crawl records straddle
+    more than one split.  The naive method leaks every multi-variant
+    page whose duplicates hash apart; the domain-grouped method leaks
+    zero BY CONSTRUCTION, and this query pins that zero under the
+    driver hash check rather than asserting it in prose.  One
+    canonicalization projection + two canon-key aggregates."""
+    from telemetry_streaming_spark.operators.sampling import group_split
+    from telemetry_streaming_spark.operators.urls import with_url_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _url_synth_col().alias("url")
+    )
+    canon = with_url_columns(docs, "url")
+    tagged = group_split(
+        group_split(
+            canon, "doc_id",
+            [("train", 9000), ("val", 500), ("test", 500)],
+            split_col="doc_split",
+        ),
+        "domain",
+        [("train", 9000), ("val", 500), ("test", 500)],
+        split_col="grp_split",
+    )
+    per = tagged.groupBy("canon_url").agg(
+        F.countDistinct("doc_split").alias("nd"),
+        F.countDistinct("grp_split").alias("ng"),
+    )
+    doc_row = per.select(
+        F.lit("doc_hash").alias("method"),
+        F.when(F.col("nd") > 1, 1).otherwise(0).alias("leak"),
+    )
+    grp_row = per.select(
+        F.lit("domain_group").alias("method"),
+        F.when(F.col("ng") > 1, 1).otherwise(0).alias("leak"),
+    )
+    return (
+        doc_row.unionAll(grp_row)
+        .groupBy("method")
+        .agg(
+            F.sum("leak").cast("long").alias("n_leaked_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -10563,23 +10688,23 @@ def url_host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "url_canonical_dedup", "url_host_stats", "shard_manifest",
-    "shipping_delay_priority", "skew_report", "text_chunks",
-    "text_ngram_topk", "token_entropy", "top_supplier",
-    "waiting_suppliers", "windowed_top_keys", "conditional_counts",
-    "dedup_exact", "dedup_ngram_jaccard", "pricing_summary",
-    "sessionize", "similarity_topk", "windowed_sum",
-    "boilerplate_chunks", "constraint_violations", "dup_cluster_keep",
-    "pagerank_top", "pca_top_component", "target_likeness",
-    "windowed_drift", "active_user_snapshot", "bigram_path_stats",
-    "int8_quant_error", "kmeans_silhouette", "pq_distortion_stats",
-    "price_qty_rank_corr", "windowed_violations", "activity_overlap",
-    "balance_deciles", "basket_rules", "benford_digits",
-    "bigram_lm_score", "bigram_surprisal_stats", "bloom_semi_join",
-    "bpe_pair_stats", "bpe_train", "cohort_revenue_matrix",
-    "conversion_delay_buckets", "cumulative_unique_users", "dedup_normalized",
-    "discount_quantity_slope", "dow_seasonality", "dup_span_removal",
-    "dup_span_stats", "embedding_gram_matrix",
+    "leak_safe_split", "split_leakage_audit", "url_canonical_dedup",
+    "url_host_stats", "shard_manifest", "shipping_delay_priority",
+    "skew_report", "text_chunks", "text_ngram_topk",
+    "token_entropy", "top_supplier", "waiting_suppliers",
+    "windowed_top_keys", "conditional_counts", "dedup_exact",
+    "dedup_ngram_jaccard", "pricing_summary", "sessionize",
+    "similarity_topk", "windowed_sum", "boilerplate_chunks",
+    "constraint_violations", "dup_cluster_keep", "pagerank_top",
+    "pca_top_component", "target_likeness", "windowed_drift",
+    "active_user_snapshot", "bigram_path_stats", "int8_quant_error",
+    "kmeans_silhouette", "pq_distortion_stats", "price_qty_rank_corr",
+    "windowed_violations", "activity_overlap", "balance_deciles",
+    "basket_rules", "benford_digits", "bigram_lm_score",
+    "bigram_surprisal_stats", "bloom_semi_join", "bpe_pair_stats",
+    "bpe_train", "cohort_revenue_matrix", "conversion_delay_buckets",
+    "cumulative_unique_users", "dedup_normalized", "discount_quantity_slope",
+    "dow_seasonality", "dup_span_removal",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -14,6 +14,31 @@ SF = "/root/testdata/sf0.001"
 def test_pipeline_walkthrough(spark, tmp_path, capsys):
     work = str(tmp_path)
 
+    # 0. URL hygiene on the synthesized crawl frontier (r10)
+    main([
+        "sql", "--sf-dir", SF,
+        "--query",
+        "SELECT doc_id, 'https://www.' || source || '.com/d/' "
+        "|| CAST(doc_id AS STRING) || '/?utm_source=crawl' AS url "
+        "FROM documents",
+        "--output-path", f"{work}/frontier",
+    ], spark=spark)
+    main([
+        "urlcap", "--input-path", f"{work}/frontier",
+        "--output-path", f"{work}/frontier_kept",
+        "--cap", "20", "--profile-path", f"{work}/domains",
+    ], spark=spark)
+    kept = spark.read.parquet(f"{work}/frontier_kept")
+    # 20 sources x 25 docs each, cap 20 -> exactly 20 survive per domain
+    assert kept.groupBy("domain").count().where("count > 20").count() == 0
+    assert kept.count() == 20 * 20
+    domains = spark.read.parquet(f"{work}/domains")
+    assert domains.count() == 20
+    # unique synthetic URLs: canonical collapse is a no-op here and the
+    # profile must say so (dup_rate 0), while canon still strips www+utm
+    assert domains.where("dup_rate_e6 != 0").count() == 0
+    assert kept.where("canon_url LIKE '%utm%' OR canon_url LIKE 'www%'").count() == 0
+
     # 1. profile
     main([
         "sql", "--sf-dir", SF,

@@ -160,3 +160,83 @@ def test_host_profile_counts_and_dup_rate(spark):
     assert (ex["n_raw"], ex["n_canon"], ex["n_hosts"]) == (3, 2, 2)
     assert ex["dup_rate_e6"] == (1_000_000 * 1) // 3
     assert out["other.org"]["dup_rate_e6"] == 0
+
+
+def test_group_split_is_group_atomic_and_stable(spark):
+    from telemetry_streaming_spark.operators.sampling import group_split
+
+    rows = [(i, f"g{i % 9}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    splits = [("train", 9000), ("val", 500), ("test", 500)]
+    out = group_split(df, "grp", splits)
+    # atomic: one split per group
+    multi = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+    # stable under corpus growth: adding groups never moves old ones
+    base = {r["grp"]: r["split"] for r in out.select("grp", "split").distinct().collect()}
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, f"h{i}") for i in range(50)], ["id", "grp"]
+    )
+    regrown = {
+        r["grp"]: r["split"]
+        for r in group_split(grown, "grp", splits)
+        .select("grp", "split").distinct().collect()
+    }
+    assert all(regrown[g] == s for g, s in base.items())
+
+
+def test_group_split_null_group_lands_in_last_split(spark):
+    from telemetry_streaming_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame([(1, None), (2, "g")], ["id", "grp"])
+    out = {r["id"]: r["split"] for r in group_split(
+        df, "grp", [("a", 5000), ("b", 3000), ("c", 2000)]
+    ).collect()}
+    assert out[1] == "c"
+
+
+def test_group_split_rejects_bad_weights(spark):
+    from telemetry_streaming_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame([(1, "g")], ["id", "grp"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_split(df, "grp", [("a", 5000), ("b", 4000)])
+    with _pytest.raises(ValueError):
+        group_split(df, "grp", [("a", 10001), ("b", -1)])
+
+
+def test_group_split_sql_case_matches_column_expression(spark, duck):
+    """The generated SQL CASE and the Column expression must assign
+    identically — the contract the registry oracles lean on."""
+    from telemetry_streaming_spark.operators.sampling import (
+        group_split,
+        group_split_sql_case,
+    )
+
+    splits = [("train", 9000), ("val", 500), ("test", 500)]
+    rows = [(i, f"dom{i}.com") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    got = {
+        r["grp"]: r["split"] for r in group_split(df, "grp", splits).collect()
+    }
+    case = group_split_sql_case("grp", splits)
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["id", "grp"])
+    duck.register("grp_rows", pdf)
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            f"SELECT grp, {case} AS split FROM grp_rows"
+        ).fetchall()
+    }
+    duck.unregister("grp_rows")
+    assert got == want
+    assert set(want.values()) == {"train", "val", "test"}
