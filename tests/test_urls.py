@@ -240,3 +240,53 @@ def test_group_split_sql_case_matches_column_expression(spark, duck):
     duck.unregister("grp_rows")
     assert got == want
     assert set(want.values()) == {"train", "val", "test"}
+
+
+def test_psl_domain_longest_match_and_fallbacks(spark):
+    """with_psl_domain: longest matching public suffix + one label;
+    no-match and suffix-is-whole-host rows fall back to last-2."""
+    from telemetry_streaming_spark.operators.urls import with_psl_domain
+
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("org",)], ["suffix"]
+    )
+    rows = [
+        (1, "a.b.co.uk"),        # co.uk beats uk -> b.co.uk
+        (2, "www.example.com"),  # com -> example.com
+        (3, "deep.sub.site.org"),  # org -> site.org
+        (4, "host.internal"),    # no match -> last-2 fallback
+        (5, "co.uk"),            # IS a suffix, nothing registrable -> fallback
+        (6, "example.com:8443"), # port stripped before matching
+        (7, "localhost"),        # single label, no match -> itself
+    ]
+    df = spark.createDataFrame(rows, ["id", "host"])
+    out = {r["id"]: r["psl_domain"] for r in with_psl_domain(df, "host", psl).collect()}
+    assert out == {
+        1: "b.co.uk",
+        2: "example.com",
+        3: "site.org",
+        4: "host.internal",
+        5: "co.uk",
+        6: "example.com",
+        7: "localhost",
+    }
+
+
+def test_psl_domain_agrees_with_mini_psl_on_the_synth_hosts(spark):
+    """On the registry's synthetic hosts the broadcast-PSL variant and
+    the mini-PSL regex must agree exactly — the documented claim that
+    swapping in the real list changes no downstream plan shape."""
+    from telemetry_streaming_spark.operators.urls import (
+        with_psl_domain,
+        with_url_columns,
+    )
+    from telemetry_streaming_spark.plans.queries import QUERIES, _url_synth_col
+    from telemetry_streaming_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", _url_synth_col().alias("url")
+    )
+    canon = with_url_columns(docs, "url")
+    psl = spark.createDataFrame([("com",), ("co.uk",), ("uk",)], ["suffix"])
+    both = with_psl_domain(canon, "host", psl)
+    assert both.where(F.col("domain") != F.col("psl_domain")).count() == 0
