@@ -1297,15 +1297,108 @@ def run_urlcap(spark, args):
     writes the per-domain hygiene report (host_profile) the next
     run's --cap should be sized from.  Runs FIRST in a crawl
     pipeline: it reads only (id, url) columns, so column pruning
-    keeps it scan-light even over a body-carrying table."""
+    keeps it scan-light even over a body-carrying table.
+
+    --stream-input <dir>: continuous FRONTIER admission — a
+    checkpointed availableNow drain of (id, url) parquet drops.  Each
+    micro-batch canonicalizes, drops canonical pages the persisted
+    store (--output-path) already admitted (one left-anti equi-join
+    on canon_url — O(batch + store-probe), never O(store) rewrites),
+    and admits new pages only while their domain is under --cap
+    (batch ranks via per_group_cap, offset by the store's current
+    per-domain counts).  Appends are at-least-once on foreachBatch
+    replay: a replayed batch's already-appended canons anti-join away,
+    and a crash-duplicated canon row costs storage, not correctness —
+    every count here reads DISTINCT (domain, canon_url)."""
+    from pyspark.sql import functions as F
+
     from telemetry_streaming_spark.operators.urls import (
         host_profile,
         url_dedup_cap,
+        with_url_columns,
     )
 
-    _require(args, "input-path", "output-path")
+    _require(args, "output-path")
     if args.cap <= 0:
         raise SystemExit("--cap must be positive")
+    if getattr(args, "stream_input", None):
+        from telemetry_streaming_spark.operators.sampling import per_group_cap
+
+        _require(args, "checkpoint-path")
+        store_dir = args.output_path
+
+        def _store(cols):
+            if os.path.isdir(store_dir) and any(
+                not f.startswith(("_", ".")) for f in os.listdir(store_dir)
+            ):
+                return spark.read.parquet(store_dir).select(*cols)
+            return None
+
+        def admit(batch, epoch):
+            canon = with_url_columns(
+                batch.select(args.id_col, args.url_col), args.url_col
+            ).where(F.col("canon_url").isNotNull())
+            uniq = canon.groupBy("domain", "canon_url").agg(
+                F.min(F.col(args.id_col)).cast("long").alias(args.id_col)
+            )
+            store = _store(["domain", "canon_url"])
+            if store is not None:
+                uniq = uniq.join(
+                    store.select("canon_url").distinct(),
+                    "canon_url",
+                    "left_anti",
+                )
+                counts = (
+                    store.distinct()
+                    .groupBy("domain")
+                    .agg(F.count(F.lit(1)).cast("long").alias("__have"))
+                )
+            else:
+                counts = None
+            ranked = per_group_cap(
+                uniq, "domain", "canon_url", cap=args.cap, keep_rank=True
+            )
+            if counts is not None:
+                ranked = ranked.join(counts, "domain", "left").withColumn(
+                    "__have", F.coalesce(F.col("__have"), F.lit(0))
+                )
+            else:
+                ranked = ranked.withColumn("__have", F.lit(0))
+            admitted = ranked.where(
+                F.col("__rk") + F.col("__have") <= args.cap
+            ).select("domain", "canon_url", args.id_col)
+            admitted.write.mode("append").parquet(store_dir)
+            n_adm = (
+                spark.read.parquet(store_dir)
+                .select("domain", "canon_url")
+                .distinct()
+                .count()
+            )
+            print(f"epoch_{epoch}_store_pages: {n_adm}")
+
+        # drops may arrive as parquet FILES or parquet DIRECTORIES —
+        # infer the schema recursively and stream on a one-level glob
+        # so both shapes are picked up
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(args.stream_input)
+            .schema
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+            .parquet(os.path.join(args.stream_input, "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", args.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return
+
+    _require(args, "input-path")
     df = spark.read.parquet(args.input_path)
     for col in (args.url_col, args.id_col):
         if col not in df.columns:
@@ -1997,6 +2090,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--cap", type=int, default=1000)
     p.add_argument("--profile-path", help="also write the per-domain hygiene report here")
+    p.add_argument("--stream-input",
+                   help="continuous frontier admission: watched dir of (id,url) parquet drops")
+    p.add_argument("--checkpoint-path", help="admission stream checkpoint dir")
+    p.add_argument("--max-files-per-trigger", type=int, default=1)
 
     p = sub.add_parser("compact", help="small-files parquet compaction")
     p.add_argument("--input-path")

@@ -1553,3 +1553,70 @@ def test_cli_urlcap_end_to_end(spark, tmp_path, capsys):
     assert pr["cold.com"]["n_raw"] == 2 and pr["cold.com"]["n_canon"] == 1
     captured = capsys.readouterr().out
     assert "urlcap_survivors: 6" in captured
+
+
+def test_cli_urlcap_streaming_frontier_admission(spark, tmp_path, capsys):
+    """urlcap --stream-input: checkpointed availableNow frontier
+    admission — night 2's re-crawled URLs anti-join away, its new
+    pages admit only up to the remaining per-domain budget, and
+    re-invoking with the same checkpoint processes nothing new."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.cli import main
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # night 1: 4 distinct pages on hot.com (one a www/utm variant of
+    # another), 1 on cold.com
+    n1 = [
+        (1, "https://hot.com/a"),
+        (2, "https://WWW.hot.com/a/?utm_source=x"),  # variant of /a
+        (3, "https://hot.com/b"),
+        (4, "https://hot.com/c"),
+        (5, "https://hot.com/d"),
+        (6, "https://cold.com/x"),
+    ]
+    spark.createDataFrame(n1, ["doc_id", "url"]).coalesce(1).write.parquet(
+        str(drop_dir / "night1")
+    )
+    argv = [
+        "urlcap", "--stream-input", str(drop_dir), "--output-path", store,
+        "--checkpoint-path", ckpt, "--cap", "5",
+    ]
+    main(argv, spark=spark)
+    st = spark.read.parquet(store)
+    assert st.select("canon_url").distinct().count() == 5  # 4 hot + 1 cold
+    # the variant collapsed to MIN id
+    assert st.where("canon_url = 'hot.com/a'").collect()[0]["doc_id"] == 1
+
+    # night 2: a re-crawl of hot.com/a (rejected), two genuinely new
+    # hot pages (only ONE fits under cap=5), one new cold page
+    n2 = [
+        (10, "https://hot.com/a/"),
+        (11, "https://hot.com/e"),
+        (12, "https://hot.com/f"),
+        (13, "https://cold.com/y"),
+    ]
+    spark.createDataFrame(n2, ["doc_id", "url"]).coalesce(1).write.parquet(
+        str(drop_dir / "night2")
+    )
+    main(argv, spark=spark)
+    st = spark.read.parquet(store).select("domain", "canon_url", "doc_id").distinct()
+    hot = {r["canon_url"] for r in st.where("domain = 'hot.com'").collect()}
+    assert len(hot) == 5  # capped: 4 from night 1 + exactly 1 new
+    assert {"hot.com/a", "hot.com/b", "hot.com/c", "hot.com/d"} <= hot
+    assert len(hot & {"hot.com/e", "hot.com/f"}) == 1
+    assert st.where("domain = 'cold.com'").count() == 2
+    # the re-crawled page kept night 1's survivor id
+    assert st.where("canon_url = 'hot.com/a'").collect()[0]["doc_id"] == 1
+
+    # re-invoking with nothing new is a checkpointed no-op
+    before = st.count()
+    main(argv, spark=spark)
+    after = spark.read.parquet(store).select(
+        "domain", "canon_url", "doc_id"
+    ).distinct().count()
+    assert after == before
