@@ -20,7 +20,7 @@ def test_parser_covers_all_jobs():
         "crashes_to_influx", "crashes_to_opentsdb", "events_to_amplitude",
         "federated_optimizer", "curate", "hygiene", "export",
         "minhash_index", "maintain", "clusters", "ann_index", "sql", "lint",
-        "report", "compact", "rollup", "train",
+        "report", "compact", "rollup", "train", "urlcap",
     }
 
 
