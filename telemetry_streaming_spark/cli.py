@@ -490,14 +490,19 @@ def run_minhash_index(spark, args):
                     # and `clusters` skips batch dirs already in its
                     # manifest, so every night after the first would
                     # drop out of the labeling flow (r9 ADVICE).
-                    # Derive the name from the input instead: distinct
-                    # nightly drop dirs get distinct subdirs, and a
-                    # RERUN of the same drop overwrites its own subdir
-                    # (the idempotency the overwrite is for).
-                    base = os.path.basename(
-                        os.path.normpath(args.input_path)
-                    ) or "batch"
-                    batch_name = f"batch-{base}"
+                    # Derive the name from the FULL normalized input
+                    # path (basename for readability + a path hash for
+                    # uniqueness: /drops/01-01/docs and /drops/01-02/
+                    # docs share a leaf but must not share a subdir —
+                    # r10 review); a RERUN of the same drop still
+                    # overwrites its own subdir (the idempotency the
+                    # overwrite exists for).
+                    import hashlib
+
+                    norm = os.path.normpath(args.input_path)
+                    base = os.path.basename(norm) or "batch"
+                    digest = hashlib.md5(norm.encode()).hexdigest()[:8]
+                    batch_name = f"batch-{base}-{digest}"
             if epoch is not None:
                 batch_name = f"{batch_name}-epoch{epoch}"
             night_pairs = (
@@ -1328,16 +1333,25 @@ def run_urlcap(spark, args):
         store_dir = args.output_path
 
         def _store(cols):
-            if os.path.isdir(store_dir) and any(
-                not f.startswith(("_", ".")) for f in os.listdir(store_dir)
-            ):
+            # probe THROUGH Spark, not the local filesystem: an
+            # os.listdir probe silently reads remote stores (s3a://,
+            # hdfs://) as empty, which would disable cross-batch dedup
+            # and reset every night's cap budget (r10 review)
+            from pyspark.errors import AnalysisException
+
+            try:
+                # a missing path or a dir with no parquet raises at
+                # read/analysis time; no action needed to probe
                 return spark.read.parquet(store_dir).select(*cols)
-            return None
+            except AnalysisException:
+                return None
 
         def admit(batch, epoch):
             canon = with_url_columns(
                 batch.select(args.id_col, args.url_col), args.url_col
-            ).where(F.col("canon_url").isNotNull())
+            ).where(
+                F.col("canon_url").isNotNull() & (F.col("canon_url") != "")
+            )
             uniq = canon.groupBy("domain", "canon_url").agg(
                 F.min(F.col(args.id_col)).cast("long").alias(args.id_col)
             )
@@ -1367,23 +1381,31 @@ def run_urlcap(spark, args):
             admitted = ranked.where(
                 F.col("__rk") + F.col("__have") <= args.cap
             ).select("domain", "canon_url", args.id_col)
+            # progress reads the BATCH, never the store: a per-epoch
+            # full-store distinct().count() would make one drain
+            # quadratic in total admitted pages (r10 review) — persist
+            # so count + write execute the admission plan once
+            admitted.persist()
+            n_adm = admitted.count()
             admitted.write.mode("append").parquet(store_dir)
-            n_adm = (
-                spark.read.parquet(store_dir)
-                .select("domain", "canon_url")
-                .distinct()
-                .count()
-            )
-            print(f"epoch_{epoch}_store_pages: {n_adm}")
+            admitted.unpersist()
+            print(f"epoch_{epoch}_admitted: {n_adm}")
 
         # drops may arrive as parquet FILES or parquet DIRECTORIES —
         # infer the schema recursively and stream on a one-level glob
-        # so both shapes are picked up
-        schema = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(args.stream_input)
-            .schema
-        )
+        # so both shapes are picked up.  A provisioned-but-empty watch
+        # dir is a clean no-op drain, not a crash (r10 review).
+        from pyspark.errors import AnalysisException
+
+        try:
+            schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(args.stream_input)
+                .schema
+            )
+        except AnalysisException:
+            print("urlcap: no parquet under --stream-input yet; nothing to drain")
+            return
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
@@ -2004,8 +2026,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pairs-batch-name", default=None,
                    help="batch subdir name under --pairs-output; stream "
                         "epochs suffix -epochN; reruns overwrite. Default: "
-                        "'batch' in stream mode, 'batch-<input basename>' "
-                        "in batch mode (so nightly reruns never collide)")
+                        "'batch' in stream mode, 'batch-<basename>-<path "
+                        "hash>' in batch mode (distinct drops never collide)")
 
     p = sub.add_parser(
         "maintain",
@@ -2029,7 +2051,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batch subdir name under --pairs-output "
                         "(e.g. night-2024-01-01); reruns overwrite it. "
                         "Default: 'batch' in stream mode (epoch-suffixed), "
-                        "'batch-<input basename>' in batch mode")
+                        "'batch-<basename>-<path hash>' in batch mode")
 
     p = sub.add_parser(
         "clusters",

@@ -9,10 +9,11 @@ def epoch_seconds(ts_col: str) -> Column:
     """Exact ``floor(epoch seconds)`` of a timestamp column as BIGINT.
 
     ``unix_micros(ts) div 1000000`` truncates toward zero, which rounds
-    UP for pre-1970 timestamps with fractional seconds, while every
-    oracle floors (DuckDB's ``//`` and ``FLOOR(epoch(...))`` both
-    floor) — so window ordering and hashes could diverge on pre-epoch
-    data (r7 ADVICE).  Subtracting ``pmod`` (always non-negative) first
+    UP for pre-1970 timestamps with fractional seconds, while the
+    oracles floor via ``FLOOR(epoch(...))`` — so window ordering and
+    hashes could diverge on pre-epoch data (r7 ADVICE).  NB: DuckDB's
+    ``//`` is NOT a floor — it also truncates toward zero (verified on
+    1.0.0: -7 // 2 = -3); only ``FLOOR(epoch(...))`` floors.  Subtracting ``pmod`` (always non-negative) first
     makes the numerator an exact multiple of 1e6, so the integer ``div``
     IS the floor for every input — all-BIGINT, no double round-trip.
     """

@@ -93,10 +93,7 @@ def group_split(
     falls through to the LAST split — documented, not accidental (the
     last split is the one an auditor already inspects hardest).
     """
-    if sum(w for _, w in splits) != 10000:
-        raise ValueError("split weights must sum to 10000 (e4)")
-    if any(w <= 0 for _, w in splits):
-        raise ValueError("split weights must be positive")
+    _check_splits(splits)
     b = F.substring(F.md5(F.col(group_col).cast("string")), 1, 4)
     expr = F.lit(splits[-1][0])
     cum = 0
@@ -111,10 +108,22 @@ def group_split(
     return df.withColumn(split_col, expr)
 
 
+def _check_splits(splits: list[tuple[str, int]]) -> None:
+    """Shared by the Column and SQL builders: a malformed weight list
+    must fail loudly in BOTH, or the 'one boundary arithmetic' claim
+    holds only for callers who remember to build the engine side
+    first (r10 review)."""
+    if sum(w for _, w in splits) != 10000:
+        raise ValueError("split weights must sum to 10000 (e4)")
+    if any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive")
+
+
 def group_split_sql_case(group_expr: str, splits: list[tuple[str, int]]) -> str:
     """The ANSI-SQL twin of :func:`group_split`'s assignment — shared
     by the registry oracles so the boundary arithmetic can never fork
     between the engine and the check."""
+    _check_splits(splits)
     cum = 0
     arms = []
     for name, w in splits[:-1]:

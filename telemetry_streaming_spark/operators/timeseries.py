@@ -928,7 +928,8 @@ def cusum_shifts(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # target = floor(key total / key periods): integer `div`, exact
+    # target = key total div key periods: TRUNCATING integer division
+    # (toward zero; matches DuckDB's `//` — see the docstring), exact
     with_target = df.withColumn(
         "__n", F.count(F.lit(1)).over(w_all).cast("long")
     ).withColumn(

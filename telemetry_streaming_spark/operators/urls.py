@@ -170,16 +170,21 @@ def with_psl_domain(
     first).  A row whose host IS a public suffix exactly (e.g. a bare
     'co.uk') has no extra label to keep and also falls back.
     """
-    hostname = F.regexp_replace(F.col(host_col), ":[0-9]+$", "")
-    out = df.withColumn("__row_id", F.monotonically_increasing_id())
-    out = out.withColumn("__hn", hostname)
-    labels = F.split(F.col("__hn"), r"\.")
+    out = df.withColumn(
+        "__hn", F.regexp_replace(F.col(host_col), ":[0-9]+$", "")
+    )
+    # The match is computed once per DISTINCT hostname and joined back
+    # BY HOSTNAME — a deterministic key.  (An earlier draft keyed the
+    # self-join on monotonically_increasing_id, which is re-evaluated
+    # independently per join branch and is nondeterministic downstream
+    # of a shuffle — rows could silently receive another row's domain.)
+    hosts = out.select("__hn").distinct()
     # candidate suffixes: last k labels for k = 1..n-1 (k = n would
     # leave no registrable label)
     # NB: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of being
     # empty (the FastSS r9 trap) — a single-label host must produce an
     # empty candidate array explicitly, not via sequence bounds
-    cands = out.withColumn(
+    cands = hosts.withColumn(
         "__cand",
         F.expr(
             "CASE WHEN size(split(__hn, '\\\\.')) > 1 THEN "
@@ -187,13 +192,13 @@ def with_psl_domain(
             " k -> concat_ws('.', slice(split(__hn, '\\\\.'), -k, k))) "
             "ELSE array() END"
         ),
-    ).select("__row_id", "__hn", F.explode_outer("__cand").alias("__suffix"))
+    ).select("__hn", F.explode_outer("__cand").alias("__suffix"))
     matched = (
         cands.join(
             F.broadcast(psl.select(F.col(suffix_col).alias("__suffix"))),
             "__suffix",
         )
-        .groupBy("__row_id")
+        .groupBy("__hn")
         # longest matching suffix wins; carry its LABEL count, since
         # "suffix + one more label" is a label-slice, not char math
         .agg(
@@ -207,7 +212,7 @@ def with_psl_domain(
         " -least(size(split(__hn, '\\\\.')), 2),"
         " least(size(split(__hn, '\\\\.')), 2)))"
     )
-    best = out.join(matched, "__row_id", "left").withColumn(
+    best = out.join(matched, "__hn", "left").withColumn(
         out_col,
         F.when(
             F.col("__k").isNotNull()
@@ -219,7 +224,7 @@ def with_psl_domain(
             ),
         ).otherwise(fallback),
     )
-    return best.drop("__row_id", "__hn", "__k")
+    return best.drop("__hn", "__k")
 
 
 def url_dedup_cap(
@@ -241,6 +246,13 @@ def url_dedup_cap(
     ``(domain, canon, id, n_dups, rk)`` with ``rk`` the page's
     deterministic 1-based rank within its domain.
 
+    Rows whose canonical URL is NULL (NULL input) or empty (empty or
+    whitespace-only input) are DROPPED — they are non-pages, and
+    letting them through would spend real cap slots on a fabricated
+    ''-domain group (r10 review; the streaming admission path applies
+    the identical filter, so batch and stream stores agree on
+    identical input).
+
     Scale shape: one exchange on the canonical URL (the dedup
     aggregate, map-side combinable), then the cap's domain/bucket
     exchange + broadcast offset join.  Nothing row-at-a-time, nothing
@@ -250,7 +262,7 @@ def url_dedup_cap(
 
     canon = with_url_columns(
         df, url_col, canon_col=canon_col, domain_col=domain_col
-    )
+    ).where(F.col(canon_col).isNotNull() & (F.col(canon_col) != ""))
     uniq = canon.groupBy(domain_col, canon_col).agg(
         F.min(F.col(id_col)).cast("long").alias(id_col),
         F.count(F.lit(1)).cast("long").alias("n_dups"),

@@ -290,3 +290,13 @@ def test_psl_domain_agrees_with_mini_psl_on_the_synth_hosts(spark):
     psl = spark.createDataFrame([("com",), ("co.uk",), ("uk",)], ["suffix"])
     both = with_psl_domain(canon, "host", psl)
     assert both.where(F.col("domain") != F.col("psl_domain")).count() == 0
+
+
+def test_group_split_sql_case_rejects_bad_weights():
+    from telemetry_streaming_spark.operators.sampling import (
+        group_split_sql_case,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_split_sql_case("g", [("a", 5000), ("b", 4000)])
