@@ -148,3 +148,77 @@ def test_audio_chunks_overlap_schedule(spark):
     # consecutive chunks overlap by exactly overlap_s (except the clamped tail)
     with pytest.raises(ValueError):
         audio_chunks(media, chunk_s=2, overlap_s=2)
+
+
+def _wav_bytes(samples, sample_rate=16000, channels=1):
+    """Build a real RIFF/WAVE PCM16 container with stdlib wave."""
+    import io
+    import wave
+    from array import array
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def test_decode_wav_batch_real_pcm_decode(spark):
+    """decode_wav_batch parses REAL WAV containers: a square wave's
+    energy and zero crossings are exact closed forms, a stereo clip
+    decodes its first channel, and a corrupt payload degrades to
+    decode_ok=0 without killing the partition."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.ext.multimodal import decode_wav_batch
+
+    # 1. square wave: 100 samples alternating +1000/-1000 at 8 kHz
+    sq = [1000 if i % 2 == 0 else -1000 for i in range(100)]
+    # 2. stereo: L channel ramps 0..49, R channel constant -7
+    stereo = []
+    for i in range(50):
+        stereo += [i, -7]
+    # 3. silence
+    silence = [0] * 80
+    rows = [
+        (1, _wav_bytes(sq, sample_rate=8000)),
+        (2, _wav_bytes(stereo, channels=2)),
+        (3, _wav_bytes(silence)),
+        (4, b"not a wav at all"),
+    ]
+    meta = F.struct(
+        F.lit("audio").alias("media_type"), F.lit("wav").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(None).cast("float").alias("duration_s"),
+        F.lit(0).cast("long").alias("byte_len"),
+    )
+    media = spark.createDataFrame(rows, ["media_id", "payload"]).select(
+        F.col("media_id").cast("long").alias("media_id"), "payload",
+        meta.alias("meta"),
+    )
+    got = {r["media_id"]: r for r in decode_wav_batch(media).collect()}
+
+    sq_row = got[1]
+    assert sq_row["decode_ok"] == 1
+    assert sq_row["sample_rate"] == 8000
+    assert sq_row["n_frames"] == 100
+    assert sq_row["duration_ms"] == 100 * 1000 // 8000
+    assert sq_row["energy"] == 100 * 1000 * 1000
+    assert sq_row["zero_crossings"] == 99  # every consecutive pair flips
+
+    st = got[2]
+    assert (st["channels"], st["n_frames"]) == (2, 50)
+    # first channel is the ramp 0..49: energy = sum i^2, no crossings
+    assert st["energy"] == sum(i * i for i in range(50))
+    assert st["zero_crossings"] == 0
+
+    si = got[3]
+    assert (si["decode_ok"], si["energy"], si["zero_crossings"]) == (1, 0, 0)
+
+    bad = got[4]
+    assert bad["decode_ok"] == 0 and bad["energy"] is None
