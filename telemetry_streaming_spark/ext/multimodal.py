@@ -321,6 +321,105 @@ def decode_wav_batch(media: DataFrame) -> DataFrame:
     return auds.mapInPandas(run, DECODED_WAV_SCHEMA)
 
 
+WAV_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("series_key", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def wav_roundtrip_series(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Encode each key's ordered int16 series into a REAL RIFF/WAVE
+    PCM container (stdlib ``wave``), decode it back, and emit the
+    decoded stats — the end-to-end proof that the binary-column path
+    (encode -> opaque bytes -> Arrow batch -> decode) is lossless.
+    Because PCM16 is exact, the decoded ``energy`` / ``zero_crossings``
+    equal what ANY engine computes directly from the integers — which
+    is exactly what the registry oracle does in SQL, making this the
+    rare multimodal operator with a full hash check, not a rows-only
+    one.
+
+    Per-key series assemble via array_sort over (order..., value)
+    structs — one key exchange, no second window pass (the session-path
+    pattern); each key's series must fit one task, the same contract
+    as the DTW and path operators.  Values must already be in int16
+    range — out-of-range values raise in the encoder rather than
+    silently wrapping.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+        import sys
+        import wave
+        from array import array
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "series_key", "n_frames", "duration_ms", "energy",
+                "zero_crossings",
+            )}
+            for key, vals in zip(pdf["series_key"], pdf["series"]):
+                samples = [int(v) for v in vals]
+                if any(not -32768 <= s <= 32767 for s in samples):
+                    raise ValueError(f"series {key}: sample out of int16 range")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    arr = array("h", samples)
+                    if sys.byteorder == "big":
+                        arr.byteswap()
+                    w.writeframes(arr.tobytes())
+                # decode the bytes we just wrote — the full roundtrip
+                with wave.open(io.BytesIO(buf.getvalue())) as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                back = array("h")
+                back.frombytes(raw)
+                if sys.byteorder == "big":
+                    back.byteswap()
+                energy = 0
+                zc = 0
+                prev = None
+                for s in back:
+                    energy += s * s
+                    if prev is not None and ((s < 0 <= prev) or (prev < 0 <= s)):
+                        zc += 1
+                    prev = s
+                out["series_key"].append(key)
+                out["n_frames"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["energy"].append(energy)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    ordered = df.groupBy(F.col(key_col).cast("long").alias("series_key")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(*[F.col(c) for c in order_cols], F.col(value_col))
+                )
+            ),
+            lambda s: s[value_col].cast("long"),
+        ).alias("series")
+    )
+    return ordered.mapInPandas(run, WAV_ROUNDTRIP_SCHEMA)
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Deterministic 'embedding' per payload via mapInPandas — the
     batch shape (Arrow transfer, vectorized per-partition work) is

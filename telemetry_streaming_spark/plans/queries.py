@@ -10628,6 +10628,59 @@ def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wav_roundtrip_stats",
+    oracle="""
+    WITH samples AS (
+        SELECT l_suppkey,
+               ((l_orderkey * 7 + l_linenumber * 131) % 30001) - 15000 AS v,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    flagged AS (
+        SELECT l_suppkey, v,
+               LAG(v) OVER (PARTITION BY l_suppkey
+                            ORDER BY l_orderkey, l_linenumber) AS pv
+        FROM samples
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS series_key,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND
+                         ((v < 0 AND pv >= 0) OR (pv < 0 AND v >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM flagged GROUP BY l_suppkey
+    """,
+)
+def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10): WAV codec ROUNDTRIP under a full hash check
+    (ext/multimodal.py:wav_roundtrip_series) — each supplier's ordered
+    pseudo-signal (an integer expression over its lineitems, int16
+    range by construction) is encoded into a real RIFF/WAVE PCM16
+    container with the stdlib codec, decoded back from the bytes, and
+    reduced to exact BIGINT stats.  PCM16 is lossless, so the decoded
+    energy / zero-crossing counts must equal what DuckDB computes
+    straight from the integers — the oracle never sees a byte of WAV,
+    which is the point: a codec, framing, or byte-order defect
+    anywhere in the binary path breaks the hash.  One key exchange to
+    assemble series (array_sort, no second window), Arrow-batched
+    encode+decode in mapInPandas."""
+    from telemetry_streaming_spark.ext.multimodal import wav_roundtrip_series
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        (
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 131) % 30001
+            - 15000
+        ).cast("int").alias("v"),
+    )
+    return wav_roundtrip_series(
+        li, "l_suppkey", ["l_orderkey", "l_linenumber"], "v",
+        sample_rate=16000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness hash-checks the
 # FIRST 50 registry entries; everything after gets no driver-side row.
@@ -10689,22 +10742,22 @@ def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     "leak_safe_split", "split_leakage_audit", "url_canonical_dedup",
-    "url_host_stats", "shard_manifest", "shipping_delay_priority",
-    "skew_report", "text_chunks", "text_ngram_topk",
-    "token_entropy", "top_supplier", "waiting_suppliers",
-    "windowed_top_keys", "conditional_counts", "dedup_exact",
-    "dedup_ngram_jaccard", "pricing_summary", "sessionize",
-    "similarity_topk", "windowed_sum", "boilerplate_chunks",
-    "constraint_violations", "dup_cluster_keep", "pagerank_top",
-    "pca_top_component", "target_likeness", "windowed_drift",
-    "active_user_snapshot", "bigram_path_stats", "int8_quant_error",
-    "kmeans_silhouette", "pq_distortion_stats", "price_qty_rank_corr",
-    "windowed_violations", "activity_overlap", "balance_deciles",
-    "basket_rules", "benford_digits", "bigram_lm_score",
-    "bigram_surprisal_stats", "bloom_semi_join", "bpe_pair_stats",
-    "bpe_train", "cohort_revenue_matrix", "conversion_delay_buckets",
-    "cumulative_unique_users", "dedup_normalized", "discount_quantity_slope",
-    "dow_seasonality", "dup_span_removal",
+    "url_host_stats", "wav_roundtrip_stats", "shard_manifest",
+    "shipping_delay_priority", "skew_report", "text_chunks",
+    "text_ngram_topk", "token_entropy", "top_supplier",
+    "waiting_suppliers", "windowed_top_keys", "conditional_counts",
+    "dedup_exact", "dedup_ngram_jaccard", "pricing_summary",
+    "sessionize", "similarity_topk", "windowed_sum",
+    "boilerplate_chunks", "constraint_violations", "dup_cluster_keep",
+    "pagerank_top", "pca_top_component", "target_likeness",
+    "windowed_drift", "active_user_snapshot", "bigram_path_stats",
+    "int8_quant_error", "kmeans_silhouette", "pq_distortion_stats",
+    "price_qty_rank_corr", "windowed_violations", "activity_overlap",
+    "balance_deciles", "basket_rules", "benford_digits",
+    "bigram_lm_score", "bigram_surprisal_stats", "bloom_semi_join",
+    "bpe_pair_stats", "bpe_train", "cohort_revenue_matrix",
+    "conversion_delay_buckets", "cumulative_unique_users", "dedup_normalized",
+    "discount_quantity_slope", "dow_seasonality",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -222,3 +222,15 @@ def test_decode_wav_batch_real_pcm_decode(spark):
 
     bad = got[4]
     assert bad["decode_ok"] == 0 and bad["energy"] is None
+
+
+def test_wav_roundtrip_series_rejects_out_of_range(spark):
+    import pytest as _pytest
+
+    from telemetry_streaming_spark.ext.multimodal import wav_roundtrip_series
+
+    df = spark.createDataFrame(
+        [(1, 1, 40000), (1, 2, 0)], ["k", "o", "v"]
+    )
+    with _pytest.raises(Exception, match="int16"):
+        wav_roundtrip_series(df, "k", ["o"], "v").collect()
