@@ -332,6 +332,13 @@ TREND_FULL = [
     # the fixed floor, the same shape part_kcore's committed rows
     # already prove falls with SF; tracked from its first round
     "part_communities",
+    # r10 newcomers crossing the >=1s, >2x bar in the committed
+    # baseline: url_canonical_dedup is the multi-job cap plan (window
+    # + broadcast-offset join) over 5k rows — pure scheduling floor
+    # at sf0.1; source_drift's committed row caught the slow side of
+    # its idle_rerun_spread band (0.44 s on the other idle run) —
+    # both get the standard 3-point defense from their first round
+    "url_canonical_dedup", "source_drift",
 ]
 
 # Proven floor cases: sf0.1 ratio < GRADUATE_BOUND two rounds running
