@@ -59,11 +59,15 @@ def with_url_columns(
     canon_col: str = "canon_url",
     host_col: str = "host",
     domain_col: str = "domain",
+    path_col: str | None = None,
 ) -> DataFrame:
     """Add canonical-URL, canonical-host and registrable-domain
     columns (module-doc contract).  Staged through temp columns so
     each piece is computed once; every step is a built-in string
-    expression — the whole thing is one codegen'd projection."""
+    expression — the whole thing is one codegen'd projection.
+    ``path_col`` optionally keeps the canonical path (trailing slashes
+    stripped, query excluded) as its own column — the input
+    :func:`robots_filter` matches rules against."""
     rest = F.regexp_replace(
         F.regexp_replace(F.trim(F.col(url_col)), "#.*", ""),
         r"^[a-zA-Z][a-zA-Z0-9+.\-]*://",
@@ -135,12 +139,13 @@ def with_url_columns(
                 ".", F.expr("slice(split(__hostname, '\\\\.'), -__k, __k)")
             ),
         )
-        .drop(
-            "__rest", "__hostport", "__pq", "__path", "__qs", "__params",
-            "__k", "__hostname",
-        )
     )
-    return out
+    if path_col is not None:
+        out = out.withColumn(path_col, F.col("__path"))
+    return out.drop(
+        "__rest", "__hostport", "__pq", "__path", "__qs", "__params",
+        "__k", "__hostname",
+    )
 
 
 def with_psl_domain(
@@ -301,4 +306,65 @@ def host_profile(
             "dup_rate_e6",
             F.expr("(1000000 * (n_raw - n_canon)) div n_raw").cast("long"),
         )
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    id_col: str,
+    host_col: str = "host",
+    path_col: str = "path",
+    out_col: str = "allowed",
+    rule_host_col: str = "rule_host",
+    prefix_col: str = "prefix",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """robots.txt-style path-prefix filtering over a URL frontier —
+    the crawl-politeness pass that runs right after canonicalization.
+
+    ``rules`` carries one (rule_host, prefix, allow 0/1) row per
+    directive, exactly the parsed form of per-host Allow/Disallow
+    lines.  Semantics are the standard longest-match rule (RFC 9309 /
+    Google): among a URL's matching directives the LONGEST prefix
+    wins; an exact length tie resolves to allow; a URL matching no
+    directive (or a host with no rules at all) is allowed by default.
+
+    Plan shape: the rules table is a classic broadcast dim (a crawl's
+    robots corpus is a few directives per host), joined on host with
+    a ``startswith(path, prefix)`` predicate — the per-row fan-out is
+    the host's directive count, never data-sized — then one
+    row_number per URL id picks the winning directive and a left join
+    restores non-matching rows with the default.  ``id_col`` must be
+    unique per row: the winner is chosen by key, never by a
+    nondeterministic synthetic row id (the with_psl_domain lesson).
+    """
+    r = F.broadcast(
+        rules.select(
+            F.col(rule_host_col).alias("__rhost"),
+            F.col(prefix_col).alias("__prefix"),
+            F.col(allow_col).cast("int").alias("__allow"),
+        )
+    )
+    from pyspark.sql import Window
+
+    matches = df.select(F.col(id_col).alias("__id"),
+                        F.col(host_col).alias("__mhost"),
+                        F.col(path_col).alias("__mpath")).join(
+        r,
+        (F.col("__mhost") == F.col("__rhost"))
+        & F.col("__mpath").startswith(F.col("__prefix")),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.length("__prefix").desc(), F.col("__allow").desc()
+    )
+    winners = (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__id", "__allow")
+    )
+    return (
+        df.join(winners, F.col(id_col) == F.col("__id"), "left")
+        .withColumn(out_col, F.coalesce(F.col("__allow"), F.lit(1)))
+        .drop("__id", "__allow")
     )

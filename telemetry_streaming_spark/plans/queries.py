@@ -10629,6 +10629,79 @@ def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robots_frontier_stats",
+    oracle="WITH " + _URL_CANON_CTES + """,
+    rules AS (
+        SELECT DISTINCT source || '.com' AS rhost, r.prefix, r.allow
+        FROM documents,
+             (VALUES ('/b', 0), ('/b/1', 1)) AS r(prefix, allow)
+    ),
+    matches AS (
+        SELECT s.doc_id, r.allow,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+        FROM s5 s JOIN rules r
+          ON s.host = r.rhost AND starts_with(s.path, r.prefix)
+    ),
+    decided AS (
+        SELECT s.doc_id, s.host,
+               COALESCE(m.allow, 1) AS allowed
+        FROM s5 s LEFT JOIN (SELECT doc_id, allow FROM matches WHERE rn = 1) m
+          ON s.doc_id = m.doc_id
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(allowed) AS BIGINT) AS n_allowed
+    FROM decided GROUP BY host
+    """,
+)
+def robots_frontier_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10): robots.txt-style path-prefix filtering over
+    the synthetic frontier (operators/urls.py:robots_filter) —
+    RFC 9309 longest-match semantics with allow-on-tie and default
+    allow.  Rules: every .com host disallows '/b' but allows back
+    '/b/1' (a LONGER prefix overriding a shorter disallow — the
+    override is exercised on real rows: pages /b/1 and /b/10..12 are
+    re-allowed while /b/0 and /b/2../b/9 stay denied).  The rules
+    frame broadcasts; one row_number per URL id picks the winning
+    directive; co.uk hosts carry no rules and pass by default.  The
+    oracle states the identical longest-match window."""
+    from telemetry_streaming_spark.operators.urls import (
+        robots_filter,
+        with_url_columns,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _url_synth_col().alias("url")
+    )
+    frontier = with_url_columns(docs, "url", path_col="path")
+    rules = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".com")).alias("rule_host"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("/b").alias("prefix"), F.lit(0).alias("allow")
+                    ),
+                    F.struct(
+                        F.lit("/b/1").alias("prefix"), F.lit(1).alias("allow")
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select("rule_host", "r.prefix", "r.allow")
+    )
+    decided = robots_filter(frontier, rules, "doc_id")
+    return decided.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("allowed").cast("long").alias("n_allowed"),
+    )
+
+
+@query(
     "wav_roundtrip_stats",
     oracle="""
     WITH samples AS (
@@ -10741,23 +10814,23 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "leak_safe_split", "split_leakage_audit", "url_canonical_dedup",
-    "url_host_stats", "wav_roundtrip_stats", "shard_manifest",
-    "shipping_delay_priority", "skew_report", "text_chunks",
-    "text_ngram_topk", "token_entropy", "top_supplier",
-    "waiting_suppliers", "windowed_top_keys", "conditional_counts",
-    "dedup_exact", "dedup_ngram_jaccard", "pricing_summary",
-    "sessionize", "similarity_topk", "windowed_sum",
-    "boilerplate_chunks", "constraint_violations", "dup_cluster_keep",
-    "pagerank_top", "pca_top_component", "target_likeness",
-    "windowed_drift", "active_user_snapshot", "bigram_path_stats",
-    "int8_quant_error", "kmeans_silhouette", "pq_distortion_stats",
-    "price_qty_rank_corr", "windowed_violations", "activity_overlap",
-    "balance_deciles", "basket_rules", "benford_digits",
-    "bigram_lm_score", "bigram_surprisal_stats", "bloom_semi_join",
-    "bpe_pair_stats", "bpe_train", "cohort_revenue_matrix",
-    "conversion_delay_buckets", "cumulative_unique_users", "dedup_normalized",
-    "discount_quantity_slope", "dow_seasonality",
+    "leak_safe_split", "robots_frontier_stats", "split_leakage_audit",
+    "url_canonical_dedup", "url_host_stats", "wav_roundtrip_stats",
+    "shard_manifest", "shipping_delay_priority", "skew_report",
+    "text_chunks", "text_ngram_topk", "token_entropy",
+    "top_supplier", "waiting_suppliers", "windowed_top_keys",
+    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
+    "pricing_summary", "sessionize", "similarity_topk",
+    "windowed_sum", "boilerplate_chunks", "constraint_violations",
+    "dup_cluster_keep", "pagerank_top", "pca_top_component",
+    "target_likeness", "windowed_drift", "active_user_snapshot",
+    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
+    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
+    "activity_overlap", "balance_deciles", "basket_rules",
+    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
+    "bloom_semi_join", "bpe_pair_stats", "bpe_train",
+    "cohort_revenue_matrix", "conversion_delay_buckets", "cumulative_unique_users",
+    "dedup_normalized", "discount_quantity_slope",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -300,3 +300,60 @@ def test_group_split_sql_case_rejects_bad_weights():
 
     with _pytest.raises(ValueError):
         group_split_sql_case("g", [("a", 5000), ("b", 4000)])
+
+
+def test_robots_filter_longest_match_tie_and_default(spark):
+    """RFC 9309 semantics: longest prefix wins, exact-length tie goes
+    to allow, no-match and no-rules hosts default to allowed, and one
+    host's rules never leak onto another."""
+    from telemetry_streaming_spark.operators.urls import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/private", 0),
+            ("a.com", "/private/ok", 1),   # longer allow overrides
+            ("a.com", "/t", 0),
+            ("a.com", "/u", 1),
+            ("tie.com", "/x", 0),
+            ("tie.com", "/y", 1),          # same host, same length, diff paths
+            ("tie2.com", "/z", 0),
+            ("tie2.com", "/z", 1),         # EXACT tie -> allow wins
+        ],
+        ["rule_host", "prefix", "allow"],
+    )
+    rows = [
+        (1, "a.com", "/private/secret"),   # denied by /private
+        (2, "a.com", "/private/ok/doc"),   # re-allowed by longer prefix
+        (3, "a.com", "/public"),           # no match -> default allow
+        (4, "b.com", "/private/secret"),   # no rules for host -> allow
+        (5, "tie2.com", "/z/page"),        # exact-length tie -> allow
+        (6, "a.com", "/t/x"),              # denied
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "path"])
+    got = {r["doc_id"]: r["allowed"] for r in robots_filter(
+        df, rules, "doc_id"
+    ).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 0}
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    """The rules side must arrive broadcast — the frontier never
+    shuffles for the politeness check."""
+    import contextlib
+    import io
+
+    from telemetry_streaming_spark.operators.urls import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.com", "/p", 0)], ["rule_host", "prefix", "allow"]
+    )
+    df = spark.createDataFrame(
+        [(1, "a.com", "/p/x")], ["doc_id", "host", "path"]
+    )
+    out = robots_filter(df, rules, "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
