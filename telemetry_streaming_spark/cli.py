@@ -1576,6 +1576,16 @@ PLAN_LINT_RULES = (
     ("error", "BatchEvalPython",
      "row-at-a-time Python UDF in the plan — use built-in functions or "
      "an Arrow-batched pandas UDF (ArrowEvalPython)"),
+    # r10 review class: monotonically_increasing_id re-evaluates
+    # independently per physical subtree, so a self-join keyed on it
+    # can pair rows with ANOTHER row's id whenever the input lineage
+    # shuffles — results become silently nondeterministic.  It is
+    # only safe when the id never crosses a join boundary; a plan
+    # that carries it deserves a human look either way.
+    ("warn", "monotonically_increasing_id",
+     "synthetic row id in the plan: nondeterministic downstream of a "
+     "shuffle and UNSAFE as a join key (each join branch re-evaluates "
+     "it independently) — key on real columns or a hash of them"),
 )
 
 

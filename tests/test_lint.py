@@ -68,3 +68,19 @@ def test_lint_rejects_unknown_names(spark):
         main(["lint", "--query", "no_such_query"], spark=spark)
     with pytest.raises(SystemExit):
         main(["lint"], spark=spark)
+
+
+def test_lint_flags_monotonic_id_join_hazard(spark):
+    """r10: a plan carrying monotonically_increasing_id draws a warn —
+    the id re-evaluates per physical subtree and is unsafe as a join
+    key (the with_psl_domain review class)."""
+    import pyspark.sql.functions as F
+
+    from telemetry_streaming_spark.cli import lint_plan
+
+    df = spark.range(5).withColumn("rid", F.monotonically_increasing_id())
+    buf_plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    sevs = {s for s, m in lint_plan(buf_plan) if "monotonically" in m}
+    assert sevs == {"warn"}
