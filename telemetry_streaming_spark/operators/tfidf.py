@@ -187,3 +187,120 @@ def target_likeness(
         .cast("long")
         .alias("target_like"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[tuple[str, list[str]]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Rational-exact BM25 retrieval: top ``top_k`` documents per query
+    (Robertson et al., Okapi BM25), re-expressed so every score is a
+    BIGINT and the DuckDB oracle hash-matches bit-for-bit.
+
+    Two substitutions make the classic formula integer-exact, both
+    following the house rule that ``ln`` is not portably rounded
+    across engines (JVM StrictMath vs libm — see distinctive_terms):
+
+    * **idf** — the Robertson-Sparck Jones log argument
+      ``(N - df + 0.5) / (df + 0.5)`` is the rational
+      ``(2N - 2df + 1) / (2df + 1)``; the log is DROPPED and the
+      ratio itself is the idf weight, floor-scaled to
+      ``idf_e6 = (idf_scale * (2N - 2df + 1)) div (2df + 1)``.
+      Monotone in df, so per-term document ordering is identical to
+      BM25; cross-term additivity weights rare terms harder than the
+      log variant (documented, deterministic).
+    * **tf saturation** — with k1 = 6/5 and b = 3/4 fixed,
+      ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+      ``avgdl = L/N`` multiplies through by ``20*L`` into
+      ``sat_e6 = (idf_scale * 44 * L * tf)
+                 div (20*L*tf + 6*L + 18*dl*N)`` — one integer
+      division, no float anywhere.
+
+    Per-term contribution ``(idf_e6 * sat_e6) div idf_scale`` is
+    summed per (query, doc); ties in the final top-k break on
+    ``id_col`` so the cut is total-ordered.
+
+    Overflow contract: the saturation numerator ``idf_scale*44*L*tf``
+    must stay under 2^63 — with e6 scaling that is ``L*tf < 2.1e11``,
+    i.e. corpora to ~100B tokens at tf <= 100; past that drop
+    ``idf_scale`` to 1e4 or lift the expression to DECIMAL(38,0).
+
+    Plan shape: ONE corpus-sized exchange (the (doc, term) count
+    aggregate, map-side combined), lineage-cut because it feeds both
+    the doc-length aggregate and the query-term slice; everything
+    downstream is count-grain — doc lengths (N rows), query-term
+    postings (docs-matching-terms rows), and three broadcast frames
+    (query list, per-term df, the 1-row corpus totals).  The final
+    window partitions by query_id over candidate docs only, never the
+    corpus.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    rows = [(qid, t) for qid, terms in query_terms for t in terms]
+    if not rows:
+        raise ValueError("query_terms must name at least one (query, term)")
+    spark = docs.sparkSession
+    q = spark.createDataFrame(rows, schema="query_id string, term string")
+
+    toks = docs.where(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    # The one corpus-sized aggregate; cut so doc-lengths and the
+    # query-term slice don't each re-tokenize the corpus.  The
+    # materialized frame is (doc, term, count) — counts only, text
+    # never rides past this point.
+    token_counts = cut_lineage(
+        toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = token_counts.groupBy("__id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = q.select("term").distinct()
+    postings = token_counts.join(broadcast(qterms), "term")
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        postings.join(broadcast(q), "term")
+        .join(broadcast(df_t), "term")
+        .join(dl, "__id")
+        .crossJoin(broadcast(tot))
+        .withColumn(
+            "idf_e6",
+            F.expr(
+                f"(CAST({int(idf_scale)} AS BIGINT) * (2*n_docs - 2*df + 1))"
+                " div (2*df + 1)"
+            ),
+        )
+        .withColumn(
+            "sat_e6",
+            F.expr(
+                f"(CAST({int(idf_scale)} AS BIGINT) * 44 * total_len * tf)"
+                " div (20*total_len*tf + 6*total_len + 18*dl*n_docs)"
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "__id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum(F.expr(f"(idf_e6 * sat_e6) div {int(idf_scale)}")).alias("score_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("__id").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            "query_id",
+            F.col("__id").alias(id_col),
+            "n_terms_hit",
+            "score_e6",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

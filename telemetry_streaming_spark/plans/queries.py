@@ -8404,6 +8404,93 @@ def target_likeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relevance-based curation: BM25 top-k retrieval (Okapi BM25,
+# Robertson et al.) in the rational-exact integer form — the
+# "pull the documents most relevant to this seed query set" step of
+# quality-targeted data selection.  See operators/tfidf.py:bm25_topk
+# for the k1=6/5, b=3/4 multiply-through derivation and the no-log
+# idf surrogate; oracle states the identical integer pipeline.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_fast_scan", ["fast", "table", "scan"]),
+    ("q_window_agg", ["window", "agg", "sort"]),
+    ("q_slow_filter", ["slow", "query", "filter"]),
+]
+
+
+@query(
+    "bm25_topk",
+    oracle=r"""
+    WITH q(query_id, term) AS (
+        VALUES ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+               ('q_fast_scan', 'fast'), ('q_fast_scan', 'table'),
+               ('q_fast_scan', 'scan'),
+               ('q_window_agg', 'window'), ('q_window_agg', 'agg'),
+               ('q_window_agg', 'sort'),
+               ('q_slow_filter', 'slow'), ('q_slow_filter', 'query'),
+               ('q_slow_filter', 'filter')
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text), E' \t\r\n'),
+                                         '\s+')) AS term
+        FROM documents WHERE regexp_matches(text, '\S')
+    ),
+    tc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tc GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_len
+            FROM dl),
+    post AS (
+        SELECT tc.* FROM tc JOIN (SELECT DISTINCT term FROM q) USING (term)
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    scored AS (
+        SELECT q.query_id, post.doc_id,
+               ((1000000 * (2*tot.n_docs - 2*dft.df + 1)) // (2*dft.df + 1))
+                   AS idf_e6,
+               ((1000000 * 44 * tot.total_len * post.tf) //
+                (20*tot.total_len*post.tf + 6*tot.total_len
+                 + 18*dl.dl*tot.n_docs)) AS sat_e6
+        FROM post
+        JOIN q USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON dl.doc_id = post.doc_id
+        CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM((idf_e6 * sat_e6) // 1000000) AS BIGINT) AS score_e6
+        FROM scored GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+        FROM agg
+    )
+    SELECT query_id, doc_id, n_terms_hit, score_e6, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: rational-exact BM25 top-10 retrieval over the
+    documents corpus for four fixed seed queries
+    (operators/tfidf.py:bm25_topk) — integer idf surrogate
+    (2N-2df+1)/(2df+1), k1=6/5 / b=3/4 saturation multiplied through
+    by 20L, every score a BIGINT.  One corpus-sized exchange; the
+    scoring join runs over query-term postings only."""
+    from telemetry_streaming_spark.operators.tfidf import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return bm25_topk(docs, _BM25_QUERIES, top_k=10)
+
+
+# ---------------------------------------------------------------------------
 # Cluster quality: simplified silhouette (assignment margin) — the
 # confidence diagnostic for the k-means / SemDeDup tier.
 # ---------------------------------------------------------------------------
@@ -10814,23 +10901,23 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "leak_safe_split", "robots_frontier_stats", "split_leakage_audit",
-    "url_canonical_dedup", "url_host_stats", "wav_roundtrip_stats",
-    "shard_manifest", "shipping_delay_priority", "skew_report",
-    "text_chunks", "text_ngram_topk", "token_entropy",
-    "top_supplier", "waiting_suppliers", "windowed_top_keys",
-    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
-    "pricing_summary", "sessionize", "similarity_topk",
-    "windowed_sum", "boilerplate_chunks", "constraint_violations",
-    "dup_cluster_keep", "pagerank_top", "pca_top_component",
-    "target_likeness", "windowed_drift", "active_user_snapshot",
-    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
-    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
-    "activity_overlap", "balance_deciles", "basket_rules",
-    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
-    "bloom_semi_join", "bpe_pair_stats", "bpe_train",
-    "cohort_revenue_matrix", "conversion_delay_buckets", "cumulative_unique_users",
-    "dedup_normalized", "discount_quantity_slope",
+    "bm25_topk", "leak_safe_split", "robots_frontier_stats",
+    "split_leakage_audit", "url_canonical_dedup", "url_host_stats",
+    "wav_roundtrip_stats", "shard_manifest", "shipping_delay_priority",
+    "skew_report", "text_chunks", "text_ngram_topk",
+    "token_entropy", "top_supplier", "waiting_suppliers",
+    "windowed_top_keys", "conditional_counts", "dedup_exact",
+    "dedup_ngram_jaccard", "pricing_summary", "sessionize",
+    "similarity_topk", "windowed_sum", "boilerplate_chunks",
+    "constraint_violations", "dup_cluster_keep", "pagerank_top",
+    "pca_top_component", "target_likeness", "windowed_drift",
+    "active_user_snapshot", "bigram_path_stats", "int8_quant_error",
+    "kmeans_silhouette", "pq_distortion_stats", "price_qty_rank_corr",
+    "windowed_violations", "activity_overlap", "balance_deciles",
+    "basket_rules", "benford_digits", "bigram_lm_score",
+    "bigram_surprisal_stats", "bloom_semi_join", "bpe_pair_stats",
+    "bpe_train", "cohort_revenue_matrix", "conversion_delay_buckets",
+    "cumulative_unique_users", "dedup_normalized",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
