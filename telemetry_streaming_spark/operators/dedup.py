@@ -976,3 +976,173 @@ def setsim_prefix_pairs(
         .cast("long")
         .alias("jaccard_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local fingerprinting algorithm).  Complements the MinHash/setsim
+# tiers: those estimate WHOLE-document similarity; winnowing selects
+# position-anchored k-gram fingerprints, so partially-overlapping or
+# reordered content (a copied paragraph inside an otherwise new
+# document) still collides on the shared region's fingerprints.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed k-gram fingerprints: ``(id_col, fppos, fp)``.
+
+    Text is normalized MOSS-style (lower, strip all non-alphanumeric)
+    so whitespace/punctuation edits don't shift the k-gram stream.
+    Every window of ``w`` consecutive k-gram hashes selects its
+    minimum hash, rightmost position on ties; the distinct selected
+    (position, hash) set is the document's fingerprint (expected
+    density 2/(w+1)).
+
+    **Portable tie-break without arg_min**: the per-position sort key
+    is the STRING ``md5(kgram) || lpad(10^9 - pos, 10, '0')`` — md5
+    hex is fixed 32 chars, so a plain ``MIN`` over the sliding frame
+    picks the smallest hash and, among equal hashes, the largest
+    position (``10^9 - pos`` descends in pos); both engines compare
+    strings bytewise, so the oracle hash-matches with no engine-
+    specific argmin semantics.  The window-end filter ``pos >= w``
+    keeps only full windows.
+
+    Plan/scale shape: the k-gram array is built per document row
+    (``transform(sequence(...), substring)`` — O(len*k) transient per
+    doc, chunk giant docs with text_chunks first), then posexploded so
+    shuffled rows carry ``k`` chars each, never the document; ONE
+    partitionBy(doc) sort feeds the sliding MIN; the distinct is on
+    (doc, 32-char hash, pos) grain, ~2/(w+1) of the k-gram count.
+    Documents shorter than ``k`` normalized chars produce no rows (the
+    length gate is also the guard against Spark's descending
+    ``sequence(1, 0)``).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    norm = docs.select(
+        F.col(id_col).alias("__id"),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__s"),
+    ).where(F.length("__s") >= k)
+    grams = norm.select(
+        "__id",
+        F.expr(
+            f"transform(sequence(1, length(__s) - {k - 1}),"
+            f" p -> substring(__s, p, {k}))"
+        ).alias("__grams"),
+    )
+    h = grams.select(
+        "__id", F.posexplode("__grams").alias("__p0", "__g")
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("pos"),
+        F.md5("__g").alias("fp"),
+    )
+    enc = h.select(
+        "__id",
+        "pos",
+        F.concat(
+            "fp",
+            F.lpad((F.lit(1000000000) - F.col("pos")).cast("string"), 10, "0"),
+        ).alias("__e"),
+    )
+    win = Window.partitionBy("__id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = enc.withColumn("__se", F.min("__e").over(win)).where(F.col("pos") >= w)
+    return (
+        sel.select(
+            "__id",
+            (F.lit(1000000000) - F.substring("__se", 33, 10).cast("long")).alias(
+                "fppos"
+            ),
+            F.substring("__se", 1, 32).alias("fp"),
+        )
+        .distinct()
+        .select(F.col("__id").alias(id_col), "fppos", "fp")
+    )
+
+
+def winnow_profile(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing audit: ``(id, n_kgrams, n_fp, fp_digest)``.
+
+    ``fp_digest`` is md5 over the position-ordered concatenation of
+    the selected hashes — the FULL fingerprint set rides the oracle
+    hash, so any defect in selection, tie-break, or dedup breaks the
+    check.  ``n_kgrams`` is the pure length expression
+    ``len(norm) - k + 1`` (no second corpus explode)."""
+    fps = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
+    agged = fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fppos", "fp"))),
+                    lambda x: x["fp"],
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+    norm = docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__s"),
+    ).where(F.length("__s") >= k)
+    lens = norm.select(
+        id_col, (F.length("__s") - (k - 1)).cast("long").alias("n_kgrams")
+    )
+    return lens.join(agged, id_col).select(id_col, "n_kgrams", "n_fp", "fp_digest")
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_docs_per_fp: int = 20,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints:
+    ``(id1, id2, n_shared)``.
+
+    The pair generator is the house bucketed self-join (the LSH-band
+    shape): distinct (doc, fp) postings, equi-join on fp, id1 < id2,
+    one (id1, id2) count aggregate.  Fingerprints present in more
+    than ``max_docs_per_fp`` documents are dropped BEFORE pairing —
+    MOSS does the same (over-common fingerprints are boilerplate, not
+    evidence), and the cap bounds any bucket's pair fan-out to
+    choose(cap, 2) regardless of corpus size — never all-pairs.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
+    docfp = fps.select(F.col(id_col).alias("__id"), "fp").distinct()
+    keep = (
+        docfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_docs_per_fp)
+        .select("fp")
+    )
+    posting = docfp.join(keep, "fp")
+    a = posting.select(F.col("__id").alias("id1"), "fp")
+    b = posting.select(F.col("__id").alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -8491,6 +8491,98 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS) —
+# position-anchored local fingerprinting; catches a copied paragraph
+# inside an otherwise-new document, which whole-document MinHash
+# dilutes away.  Portable rightmost-tie argmin via the string
+# encoding md5 || lpad(1e9 - pos) under a plain sliding MIN (see
+# operators/dedup.py:winnow_fingerprints).  Shared oracle prefix:
+_WINNOW_ORACLE_FPS = r"""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, s, unnest(generate_series(1, len(s) - 7)) AS pos
+        FROM norm WHERE len(s) >= 8
+    ),
+    h AS (SELECT doc_id, pos, md5(substr(s, pos, 8)) AS fp FROM g),
+    enc AS (
+        SELECT doc_id, pos,
+               fp || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS e
+        FROM h
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS se
+        FROM enc
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               1000000000 - CAST(substr(se, 33, 10) AS BIGINT) AS fppos,
+               substr(se, 1, 32) AS fp
+        FROM sel WHERE pos >= 4
+    )
+"""
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winnow_profile",
+    oracle=_WINNOW_ORACLE_FPS
+    + r"""
+    SELECT n.doc_id,
+           CAST(len(n.s) - 7 AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           md5(string_agg(fps.fp, '' ORDER BY fps.fppos)) AS fp_digest
+    FROM norm n JOIN fps ON fps.doc_id = n.doc_id
+    WHERE len(n.s) >= 8
+    GROUP BY n.doc_id, n.s
+    """,
+)
+def winnow_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-document winnowing audit (k=8, w=4) — k-gram
+    count, selected-fingerprint count, and md5 over the position-
+    ordered fingerprint concatenation, so the FULL fingerprint set of
+    every document sits under the driver hash
+    (operators/dedup.py:winnow_profile)."""
+    from telemetry_streaming_spark.operators.dedup import winnow_profile
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return winnow_profile(docs, k=8, w=4)
+
+
+@query(
+    "winnow_pairs",
+    oracle=_WINNOW_ORACLE_FPS
+    + r"""
+    , docfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+    keep AS (SELECT fp FROM docfp GROUP BY fp HAVING COUNT(*) <= 20),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM docfp a JOIN keep USING (fp) JOIN docfp b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2, n_shared FROM pairs WHERE n_shared >= 3
+    """,
+)
+def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: document pairs sharing >= 3 winnowed fingerprints
+    (k=8, w=4), over-common fingerprints (> 20 docs) dropped before
+    the bucketed self-join — the MOSS matching step; bucket fan-out
+    capped at choose(20, 2) per fingerprint
+    (operators/dedup.py:winnow_match_pairs)."""
+    from telemetry_streaming_spark.operators.dedup import winnow_match_pairs
+
+    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    return winnow_match_pairs(docs, k=8, w=4, min_shared=3, max_docs_per_fp=20)
+
+
+# ---------------------------------------------------------------------------
 # Cluster quality: simplified silhouette (assignment margin) — the
 # confidence diagnostic for the k-means / SemDeDup tier.
 # ---------------------------------------------------------------------------
@@ -10903,21 +10995,21 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT_WINDOW = [
     "bm25_topk", "leak_safe_split", "robots_frontier_stats",
     "split_leakage_audit", "url_canonical_dedup", "url_host_stats",
-    "wav_roundtrip_stats", "shard_manifest", "shipping_delay_priority",
-    "skew_report", "text_chunks", "text_ngram_topk",
-    "token_entropy", "top_supplier", "waiting_suppliers",
-    "windowed_top_keys", "conditional_counts", "dedup_exact",
-    "dedup_ngram_jaccard", "pricing_summary", "sessionize",
-    "similarity_topk", "windowed_sum", "boilerplate_chunks",
-    "constraint_violations", "dup_cluster_keep", "pagerank_top",
-    "pca_top_component", "target_likeness", "windowed_drift",
-    "active_user_snapshot", "bigram_path_stats", "int8_quant_error",
-    "kmeans_silhouette", "pq_distortion_stats", "price_qty_rank_corr",
-    "windowed_violations", "activity_overlap", "balance_deciles",
-    "basket_rules", "benford_digits", "bigram_lm_score",
-    "bigram_surprisal_stats", "bloom_semi_join", "bpe_pair_stats",
-    "bpe_train", "cohort_revenue_matrix", "conversion_delay_buckets",
-    "cumulative_unique_users", "dedup_normalized",
+    "wav_roundtrip_stats", "winnow_pairs", "winnow_profile",
+    "shard_manifest", "shipping_delay_priority", "skew_report",
+    "text_chunks", "text_ngram_topk", "token_entropy",
+    "top_supplier", "waiting_suppliers", "windowed_top_keys",
+    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
+    "pricing_summary", "sessionize", "similarity_topk",
+    "windowed_sum", "boilerplate_chunks", "constraint_violations",
+    "dup_cluster_keep", "pagerank_top", "pca_top_component",
+    "target_likeness", "windowed_drift", "active_user_snapshot",
+    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
+    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
+    "activity_overlap", "balance_deciles", "basket_rules",
+    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
+    "bloom_semi_join", "bpe_pair_stats", "bpe_train",
+    "cohort_revenue_matrix", "conversion_delay_buckets",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
