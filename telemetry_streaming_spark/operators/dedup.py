@@ -1014,15 +1014,17 @@ def winnow_fingerprints(
     specific argmin semantics.  The window-end filter ``pos >= w``
     keeps only full windows.
 
-    Plan/scale shape: the k-gram array is built per document row
-    (``transform(sequence(...), substring)`` — O(len*k) transient per
-    doc, chunk giant docs with text_chunks first), then posexploded so
-    shuffled rows carry ``k`` chars each, never the document; ONE
-    partitionBy(doc) sort feeds the sliding MIN; the distinct is on
-    (doc, 32-char hash, pos) grain, ~2/(w+1) of the k-gram count.
-    Documents shorter than ``k`` normalized chars produce no rows (the
-    length gate is also the guard against Spark's descending
-    ``sequence(1, 0)``).
+    Plan/scale shape: position explode + substring stay inside ONE
+    whole-stage-codegen span (an earlier ``transform(sequence, p ->
+    substring(...))`` HOF variant ran the lambda interpreted, 17x
+    slower — SCALE.md r10); the document string is referenced, not
+    copied, within the stage, and the projection to ``(id, pos,
+    md5)`` happens before the window exchange, so shuffled rows carry
+    32 + 8 bytes each, never the document.  ONE partitionBy(doc) sort
+    feeds the sliding MIN; the distinct is on (doc, 32-char hash,
+    pos) grain, ~2/(w+1) of the k-gram count.  Documents shorter than
+    ``k`` normalized chars produce no rows (the length gate is also
+    the guard against Spark's descending ``sequence(1, 0)``).
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
@@ -1030,19 +1032,14 @@ def winnow_fingerprints(
         F.col(id_col).alias("__id"),
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__s"),
     ).where(F.length("__s") >= k)
-    grams = norm.select(
+    h = norm.select(
         "__id",
-        F.expr(
-            f"transform(sequence(1, length(__s) - {k - 1}),"
-            f" p -> substring(__s, p, {k}))"
-        ).alias("__grams"),
-    )
-    h = grams.select(
-        "__id", F.posexplode("__grams").alias("__p0", "__g")
+        "__s",
+        F.explode(F.sequence(F.lit(1), F.length("__s") - (k - 1))).alias("pos"),
     ).select(
         "__id",
-        (F.col("__p0") + 1).alias("pos"),
-        F.md5("__g").alias("fp"),
+        "pos",
+        F.md5(F.expr(f"substring(__s, pos, {k})")).alias("fp"),
     )
     enc = h.select(
         "__id",
@@ -1129,7 +1126,11 @@ def winnow_match_pairs(
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     fps = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
-    docfp = fps.select(F.col(id_col).alias("__id"), "fp").distinct()
+    # Materialized: the postings frame feeds the hot-fp count AND both
+    # sides of the self-join — without the cut the whole explode +
+    # window + distinct pipeline runs three times.  (doc, 32-char fp)
+    # grain, ~2/(w+1) of the k-gram count.
+    docfp = cut_lineage(fps.select(F.col(id_col).alias("__id"), "fp").distinct())
     keep = (
         docfp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -230,14 +230,17 @@ def bm25_topk(
     i.e. corpora to ~100B tokens at tf <= 100; past that drop
     ``idf_scale`` to 1e4 or lift the expression to DECIMAL(38,0).
 
-    Plan shape: ONE corpus-sized exchange (the (doc, term) count
-    aggregate, map-side combined), lineage-cut because it feeds both
-    the doc-length aggregate and the query-term slice; everything
-    downstream is count-grain — doc lengths (N rows), query-term
-    postings (docs-matching-terms rows), and three broadcast frames
-    (query list, per-term df, the 1-row corpus totals).  The final
-    window partitions by query_id over candidate docs only, never the
-    corpus.
+    Plan shape: two corpus passes and ONE tiny shuffle.  Pass one is
+    the 1-row corpus-totals aggregate (``size(split(...))`` — never
+    exploded, partial-aggregated to a single row, broadcast).  Pass
+    two explodes tokens WITH the doc length riding each row, broadcast-
+    semi-joins to the query vocabulary BEFORE any aggregate — so the
+    only shuffle over corpus-derived rows carries query-term hits
+    (docs-matching-terms grain, map-side combined, ``F.min(dl)``
+    recovering the constant) — and is lineage-cut for its two
+    consumers (per-term df, scoring).  Downstream there is NO
+    non-broadcast join; the final window partitions by query_id over
+    candidate docs only, never the corpus.
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
@@ -247,29 +250,37 @@ def bm25_topk(
     spark = docs.sparkSession
     q = spark.createDataFrame(rows, schema="query_id string, term string")
 
-    toks = docs.where(F.col(text_col).rlike(r"\S")).select(
+    nonblank = docs.where(F.col(text_col).rlike(r"\S"))
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # Corpus totals: one straight 1-row aggregate (partial agg to a
+    # single row — no shuffle, no per-doc frame).
+    tot = nonblank.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens).cast("long")).alias("total_len"),
+    )
+    # Doc length RIDES the token stream (constant per doc, F.min in
+    # the aggregate recovers it), so the scoring path needs no
+    # per-doc length join — postings + three broadcasts is the whole
+    # downstream plan, with NO non-broadcast join.
+    toks = nonblank.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
-    )
-    # The one corpus-sized aggregate; cut so doc-lengths and the
-    # query-term slice don't each re-tokenize the corpus.  The
-    # materialized frame is (doc, term, count) — counts only, text
-    # never rides past this point.
-    token_counts = cut_lineage(
-        toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = token_counts.groupBy("__id").agg(F.sum("tf").alias("dl"))
-    tot = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+        F.size(tokens).cast("long").alias("dl"),
+        F.explode(tokens).alias("term"),
     )
     qterms = q.select("term").distinct()
-    postings = token_counts.join(broadcast(qterms), "term")
+    # Materialized: postings feeds the per-term-df broadcast AND the
+    # scoring projection — without the cut each one re-runs the
+    # corpus explode.  Docs-matching-terms count rows only.
+    postings = cut_lineage(
+        toks.join(broadcast(qterms), "term")
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         postings.join(broadcast(q), "term")
         .join(broadcast(df_t), "term")
-        .join(dl, "__id")
         .crossJoin(broadcast(tot))
         .withColumn(
             "idf_e6",

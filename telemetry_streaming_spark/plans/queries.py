@@ -8482,11 +8482,11 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents corpus for four fixed seed queries
     (operators/tfidf.py:bm25_topk) — integer idf surrogate
     (2N-2df+1)/(2df+1), k1=6/5 / b=3/4 saturation multiplied through
-    by 20L, every score a BIGINT.  One corpus-sized exchange; the
-    scoring join runs over query-term postings only."""
+    by 20L, every score a BIGINT.  Two corpus passes, one tiny shuffle
+    (query-term hits only), no non-broadcast join downstream."""
     from telemetry_streaming_spark.operators.tfidf import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_QUERIES, top_k=10)
 
 
@@ -8550,7 +8550,7 @@ def winnow_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:winnow_profile)."""
     from telemetry_streaming_spark.operators.dedup import winnow_profile
 
-    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    docs = _t(spark, sf_dir, "documents")
     return winnow_profile(docs, k=8, w=4)
 
 
@@ -8578,7 +8578,7 @@ def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:winnow_match_pairs)."""
     from telemetry_streaming_spark.operators.dedup import winnow_match_pairs
 
-    docs = _t(spark, sf_dir, "documents", parallelize=False)
+    docs = _t(spark, sf_dir, "documents")
     return winnow_match_pairs(docs, k=8, w=4, min_shared=3, max_docs_per_fp=20)
 
 
