@@ -22,8 +22,10 @@ on the group key.  Centering changes the intercept's reference point
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
 
 def grouped_linreg(
@@ -258,4 +260,79 @@ def fit_quality_logit(
         max_iters=max_iters,
         tol=tol,
         ridge=ridge,
+    )
+
+
+def theilsen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    *,
+    slope_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group Theil-Sen slope estimator (Theil 1950, Sen 1968):
+    the median of all pairwise slopes ``(y_j - y_i) / (x_j - x_i)``
+    over ``x_i < x_j`` — the robust companion to ``grouped_linreg``
+    (up to ~29% contaminated points before breakdown, vs OLS's zero).
+
+    **Exact-portable median over rationals**: pairwise slopes are
+    rationals, and engines cannot ORDER BY a rational without a float
+    division whose ties are not portably broken.  So each slope is
+    first quantized to ``slope_e6 = (slope_scale * dy) div dx`` —
+    BIGINT division, truncating toward zero in BOTH engines (Spark
+    ``div``, DuckDB ``//``; truncation, not floor, for negative
+    slopes — stated contract) — and the reported estimate is the
+    LOWER MEDIAN of the quantized slopes under the total order
+    ``(slope_e6, x_i, x_j)``: ``row_number = (n_pairs + 1) div 2``.
+    Deterministic and hash-exact everywhere; resolution 1e-6 of a
+    y-unit per x-unit.
+
+    Both x and y must already be integers (grain/cents — house rule).
+    Overflow: |dy| * slope_scale must stay under 2^63, i.e. per-group
+    y spreads to ~9.2e12 at e6.
+
+    Complexity is Theil-Sen's own O(n^2) pairs per group — callers
+    aggregate to a bounded grain FIRST (e.g. monthly rollups: 84
+    points -> 3.5k pairs).  The pair join is a within-group self-join
+    (one shuffle on the group key, pairs generated partition-local);
+    the median window partitions by group over pair rows only.
+    """
+    gx = [F.col(c) for c in group_cols]
+    # Materialized: the (group, x, y) frame feeds both self-join sides
+    # AND the n_points aggregate — without the cut the caller's
+    # upstream (often a multi-join rollup) runs three times.  The
+    # frame is the bounded grain itself (n points per group).
+    df = cut_lineage(df.select(*gx, F.col(x_col), F.col(y_col)))
+    a = df.select(*gx, F.col(x_col).alias("__x1"), F.col(y_col).alias("__y1"))
+    b = df.select(*gx, F.col(x_col).alias("__x2"), F.col(y_col).alias("__y2"))
+    pairs = (
+        a.join(b, group_cols)
+        .where(F.col("__x1") < F.col("__x2"))
+        .select(
+            *gx,
+            "__x1",
+            "__x2",
+            F.expr(
+                f"(CAST({int(slope_scale)} AS BIGINT) * (__y2 - __y1))"
+                " div (__x2 - __x1)"
+            ).alias("__slope"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__slope", "__x1", "__x2")
+    counted = pairs.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    npoints = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    med = counted.where(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select(
+        *gx,
+        F.col("__n").cast("long").alias("n_pairs"),
+        F.col("__slope").cast("long").alias("theilsen_slope_e6"),
+    )
+    return npoints.join(med, group_cols).select(
+        *group_cols, "n_points", "n_pairs", "theilsen_slope_e6"
     )

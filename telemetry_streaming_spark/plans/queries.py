@@ -8583,6 +8583,80 @@ def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust trend: Theil-Sen slope (median of pairwise slopes) — the
+# outlier-robust companion of value_trend's exact-integer OLS.  The
+# slope is quantized to e6 BEFORE the median so the selection runs
+# under a portable total order; division truncates toward zero on
+# BOTH engines (Spark `div`, DuckDB `//` — stated contract, not
+# floor).  See operators/regression.py:theilsen_slope.
+# ---------------------------------------------------------------------------
+@query(
+    "theilsen_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               (CAST(year(o.o_orderdate) AS BIGINT) - 1992) * 12
+                   + CAST(month(o.o_orderdate) AS BIGINT) - 1 AS m,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.n_name, a.m AS x1, b.m AS x2,
+               (1000000 * (b.rev - a.rev)) // (b.m - a.m) AS slope
+        FROM monthly a
+        JOIN monthly b ON a.n_name = b.n_name AND a.m < b.m
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY slope, x1, x2) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM pairs
+    ),
+    np AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM monthly GROUP BY 1
+    )
+    SELECT np.n_name, np.n_points, CAST(r.n AS BIGINT) AS n_pairs,
+           CAST(r.slope AS BIGINT) AS theilsen_slope_e6
+    FROM np JOIN r ON r.n_name = np.n_name AND r.rn = (r.n + 1) // 2
+    """,
+)
+def theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-nation Theil-Sen slope of monthly order revenue
+    (cents) against month index — median of all pairwise slopes,
+    e6-quantized pre-median for a portable total order; lower median
+    at row_number (n+1) div 2 (operators/regression.py:theilsen_slope).
+    The O(n^2) pair stage runs on the bounded monthly grain (~84
+    points/nation), never raw orders."""
+    from telemetry_streaming_spark.operators.regression import theilsen_slope
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("m"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    )
+    return theilsen_slope(monthly, "m", "rev", ["n_name"]).select(
+        "n_name", "n_points", "n_pairs", "theilsen_slope_e6"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster quality: simplified silhouette (assignment margin) — the
 # confidence diagnostic for the k-means / SemDeDup tier.
 # ---------------------------------------------------------------------------
@@ -10994,22 +11068,22 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     "bm25_topk", "leak_safe_split", "robots_frontier_stats",
-    "split_leakage_audit", "url_canonical_dedup", "url_host_stats",
-    "wav_roundtrip_stats", "winnow_pairs", "winnow_profile",
-    "shard_manifest", "shipping_delay_priority", "skew_report",
-    "text_chunks", "text_ngram_topk", "token_entropy",
-    "top_supplier", "waiting_suppliers", "windowed_top_keys",
-    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
-    "pricing_summary", "sessionize", "similarity_topk",
-    "windowed_sum", "boilerplate_chunks", "constraint_violations",
-    "dup_cluster_keep", "pagerank_top", "pca_top_component",
-    "target_likeness", "windowed_drift", "active_user_snapshot",
-    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
-    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
-    "activity_overlap", "balance_deciles", "basket_rules",
-    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
-    "bloom_semi_join", "bpe_pair_stats", "bpe_train",
-    "cohort_revenue_matrix", "conversion_delay_buckets",
+    "split_leakage_audit", "theilsen_trend", "url_canonical_dedup",
+    "url_host_stats", "wav_roundtrip_stats", "winnow_pairs",
+    "winnow_profile", "shard_manifest", "shipping_delay_priority",
+    "skew_report", "text_chunks", "text_ngram_topk",
+    "token_entropy", "top_supplier", "waiting_suppliers",
+    "windowed_top_keys", "conditional_counts", "dedup_exact",
+    "dedup_ngram_jaccard", "pricing_summary", "sessionize",
+    "similarity_topk", "windowed_sum", "boilerplate_chunks",
+    "constraint_violations", "dup_cluster_keep", "pagerank_top",
+    "pca_top_component", "target_likeness", "windowed_drift",
+    "active_user_snapshot", "bigram_path_stats", "int8_quant_error",
+    "kmeans_silhouette", "pq_distortion_stats", "price_qty_rank_corr",
+    "windowed_violations", "activity_overlap", "balance_deciles",
+    "basket_rules", "benford_digits", "bigram_lm_score",
+    "bigram_surprisal_stats", "bloom_semi_join", "bpe_pair_stats",
+    "bpe_train", "cohort_revenue_matrix",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
