@@ -54,8 +54,6 @@ HEADLINE = [
     # and the multi-granularity rollup — regressions here must be
     # visible in BENCH, not just pytest.
     "asof_join",
-    "heavy_hitters",
-    "value_quantiles",
     "sessionize",
     "conversion_funnel",
     "time_rollup",
@@ -198,6 +196,11 @@ HEADLINE = [
     # displaced seconds-pinned floor entries under the freeze below
     "url_canonical_dedup",
     "url_host_stats",
+    # r10 winnowing tier (joined by displacing heavy_hitters +
+    # value_quantiles — see HEADLINE_RETIRED): real >=1s work at a
+    # competitive ratio, exactly what the gate metric learns from
+    "winnow_pairs",
+    "winnow_profile",
 ]
 
 # ---------------------------------------------------------------------------
@@ -227,6 +230,15 @@ HEADLINE_RETIRED = [
     # never resolve for them and their pins still gate regressions).
     "kmeans_update",
     "domain_cap_sample",
+    # late-r10 retirees, displaced by the winnowing pair: 9-round
+    # committed history is flat sub-second on every idle run (0.17 s /
+    # 0.34 s idle baselines; the r5/r7 0.6-1.3 s excursions are the
+    # contended-host rounds, see BENCH_r05/r07 loadavg notes) over
+    # 3-10 ms DuckDB denominators — 54x/36x pure scheduling floor,
+    # the least informative entries in the gate sum.  Seconds-pinned
+    # below like their r9 predecessors.
+    "heavy_hitters",
+    "value_quantiles",
 ]
 
 
@@ -362,6 +374,11 @@ TREND_GRADUATED = [
 TREND_SECONDS_PINNED = {
     "kmeans_update": 1.5,
     "domain_cap_sample": 0.8,
+    # late-r10 retirees (~3x their idle-baseline medians, sized so a
+    # contended host does not false-flag — their committed contended
+    # excursions reached 0.88/1.34)
+    "heavy_hitters": 0.9,
+    "value_quantiles": 1.4,
 }
 
 # the combined set (manifest tests pin TREND ⊆ HEADLINE ∪

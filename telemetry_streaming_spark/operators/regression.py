@@ -336,3 +336,88 @@ def theilsen_slope(
     return npoints.join(med, group_cols).select(
         *group_cols, "n_points", "n_pairs", "theilsen_slope_e6"
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test (Mann 1945, Kendall 1975) —
+    the non-parametric significance companion to ``theilsen_slope``,
+    INTEGER-EXACT end to end:
+
+    - ``s_stat`` = sum over pairs x_i < x_j of sign(y_j - y_i);
+    - ``var_s_num18`` = 18 * Var(S) = n(n-1)(2n+5) -
+      sum_ties t(t-1)(2t+5) — the tie-corrected variance kept as its
+      integer numerator (Var(S) itself is the rational /18);
+    - ``significant`` — the two-sided alpha=0.05 normal test
+      |z| > 1.96 with continuity correction, evaluated WITHOUT sqrt
+      or doubles by cross-multiplication:
+      ``180000 * (|S| - 1)^2 > 38416 * var_s_num18``
+      (both sides of z^2 > 1.96^2 scaled by 18 * 10^4; S = 0 is never
+      significant).  Exact in BIGINT for n to ~200k points per group.
+
+    Same plan as theilsen_slope: lineage-cut input, within-group pair
+    self-join on the bounded grain, plus one (group, y) tie aggregate;
+    output is one row per group.
+    """
+    gx = [F.col(c) for c in group_cols]
+    df = cut_lineage(df.select(*gx, F.col(x_col), F.col(y_col)))
+    a = df.select(*gx, F.col(x_col).alias("__x1"), F.col(y_col).alias("__y1"))
+    b = df.select(*gx, F.col(x_col).alias("__x2"), F.col(y_col).alias("__y2"))
+    s = (
+        a.join(b, group_cols)
+        .where(F.col("__x1") < F.col("__x2"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.signum(F.col("__y2") - F.col("__y1")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_points"))
+    ties = (
+        df.groupBy(*group_cols, y_col)
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .where(F.col("__t") > 1)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tie_sum")
+        )
+    )
+    out = (
+        n.join(s, group_cols)
+        .join(ties, group_cols, "left")
+        .withColumn(
+            "var_s_num18",
+            (
+                F.col("n_points")
+                * (F.col("n_points") - 1)
+                * (2 * F.col("n_points") + 5)
+                - F.coalesce(F.col("__tie_sum"), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    abs_s = F.abs(F.col("s_stat"))
+    return out.select(
+        *group_cols,
+        "n_points",
+        F.col("s_stat").cast("long").alias("s_stat"),
+        "var_s_num18",
+        F.signum(F.col("s_stat")).cast("long").alias("trend"),
+        F.when(
+            (F.col("s_stat") != 0)
+            & (
+                F.lit(180000) * (abs_s - 1) * (abs_s - 1)
+                > F.lit(38416) * F.col("var_s_num18")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("significant"),
+    )

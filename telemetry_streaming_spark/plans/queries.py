@@ -8657,6 +8657,92 @@ def theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trend significance: Mann-Kendall test — the non-parametric
+# companion of theilsen_trend over the SAME monthly grain; sign
+# statistic, tie-corrected variance numerator, and the alpha=0.05
+# two-sided normal test all exact integers (the z^2 > 1.96^2
+# comparison cross-multiplied: 180000*(|S|-1)^2 > 38416*var_s_num18 —
+# no sqrt, no doubles).  operators/regression.py:mann_kendall.
+# ---------------------------------------------------------------------------
+@query(
+    "mannkendall_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               (CAST(year(o.o_orderdate) AS BIGINT) - 1992) * 12
+                   + CAST(month(o.o_orderdate) AS BIGINT) - 1 AS m,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.n_name,
+               CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM monthly a
+        JOIN monthly b ON a.n_name = b.n_name AND a.m < b.m
+        GROUP BY 1
+    ),
+    np AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM monthly GROUP BY 1
+    ),
+    ties AS (
+        SELECT n_name, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_sum
+        FROM (SELECT n_name, rev, COUNT(*) AS t
+              FROM monthly GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        GROUP BY 1
+    )
+    SELECT np.n_name, np.n_points, s.s_stat,
+           CAST(np.n_points * (np.n_points - 1) * (2 * np.n_points + 5)
+                - COALESCE(ties.tie_sum, 0) AS BIGINT) AS var_s_num18,
+           CAST(CASE WHEN s.s_stat > 0 THEN 1
+                     WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend,
+           CAST(CASE WHEN s.s_stat <> 0
+                      AND 180000 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1)
+                          > 38416 * (np.n_points * (np.n_points - 1)
+                                     * (2 * np.n_points + 5)
+                                     - COALESCE(ties.tie_sum, 0))
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM np
+    JOIN s ON s.n_name = np.n_name
+    LEFT JOIN ties ON ties.n_name = np.n_name
+    """,
+)
+def mannkendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-nation Mann-Kendall trend test over monthly
+    order revenue — integer-exact S, tie-corrected 18*Var(S), and the
+    cross-multiplied alpha=0.05 significance flag
+    (operators/regression.py:mann_kendall)."""
+    from telemetry_streaming_spark.operators.regression import mann_kendall
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("m"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    )
+    return mann_kendall(monthly, "m", "rev", ["n_name"]).select(
+        "n_name", "n_points", "s_stat", "var_s_num18", "trend", "significant"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster quality: simplified silhouette (assignment margin) — the
 # confidence diagnostic for the k-means / SemDeDup tier.
 # ---------------------------------------------------------------------------
@@ -11067,23 +11153,23 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "bm25_topk", "leak_safe_split", "robots_frontier_stats",
-    "split_leakage_audit", "theilsen_trend", "url_canonical_dedup",
-    "url_host_stats", "wav_roundtrip_stats", "winnow_pairs",
-    "winnow_profile", "shard_manifest", "shipping_delay_priority",
-    "skew_report", "text_chunks", "text_ngram_topk",
-    "token_entropy", "top_supplier", "waiting_suppliers",
-    "windowed_top_keys", "conditional_counts", "dedup_exact",
-    "dedup_ngram_jaccard", "pricing_summary", "sessionize",
-    "similarity_topk", "windowed_sum", "boilerplate_chunks",
-    "constraint_violations", "dup_cluster_keep", "pagerank_top",
-    "pca_top_component", "target_likeness", "windowed_drift",
-    "active_user_snapshot", "bigram_path_stats", "int8_quant_error",
-    "kmeans_silhouette", "pq_distortion_stats", "price_qty_rank_corr",
-    "windowed_violations", "activity_overlap", "balance_deciles",
-    "basket_rules", "benford_digits", "bigram_lm_score",
-    "bigram_surprisal_stats", "bloom_semi_join", "bpe_pair_stats",
-    "bpe_train", "cohort_revenue_matrix",
+    "bm25_topk", "leak_safe_split", "mannkendall_trend",
+    "robots_frontier_stats", "split_leakage_audit", "theilsen_trend",
+    "url_canonical_dedup", "url_host_stats", "wav_roundtrip_stats",
+    "winnow_pairs", "winnow_profile", "shard_manifest",
+    "shipping_delay_priority", "skew_report", "text_chunks",
+    "text_ngram_topk", "token_entropy", "top_supplier",
+    "waiting_suppliers", "windowed_top_keys", "conditional_counts",
+    "dedup_exact", "dedup_ngram_jaccard", "pricing_summary",
+    "sessionize", "similarity_topk", "windowed_sum",
+    "boilerplate_chunks", "constraint_violations", "dup_cluster_keep",
+    "pagerank_top", "pca_top_component", "target_likeness",
+    "windowed_drift", "active_user_snapshot", "bigram_path_stats",
+    "int8_quant_error", "kmeans_silhouette", "pq_distortion_stats",
+    "price_qty_rank_corr", "windowed_violations", "activity_overlap",
+    "balance_deciles", "basket_rules", "benford_digits",
+    "bigram_lm_score", "bigram_surprisal_stats", "bloom_semi_join",
+    "bpe_pair_stats", "bpe_train",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

@@ -553,6 +553,95 @@ def op_communities(spark: SparkSession, factor: int) -> DataFrame:
     return label_propagation(edges, rounds=3)
 
 
+def op_winnow_pairs(spark: SparkSession, factor: int) -> DataFrame:
+    """Winnowed-fingerprint pair matching over K-fold documents with
+    EVERY token rep-prefixed (the setsim disjoint-vocabulary harness):
+    the normalized char stream differs everywhere, so k-grams are
+    disjoint across replicas, fp buckets stay base-sized, and pair
+    volume must grow ~linearly in K."""
+    from telemetry_streaming_spark.operators.dedup import winnow_match_pairs
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if factor == 1:
+        docs = base
+    else:
+        rep = base.withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        mark = F.format_string("r%02d", F.col("__rep"))
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        docs = rep.select(
+            (F.col("doc_id") + F.col("__rep").cast("long") * (1 << 40)).alias(
+                "doc_id"
+            ),
+            F.array_join(
+                F.transform(toks, lambda t: F.concat(mark, t)), " "
+            ).alias("text"),
+        )
+    return winnow_match_pairs(docs, k=8, w=4, min_shared=3, max_docs_per_fp=20)
+
+
+def op_bm25(spark: SparkSession, factor: int) -> DataFrame:
+    """BM25 scoring over K-fold documents (doc_id shifted, text kept —
+    per-doc scoring has no pair interaction, so identical replicas are
+    safe): df, N, L and the postings shuffle all grow K-fold; the
+    top-k output stays constant.  Must scale ~linearly."""
+    from telemetry_streaming_spark.operators.tfidf import bm25_topk
+    from telemetry_streaming_spark.plans.queries import _BM25_QUERIES
+
+    docs = replicate(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+        factor,
+        ["doc_id"],
+    )
+    return bm25_topk(docs, _BM25_QUERIES, top_k=10)
+
+
+def op_theilsen(spark: SparkSession, factor: int) -> DataFrame:
+    """Theil-Sen over K-fold groups: customer nation keys shifted with
+    the replica, so GROUPS grow K-fold while points-per-group (the
+    O(n^2) pair grain) stay constant — the operator contract's scale
+    axis.  Rollup joins orders to replicated customers; total pairs
+    grow ~linearly in K."""
+    from telemetry_streaming_spark.operators.regression import theilsen_slope
+
+    cust = replicate(
+        spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        ),
+        factor,
+        ["c_custkey", "c_nationkey"],
+    )
+    orders = replicate(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        factor,
+        ["o_custkey"],
+    )
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_nationkey",
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    return theilsen_slope(monthly, "m", "rev", ["c_nationkey"])
+
+
 OPS = {
     "asof_join": op_asof,
     "sessionize": op_sessionize,
@@ -577,6 +666,10 @@ OPS = {
     "part_communities": op_communities,
     "part_assortativity": op_assortativity,
     "typo_pairs": op_typo_pairs,
+    # r10 families
+    "winnow_pairs": op_winnow_pairs,
+    "bm25_topk": op_bm25,
+    "theilsen_trend": op_theilsen,
 }
 
 

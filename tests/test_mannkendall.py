@@ -1,0 +1,78 @@
+"""Mann-Kendall trend test (operators/regression.py:mann_kendall).
+
+Independent plain-Python replica (explicit pair loop, tie groups,
+integer significance cross-multiplication) plus hand pins: monotone
+series hit S = n(n-1)/2, ties shrink the variance numerator exactly,
+and the significance flag flips where the continuity-corrected
+normal test says it should.
+"""
+
+from telemetry_streaming_spark.operators.regression import mann_kendall
+
+
+def _replica(points):
+    groups = {}
+    for g, x, y in points:
+        groups.setdefault(g, []).append((x, y))
+    out = {}
+    for g, pts in groups.items():
+        n = len(pts)
+        s = 0
+        for i, (x1, y1) in enumerate(pts):
+            for x2, y2 in pts[i + 1 :]:
+                lo, hi = ((x1, y1), (x2, y2)) if x1 < x2 else ((x2, y2), (x1, y1))
+                s += (hi[1] > lo[1]) - (hi[1] < lo[1])
+        counts = {}
+        for _, y in pts:
+            counts[y] = counts.get(y, 0) + 1
+        tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in counts.values() if t > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tie_sum
+        sig = int(s != 0 and 180000 * (abs(s) - 1) ** 2 > 38416 * var18)
+        out[g] = (n, s, var18, (s > 0) - (s < 0), sig)
+    return out
+
+
+def _run(spark, points):
+    df = spark.createDataFrame(points, ["g", "x", "y"])
+    return {
+        r["g"]: (
+            r["n_points"],
+            r["s_stat"],
+            r["var_s_num18"],
+            r["trend"],
+            r["significant"],
+        )
+        for r in mann_kendall(df, "x", "y", ["g"]).collect()
+    }
+
+
+def test_mk_matches_python_replica(spark):
+    pts = (
+        [("up", x, 3 * x + (x % 4)) for x in range(12)]
+        + [("noisy", x, (x * 7) % 5) for x in range(10)]
+        + [("down", x, 50 - 2 * x) for x in range(9)]
+        + [("tied", x, x // 3) for x in range(9)]
+    )
+    assert _run(spark, pts) == _replica(pts)
+
+
+def test_mk_monotone_hand_values(spark):
+    """Strictly increasing n=10: S = 45, var18 = 10*9*25 = 2250,
+    180000*44^2 = 348.5M > 38416*2250 = 86.4M -> significant."""
+    pts = [("a", x, x * x) for x in range(10)]
+    assert _run(spark, pts) == {"a": (10, 45, 2250, 1, 1)}
+
+
+def test_mk_constant_series_is_null_trend(spark):
+    """All-tied y: S = 0, tie term removes the whole variance
+    numerator (one tie group of n), never significant."""
+    pts = [("a", x, 7) for x in range(6)]
+    assert _run(spark, pts) == {"a": (6, 0, 6 * 5 * 17 - 6 * 5 * 17, 0, 0)}
+
+
+def test_mk_short_noisy_series_not_significant(spark):
+    """n=4 cannot reach |z| > 1.96 with any S: max S = 6,
+    180000*25 = 4.5M < 38416*126 = 4.84M."""
+    pts = [("a", x, [1, 3, 2, 4][x]) for x in range(4)]
+    got = _run(spark, pts)["a"]
+    assert got[4] == 0 and got[0] == 4
