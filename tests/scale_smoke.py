@@ -580,7 +580,13 @@ def op_winnow_pairs(spark: SparkSession, factor: int) -> DataFrame:
                 F.transform(toks, lambda t: F.concat(mark, t)), " "
             ).alias("text"),
         )
-    return winnow_match_pairs(docs, k=8, w=4, min_shared=3, max_docs_per_fp=20)
+    # the single-row-group parquet pins the replicated frame to ONE
+    # partition, and winnowing's first exchange is the window — fan
+    # out BEFORE the explode or the whole K-fold k-gram build runs
+    # single-task
+    return winnow_match_pairs(
+        docs.repartition(32), k=8, w=4, min_shared=3, max_docs_per_fp=20
+    )
 
 
 def op_bm25(spark: SparkSession, factor: int) -> DataFrame:
@@ -598,7 +604,7 @@ def op_bm25(spark: SparkSession, factor: int) -> DataFrame:
         factor,
         ["doc_id"],
     )
-    return bm25_topk(docs, _BM25_QUERIES, top_k=10)
+    return bm25_topk(docs.repartition(32), _BM25_QUERIES, top_k=10)
 
 
 def op_theilsen(spark: SparkSession, factor: int) -> DataFrame:

@@ -86,3 +86,18 @@ def test_theilsen_tie_total_order_is_deterministic(spark):
     a = _run(spark, pts)
     b = _run(spark, pts)
     assert a == b == {"a": (7, 21, 3_000_000)}
+
+
+def test_theilsen_plan_is_jvm_side(spark):
+    """All built-ins: no Python eval anywhere in the pair/median plan."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([("a", x, x) for x in range(5)], ["g", "x", "y"])
+    out = theilsen_slope(df, "x", "y", ["g"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

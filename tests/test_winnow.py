@@ -136,3 +136,19 @@ def test_winnow_validates_inputs(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError, match="min_shared"):
         winnow_match_pairs(df, min_shared=0)
+
+
+def test_winnow_pairs_plan_shape(spark):
+    """No CartesianProduct, no Python eval: the pair stage must be the
+    bucketed fp equi-join, entirely JVM-side."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = winnow_match_pairs(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
