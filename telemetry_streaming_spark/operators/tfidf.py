@@ -247,6 +247,11 @@ def bm25_topk(
     rows = [(qid, t) for qid, terms in query_terms for t in terms]
     if not rows:
         raise ValueError("query_terms must name at least one (query, term)")
+    if len(set(rows)) != len(rows):
+        dupes = sorted({r for r in rows if rows.count(r) > 1})
+        raise ValueError(
+            f"duplicate (query, term) entries would double-count: {dupes}"
+        )
     spark = docs.sparkSession
     q = spark.createDataFrame(rows, schema="query_id string, term string")
 

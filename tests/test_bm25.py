@@ -125,3 +125,9 @@ def test_bm25_validates_inputs(spark):
         bm25_topk(df, QUERIES, top_k=0)
     with pytest.raises(ValueError, match="at least one"):
         bm25_topk(df, [])
+
+
+def test_bm25_rejects_duplicate_query_terms(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="double-count"):
+        bm25_topk(df, [("q", ["hash", "hash"])])
