@@ -1022,9 +1022,11 @@ def winnow_fingerprints(
     md5)`` happens before the window exchange, so shuffled rows carry
     32 + 8 bytes each, never the document.  ONE partitionBy(doc) sort
     feeds the sliding MIN; the distinct is on (doc, 32-char hash,
-    pos) grain, ~2/(w+1) of the k-gram count.  Documents shorter than
-    ``k`` normalized chars produce no rows (the length gate is also
-    the guard against Spark's descending ``sequence(1, 0)``).
+    pos) grain, ~2/(w+1) of the k-gram count.  Documents with fewer
+    than ``w + k - 1`` normalized chars produce no rows — fewer than
+    ``w`` k-grams never fill a window (the ``len >= k`` gate below
+    additionally guards Spark's descending ``sequence(1, 0)``;
+    lengths in [k, w+k-2] die at the ``pos >= w`` filter).
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
@@ -1078,7 +1080,10 @@ def winnow_profile(
     the selected hashes — the FULL fingerprint set rides the oracle
     hash, so any defect in selection, tie-break, or dedup breaks the
     check.  ``n_kgrams`` is the pure length expression
-    ``len(norm) - k + 1`` (no second corpus explode)."""
+    ``len(norm) - k + 1`` (no second corpus explode).  Docs with >= k
+    but < w+k-1 normalized chars (k-grams exist, no window ever
+    fills) are still audited: n_fp = 0, fp_digest NULL (LEFT join —
+    r10 review)."""
     fps = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
     agged = fps.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_fp"),
@@ -1099,7 +1104,12 @@ def winnow_profile(
     lens = norm.select(
         id_col, (F.length("__s") - (k - 1)).cast("long").alias("n_kgrams")
     )
-    return lens.join(agged, id_col).select(id_col, "n_kgrams", "n_fp", "fp_digest")
+    return lens.join(agged, id_col, "left").select(
+        id_col,
+        "n_kgrams",
+        F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+        "fp_digest",
+    )
 
 
 def winnow_match_pairs(

@@ -333,8 +333,15 @@ def theilsen_slope(
         F.col("__n").cast("long").alias("n_pairs"),
         F.col("__slope").cast("long").alias("theilsen_slope_e6"),
     )
-    return npoints.join(med, group_cols).select(
-        *group_cols, "n_points", "n_pairs", "theilsen_slope_e6"
+    # LEFT join: a group with no valid pair (one point, or all x
+    # equal) is reported with n_pairs = 0 and a NULL slope, matching
+    # grouped_linreg's degenerate-group behavior instead of silently
+    # vanishing (r10 review).
+    return npoints.join(med, group_cols, "left").select(
+        *group_cols,
+        "n_points",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "theilsen_slope_e6",
     )
 
 
@@ -357,7 +364,12 @@ def mann_kendall(
       or doubles by cross-multiplication:
       ``180000 * (|S| - 1)^2 > 38416 * var_s_num18``
       (both sides of z^2 > 1.96^2 scaled by 18 * 10^4; S = 0 is never
-      significant).  Exact in BIGINT for n to ~200k points per group.
+      significant).  The comparison is lifted to DECIMAL(38,0) —
+      in BIGINT its left side overflows once |S| > ~7.2e6, i.e.
+      n > ~3.8k under strong trend (r10 review; ANSI mode would
+      crash, not wrap).  The binding bound is now ``var_s_num18``
+      itself: ~2n^3 must fit int64, n <= ~1.6M points per group;
+      past that lift the column to DECIMAL(38,0) as well.
 
     Same plan as theilsen_slope: lineage-cut input, within-group pair
     self-join on the bounded grain, plus one (group, y) tie aggregate;
@@ -389,8 +401,12 @@ def mann_kendall(
             ).alias("__tie_sum")
         )
     )
+    # LEFT join + COALESCE(S, 0): a pair-less group (n = 1) is a
+    # defined row — S = 0, variance numerator 0, never significant —
+    # not a silent drop (r10 review).
     out = (
-        n.join(s, group_cols)
+        n.join(s, group_cols, "left")
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)))
         .join(ties, group_cols, "left")
         .withColumn(
             "var_s_num18",
@@ -412,8 +428,11 @@ def mann_kendall(
         F.when(
             (F.col("s_stat") != 0)
             & (
-                F.lit(180000) * (abs_s - 1) * (abs_s - 1)
-                > F.lit(38416) * F.col("var_s_num18")
+                F.lit(180000).cast("decimal(38,0)")
+                * (abs_s - 1).cast("decimal(38,0)")
+                * (abs_s - 1).cast("decimal(38,0)")
+                > F.lit(38416).cast("decimal(38,0)")
+                * F.col("var_s_num18").cast("decimal(38,0)")
             ),
             F.lit(1),
         )

@@ -158,7 +158,10 @@ def target_likeness(
         F.col(id_col),
         F.col(is_target_col).cast("long").alias("__t"),
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(
+                F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"),
+                r"\s+",
+            )
         ).alias("token"),
     )
     stats = toks.groupBy("token").agg(
@@ -256,7 +259,12 @@ def bm25_topk(
     q = spark.createDataFrame(rows, schema="query_id string, term string")
 
     nonblank = docs.where(F.col(text_col).rlike(r"\S"))
-    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # whitespace-SET trim (not F.trim, which strips spaces only): a
+    # leading tab/CR/LF would otherwise yield an empty first token on
+    # the Spark side only and break the oracle hash (r10 review)
+    tokens = F.split(
+        F.expr(rf"trim(BOTH ' \t\r\n' FROM lower({text_col}))"), r"\s+"
+    )
     # Corpus totals: one straight 1-row aggregate (partial agg to a
     # single row — no shuffle, no per-doc frame).
     tot = nonblank.agg(

@@ -8535,9 +8535,9 @@ _WINNOW_ORACLE_FPS = r"""
     + r"""
     SELECT n.doc_id,
            CAST(len(n.s) - 7 AS BIGINT) AS n_kgrams,
-           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(COUNT(fps.fp) AS BIGINT) AS n_fp,
            md5(string_agg(fps.fp, '' ORDER BY fps.fppos)) AS fp_digest
-    FROM norm n JOIN fps ON fps.doc_id = n.doc_id
+    FROM norm n LEFT JOIN fps ON fps.doc_id = n.doc_id
     WHERE len(n.s) >= 8
     GROUP BY n.doc_id, n.s
     """,
@@ -8582,17 +8582,9 @@ def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_match_pairs(docs, k=8, w=4, min_shared=3, max_docs_per_fp=20)
 
 
-# ---------------------------------------------------------------------------
-# Robust trend: Theil-Sen slope (median of pairwise slopes) — the
-# outlier-robust companion of value_trend's exact-integer OLS.  The
-# slope is quantized to e6 BEFORE the median so the selection runs
-# under a portable total order; division truncates toward zero on
-# BOTH engines (Spark `div`, DuckDB `//` — stated contract, not
-# floor).  See operators/regression.py:theilsen_slope.
-# ---------------------------------------------------------------------------
-@query(
-    "theilsen_trend",
-    oracle="""
+# Shared by theilsen_trend / mannkendall_trend: per-nation monthly
+# order revenue in cents (one definition, four uses — r10 review).
+_MONTHLY_REV_ORACLE = """
     WITH monthly AS (
         SELECT n.n_name,
                (CAST(year(o.o_orderdate) AS BIGINT) - 1992) * 12
@@ -8603,8 +8595,42 @@ def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1, 2
-    ),
-    pairs AS (
+    )
+"""
+
+
+def _monthly_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("m"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend: Theil-Sen slope (median of pairwise slopes) — the
+# outlier-robust companion of value_trend's exact-integer OLS.  The
+# slope is quantized to e6 BEFORE the median so the selection runs
+# under a portable total order; division truncates toward zero on
+# BOTH engines (Spark `div`, DuckDB `//` — stated contract, not
+# floor).  See operators/regression.py:theilsen_slope.
+# ---------------------------------------------------------------------------
+@query(
+    "theilsen_trend",
+    oracle=_MONTHLY_REV_ORACLE
+    + """
+    , pairs AS (
         SELECT a.n_name, a.m AS x1, b.m AS x2,
                (1000000 * (b.rev - a.rev)) // (b.m - a.m) AS slope
         FROM monthly a
@@ -8621,9 +8647,10 @@ def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_points
         FROM monthly GROUP BY 1
     )
-    SELECT np.n_name, np.n_points, CAST(r.n AS BIGINT) AS n_pairs,
+    SELECT np.n_name, np.n_points,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_pairs,
            CAST(r.slope AS BIGINT) AS theilsen_slope_e6
-    FROM np JOIN r ON r.n_name = np.n_name AND r.rn = (r.n + 1) // 2
+    FROM np LEFT JOIN r ON r.n_name = np.n_name AND r.rn = (r.n + 1) // 2
     """,
 )
 def theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8635,23 +8662,7 @@ def theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     points/nation), never raw orders."""
     from telemetry_streaming_spark.operators.regression import theilsen_slope
 
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            "n_name",
-            (
-                (F.year("o_orderdate").cast("long") - 1992) * 12
-                + F.month("o_orderdate").cast("long")
-                - 1
-            ).alias("m"),
-        )
-        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
-    )
-    return theilsen_slope(monthly, "m", "rev", ["n_name"]).select(
+    return theilsen_slope(_monthly_rev(spark, sf_dir), "m", "rev", ["n_name"]).select(
         "n_name", "n_points", "n_pairs", "theilsen_slope_e6"
     )
 
@@ -8666,19 +8677,9 @@ def theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "mannkendall_trend",
-    oracle="""
-    WITH monthly AS (
-        SELECT n.n_name,
-               (CAST(year(o.o_orderdate) AS BIGINT) - 1992) * 12
-                   + CAST(month(o.o_orderdate) AS BIGINT) - 1 AS m,
-               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS rev
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY 1, 2
-    ),
-    s AS (
+    oracle=_MONTHLY_REV_ORACLE
+    + """
+    , s AS (
         SELECT a.n_name,
                CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
                              WHEN b.rev < a.rev THEN -1 ELSE 0 END)
@@ -8698,19 +8699,25 @@ def theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM monthly GROUP BY 1, 2 HAVING COUNT(*) > 1)
         GROUP BY 1
     )
-    SELECT np.n_name, np.n_points, s.s_stat,
+    SELECT np.n_name, np.n_points,
+           CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
            CAST(np.n_points * (np.n_points - 1) * (2 * np.n_points + 5)
                 - COALESCE(ties.tie_sum, 0) AS BIGINT) AS var_s_num18,
-           CAST(CASE WHEN s.s_stat > 0 THEN 1
-                     WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend,
-           CAST(CASE WHEN s.s_stat <> 0
-                      AND 180000 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1)
-                          > 38416 * (np.n_points * (np.n_points - 1)
-                                     * (2 * np.n_points + 5)
-                                     - COALESCE(ties.tie_sum, 0))
+           CAST(CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 1
+                     WHEN COALESCE(s.s_stat, 0) < 0 THEN -1 ELSE 0
+                END AS BIGINT) AS trend,
+           -- HUGEINT lift mirrors the engine's DECIMAL(38,0) lift:
+           -- in BIGINT the left side overflows once |S| > ~7.2e6
+           CAST(CASE WHEN COALESCE(s.s_stat, 0) <> 0
+                      AND 180000 * CAST(abs(s.s_stat) - 1 AS HUGEINT)
+                                 * (abs(s.s_stat) - 1)
+                          > 38416 * CAST(np.n_points * (np.n_points - 1)
+                                         * (2 * np.n_points + 5)
+                                         - COALESCE(ties.tie_sum, 0)
+                                         AS HUGEINT)
                      THEN 1 ELSE 0 END AS BIGINT) AS significant
     FROM np
-    JOIN s ON s.n_name = np.n_name
+    LEFT JOIN s ON s.n_name = np.n_name
     LEFT JOIN ties ON ties.n_name = np.n_name
     """,
 )
@@ -8721,23 +8728,7 @@ def mannkendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/regression.py:mann_kendall)."""
     from telemetry_streaming_spark.operators.regression import mann_kendall
 
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            "n_name",
-            (
-                (F.year("o_orderdate").cast("long") - 1992) * 12
-                + F.month("o_orderdate").cast("long")
-                - 1
-            ).alias("m"),
-        )
-        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
-    )
-    return mann_kendall(monthly, "m", "rev", ["n_name"]).select(
+    return mann_kendall(_monthly_rev(spark, sf_dir), "m", "rev", ["n_name"]).select(
         "n_name", "n_points", "s_stat", "var_s_num18", "trend", "significant"
     )
 

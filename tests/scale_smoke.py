@@ -555,10 +555,16 @@ def op_communities(spark: SparkSession, factor: int) -> DataFrame:
 
 def op_winnow_pairs(spark: SparkSession, factor: int) -> DataFrame:
     """Winnowed-fingerprint pair matching over K-fold documents with
-    EVERY token rep-prefixed (the setsim disjoint-vocabulary harness):
-    the normalized char stream differs everywhere, so k-grams are
-    disjoint across replicas, fp buckets stay base-sized, and pair
-    volume must grow ~linearly in K."""
+    the replica mark injected into EVERY token AND re-injected after
+    its first 4 chars: a k=8 window over the normalized stream can
+    never span 8 mark-free chars, so ALL k-grams are disjoint across
+    replicas, fp buckets stay base-sized, and pair volume must grow
+    ~linearly in K.  (Prefix-only marking leaves tokens with >= k
+    alnum chars sharing their interior k-grams across replicas —
+    measured 0.76% of the sf0.1 k-gram stream, all from the one
+    8-char vocab word — which the hot-fp cap would then shed at high
+    factors, distorting the slope; the 4-char re-injection closes it
+    for any token length — r10 review.)"""
     from telemetry_streaming_spark.operators.dedup import winnow_match_pairs
 
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -577,7 +583,16 @@ def op_winnow_pairs(spark: SparkSession, factor: int) -> DataFrame:
                 "doc_id"
             ),
             F.array_join(
-                F.transform(toks, lambda t: F.concat(mark, t)), " "
+                F.transform(
+                    toks,
+                    lambda t: F.concat(
+                        mark,
+                        F.substring(t, 1, 4),
+                        mark,
+                        F.substring(t, 5, 1_000_000),
+                    ),
+                ),
+                " ",
             ).alias("text"),
         )
     # the single-row-group parquet pins the replicated frame to ONE

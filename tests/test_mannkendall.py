@@ -76,3 +76,12 @@ def test_mk_short_noisy_series_not_significant(spark):
     pts = [("a", x, [1, 3, 2, 4][x]) for x in range(4)]
     got = _run(spark, pts)["a"]
     assert got[4] == 0 and got[0] == 4
+
+
+def test_mk_single_point_group_is_kept(spark):
+    """n = 1: no pairs -> S = 0, variance numerator 0, never
+    significant — a defined row, not a silent drop."""
+    pts = [("lone", 5, 42), ("pair", 1, 1), ("pair", 2, 3)]
+    got = _run(spark, pts)
+    assert got == _replica(pts)
+    assert got["lone"] == (1, 0, 0, 0, 0)

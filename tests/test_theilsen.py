@@ -35,7 +35,10 @@ def _replica(points, scale=SCALE):
                     (_tdiv(scale * (hi[1] - lo[1]), hi[0] - lo[0]), lo[0], hi[0])
                 )
         slopes.sort()
-        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        if slopes:
+            med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        else:
+            med = None  # pair-less group: NULL slope, kept in output
         out[g] = (len(pts), len(slopes), med)
     return out
 
@@ -101,3 +104,13 @@ def test_theilsen_plan_is_jvm_side(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_theilsen_single_point_group_is_kept_with_null_slope(spark):
+    """A group with no valid pair must appear (n_pairs = 0, NULL
+    slope), matching grouped_linreg's degenerate-group behavior, not
+    vanish from the output."""
+    pts = [("lone", 5, 42), ("pair", 1, 1), ("pair", 2, 3)]
+    got = _run(spark, pts)
+    assert got == _replica(pts)
+    assert got["lone"] == (1, 0, None)
