@@ -418,13 +418,25 @@ def mann_kendall(
             ).cast("long"),
         )
     )
-    abs_s = F.abs(F.col("s_stat"))
     return out.select(
         *group_cols,
         "n_points",
         F.col("s_stat").cast("long").alias("s_stat"),
         "var_s_num18",
-        F.signum(F.col("s_stat")).cast("long").alias("trend"),
+        _mk_trend_col(),
+        _mk_significant_col(),
+    )
+
+
+def _mk_trend_col():
+    return F.signum(F.col("s_stat")).cast("long").alias("trend")
+
+
+def _mk_significant_col():
+    """The decimal-lifted |z| > 1.96 verdict over (s_stat,
+    var_s_num18) — shared by the plain and seasonal tests."""
+    abs_s = F.abs(F.col("s_stat"))
+    return (
         F.when(
             (F.col("s_stat") != 0)
             & (
@@ -438,5 +450,50 @@ def mann_kendall(
         )
         .otherwise(F.lit(0))
         .cast("long")
-        .alias("significant"),
+        .alias("significant")
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    season_col: str,
+) -> DataFrame:
+    """Per-group SEASONAL Mann-Kendall test (Hirsch & Slack 1984):
+    the Mann-Kendall statistic computed WITHIN each season (so only
+    like-seasons compare — January against January across years) and
+    summed per group:
+
+        S' = sum_seasons S_season
+        18*Var(S') = sum_seasons var_s_num18_season
+
+    which removes a periodic cycle that would otherwise read as
+    noise (deflating S) or as spurious trend.  The verdict is the
+    same decimal-lifted continuity-corrected |z| > 1.96 test on the
+    summed statistics.  Plan: one ``mann_kendall`` pass at (group,
+    season) grain — the pair stage stays bounded by per-season series
+    length — plus one narrow aggregate per group.
+    """
+    per_season = mann_kendall(
+        df, x_col, y_col, [*group_cols, season_col]
+    )
+    return (
+        per_season.groupBy(*group_cols)
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.count(F.lit(1)).cast("long").alias("n_seasons"),
+            F.sum("s_stat").cast("long").alias("s_stat"),
+            F.sum("var_s_num18").cast("long").alias("var_s_num18"),
+        )
+        .select(
+            *group_cols,
+            "n_points",
+            "n_seasons",
+            "s_stat",
+            "var_s_num18",
+            _mk_trend_col(),
+            _mk_significant_col(),
+        )
     )

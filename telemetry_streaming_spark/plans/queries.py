@@ -8734,6 +8734,89 @@ def mannkendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seasonal trend: Hirsch-Slack seasonal Mann-Kendall — the MK
+# statistic computed within each calendar month across years and
+# summed per nation (like-seasons compare, the annual cycle cannot
+# masquerade as trend or noise).  Same integer contracts; verdict on
+# the summed statistics.  operators/regression.py:seasonal_mann_kendall.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_mk_trend",
+    oracle=_MONTHLY_REV_ORACLE
+    + """
+    , ms AS (SELECT n_name, m, m % 12 AS season, rev FROM monthly),
+    s AS (
+        SELECT a.n_name, a.season,
+               CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM ms a
+        JOIN ms b ON a.n_name = b.n_name AND a.season = b.season
+                 AND a.m < b.m
+        GROUP BY 1, 2
+    ),
+    np AS (
+        SELECT n_name, season, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ms GROUP BY 1, 2
+    ),
+    ties AS (
+        SELECT n_name, season,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        FROM (SELECT n_name, season, rev, COUNT(*) AS t
+              FROM ms GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT np.n_name, np.n,
+               COALESCE(s.s_stat, 0) AS s_stat,
+               np.n * (np.n - 1) * (2 * np.n + 5)
+                   - COALESCE(ties.tie_sum, 0) AS var18
+        FROM np
+        LEFT JOIN s ON s.n_name = np.n_name AND s.season = np.season
+        LEFT JOIN ties ON ties.n_name = np.n_name
+                      AND ties.season = np.season
+    ),
+    agg AS (
+        SELECT n_name,
+               CAST(SUM(n) AS BIGINT) AS n_points,
+               CAST(COUNT(*) AS BIGINT) AS n_seasons,
+               CAST(SUM(s_stat) AS BIGINT) AS s_stat,
+               CAST(SUM(var18) AS BIGINT) AS var_s_num18
+        FROM per GROUP BY 1
+    )
+    SELECT n_name, n_points, n_seasons, s_stat, var_s_num18,
+           CAST(CASE WHEN s_stat > 0 THEN 1
+                     WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend,
+           CAST(CASE WHEN s_stat <> 0
+                      AND 180000 * CAST(abs(s_stat) - 1 AS HUGEINT)
+                                 * (abs(s_stat) - 1)
+                          > 38416 * CAST(var_s_num18 AS HUGEINT)
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM agg
+    """,
+)
+def seasonal_mk_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-nation Hirsch-Slack seasonal Mann-Kendall over
+    monthly revenue, season = calendar month — within-season S and
+    tie-corrected variance numerators summed per nation, decimal-
+    lifted verdict on the sums
+    (operators/regression.py:seasonal_mann_kendall)."""
+    from telemetry_streaming_spark.operators.regression import (
+        seasonal_mann_kendall,
+    )
+
+    monthly = _monthly_rev(spark, sf_dir).withColumn(
+        "season", F.col("m") % 12
+    )
+    return seasonal_mann_kendall(
+        monthly, "m", "rev", ["n_name"], "season"
+    ).select(
+        "n_name", "n_points", "n_seasons", "s_stat", "var_s_num18",
+        "trend", "significant",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster quality: simplified silhouette (assignment margin) — the
 # confidence diagnostic for the k-means / SemDeDup tier.
 # ---------------------------------------------------------------------------
@@ -11145,22 +11228,22 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
     "bm25_topk", "leak_safe_split", "mannkendall_trend",
-    "robots_frontier_stats", "split_leakage_audit", "theilsen_trend",
-    "url_canonical_dedup", "url_host_stats", "wav_roundtrip_stats",
-    "winnow_pairs", "winnow_profile", "shard_manifest",
-    "shipping_delay_priority", "skew_report", "text_chunks",
-    "text_ngram_topk", "token_entropy", "top_supplier",
-    "waiting_suppliers", "windowed_top_keys", "conditional_counts",
-    "dedup_exact", "dedup_ngram_jaccard", "pricing_summary",
-    "sessionize", "similarity_topk", "windowed_sum",
-    "boilerplate_chunks", "constraint_violations", "dup_cluster_keep",
-    "pagerank_top", "pca_top_component", "target_likeness",
-    "windowed_drift", "active_user_snapshot", "bigram_path_stats",
-    "int8_quant_error", "kmeans_silhouette", "pq_distortion_stats",
-    "price_qty_rank_corr", "windowed_violations", "activity_overlap",
-    "balance_deciles", "basket_rules", "benford_digits",
-    "bigram_lm_score", "bigram_surprisal_stats", "bloom_semi_join",
-    "bpe_pair_stats", "bpe_train",
+    "robots_frontier_stats", "seasonal_mk_trend", "split_leakage_audit",
+    "theilsen_trend", "url_canonical_dedup", "url_host_stats",
+    "wav_roundtrip_stats", "winnow_pairs", "winnow_profile",
+    "shard_manifest", "shipping_delay_priority", "skew_report",
+    "text_chunks", "text_ngram_topk", "token_entropy",
+    "top_supplier", "waiting_suppliers", "windowed_top_keys",
+    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
+    "pricing_summary", "sessionize", "similarity_topk",
+    "windowed_sum", "boilerplate_chunks", "constraint_violations",
+    "dup_cluster_keep", "pagerank_top", "pca_top_component",
+    "target_likeness", "windowed_drift", "active_user_snapshot",
+    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
+    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
+    "activity_overlap", "balance_deciles", "basket_rules",
+    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
+    "bloom_semi_join", "bpe_pair_stats",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred

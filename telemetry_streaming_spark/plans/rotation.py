@@ -21,7 +21,7 @@ first:
    outranks a twice-checked one from the same round), then by name.
 
 With a 50-slot window, every registry query is re-confirmed at worst
-every ceil(len(QUERIES)/50) rounds (5 rounds at the current 234-query
+every ceil(len(QUERIES)/50) rounds (5 rounds at the current 235-query
 registry; ``tests/test_rotation.py`` pins the count so it cannot
 silently drift from this note again).
 

@@ -7,6 +7,8 @@ and the significance flag flips where the continuity-corrected
 normal test says it should.
 """
 
+import pyspark.sql.functions as F
+
 from telemetry_streaming_spark.operators.regression import mann_kendall
 
 
@@ -85,3 +87,52 @@ def test_mk_single_point_group_is_kept(spark):
     got = _run(spark, pts)
     assert got == _replica(pts)
     assert got["lone"] == (1, 0, 0, 0, 0)
+
+
+def _smk_replica(points, season_of):
+    """Seasonal Hirsch-Slack replica: per-(group, season) MK stats via
+    the plain replica, summed per group, verdict on the sums."""
+    by_season = {}
+    for g, x, y in points:
+        by_season.setdefault((g, season_of(x)), []).append((g, x, y))
+    per = {}
+    for (g, _), pts in by_season.items():
+        n, s, var18, _, _ = _replica([(g, x, y) for g, x, y in pts])[g]
+        agg = per.setdefault(g, [0, 0, 0, 0])
+        agg[0] += n
+        agg[1] += 1
+        agg[2] += s
+        agg[3] += var18
+    out = {}
+    for g, (n, k, s, var18) in per.items():
+        sig = int(s != 0 and 180000 * (abs(s) - 1) ** 2 > 38416 * var18)
+        out[g] = (n, k, s, var18, (s > 0) - (s < 0), sig)
+    return out
+
+
+def test_seasonal_mk_matches_replica_and_beats_plain_on_cyclic_data(spark):
+    """A strong 4-phase cycle plus a small drift: the seasonal test
+    must (a) equal the replica exactly and (b) recover the positive
+    trend that the cycle hides — every within-season series is
+    strictly increasing, so seasonal S is maximal."""
+    from telemetry_streaming_spark.operators.regression import (
+        seasonal_mann_kendall,
+    )
+
+    cycle = [0, 1000, -500, 250]
+    pts = [("a", x, cycle[x % 4] + x) for x in range(32)]
+    df = spark.createDataFrame(pts, ["g", "x", "y"]).withColumn(
+        "season", F.col("x") % 4
+    )
+    got = {
+        r["g"]: (
+            r["n_points"], r["n_seasons"], r["s_stat"],
+            r["var_s_num18"], r["trend"], r["significant"],
+        )
+        for r in seasonal_mann_kendall(df, "x", "y", ["g"], "season").collect()
+    }
+    assert got == _smk_replica(pts, lambda x: x % 4)
+    n_points, n_seasons, s, var18, trend, sig = got["a"]
+    assert (n_points, n_seasons) == (32, 4)
+    assert s == 4 * (8 * 7 // 2)  # every within-season pair concordant
+    assert (trend, sig) == (1, 1)

@@ -165,7 +165,7 @@ def test_registry_counts_pinned():
     means updating this pin in the same commit."""
     oracle_backed = sum(1 for s in QUERIES.values() if s.oracle is not None)
     rows_only = sum(1 for s in QUERIES.values() if s.oracle is None)
-    assert (len(QUERIES), oracle_backed, rows_only) == (234, 215, 19), (
+    assert (len(QUERIES), oracle_backed, rows_only) == (235, 216, 19), (
         f"registry is {len(QUERIES)} queries ({oracle_backed} oracle-backed"
         f" + {rows_only} rows-only) — update this pin AND every prose count"
         " (plans/rotation.py docstring, README.md, SURVEY.md)"
