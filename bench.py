@@ -351,6 +351,11 @@ TREND_FULL = [
     # its idle_rerun_spread band (0.44 s on the other idle run) —
     # both get the standard 3-point defense from their first round
     "url_canonical_dedup", "source_drift",
+    # late-r10: the slower refresh window (see BENCH_BASELINE
+    # idle_rerun_note) pushed these two over the 1s/2x bar
+    # (1.14 s/33.8x over a 34 ms denominator; 1.02 s/9.6x over
+    # 0.11 s) — floor profiles both; 3-point defense from r11
+    "url_host_stats", "shipping_priority",
 ]
 
 # Proven floor cases: sf0.1 ratio < GRADUATE_BOUND two rounds running
