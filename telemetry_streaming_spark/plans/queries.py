@@ -8946,6 +8946,47 @@ def znorm_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return znorm_window_stats(_t(spark, sf_dir, "events"), _ZNORM_W)
 
 
+def _copurchase_edges(li: DataFrame, max_parts: int = 5) -> DataFrame:
+    """Shared co-purchase edge derivation of the part_* graph family:
+    distinct ``(src < dst)`` part pairs from orders with <=
+    ``max_parts`` distinct parts.
+
+    r10 optimization (guide §2.4, remove shuffles): ONE order-key
+    exchange (map-side partial ``collect_set``) + in-row sorted-pair
+    expansion replaces the former distinct + count-filter join +
+    order-key self-join chain — 3 exchanges and 2 joins fewer per
+    query, on the widest frame each of these queries touches.
+    ``collect_set`` dedups (order, part) pairs inside the aggregate,
+    ``array_sort`` makes every expanded pair ``src < dst`` by
+    construction, and the arity gate bounds the fan-out to
+    C(max_parts, 2) rows per order before anything else runs.  The
+    per-order aggregation buffer is bounded by the order's
+    distinct-part arity — fine here and at 100 TB for order-shaped
+    groups; for corpora whose group arity is unbounded upstream, use
+    the count-prefilter shape (operators/graph.py:cooccurrence_edges'
+    uncapped path) instead.
+
+    Result-identical to the oracles' ``COUNT(DISTINCT ...) <= k`` +
+    DISTINCT self-join semantics (NULL part keys — none exist in this
+    corpus — would be excluded from both the arity count and the
+    pairs, exactly like SQL COUNT(DISTINCT)/comparison semantics).
+    """
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
+        .where((F.size("__ps") >= 2) & (F.size("__ps") <= max_parts))
+    )
+    return sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ps, (x, i) -> "
+                "transform(slice(__ps, i + 2, size(__ps) - i - 1), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+
+
 @query(
     "part_triangles",
     oracle="""
@@ -8993,21 +9034,7 @@ def part_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import triangle_counts
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return triangle_counts(edges)
 
 
@@ -9459,21 +9486,7 @@ def part_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import clustering_coefficients
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return clustering_coefficients(edges)
 
 
@@ -9541,21 +9554,7 @@ def part_link_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import edge_link_scores
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return edge_link_scores(edges)
 
 
@@ -9596,21 +9595,7 @@ def part_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import kcore_peel
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return kcore_peel(edges, k=36, rounds=4)
 
 
@@ -9744,21 +9729,7 @@ def part_link_ra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import edge_ra_scores
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return edge_ra_scores(edges)
 
 
@@ -10047,21 +10018,7 @@ def part_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import degree_assortativity
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return degree_assortativity(edges)
 
 
@@ -10631,21 +10588,7 @@ def part_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telemetry_streaming_spark.operators.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .where(F.col("__k") <= 5)
-        .select("l_orderkey")
-    )
-    pairs = items.join(small, "l_orderkey")
-    a = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(li)
     return label_propagation(edges, rounds=3)
 
 
