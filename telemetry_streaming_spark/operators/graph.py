@@ -716,16 +716,23 @@ def label_propagation(
     order.  (Synchronous LPA can 2-cycle on bipartite structure; a
     fixed round count makes that a defined, reproducible output.)
 
-    Plan per round: neighbor stubs (both directions of the canonical
-    edge frame) equi-join the current label frame on the neighbor id,
-    count per (node, label) with map-side partial aggregation, argmax
-    per node via ONE ``max_by``-style struct aggregate — two key
-    shuffles per round, no window over the neighbor stream.  The label
+    Plan per round (r10 optimization): neighbor stubs (both
+    directions of the canonical edge frame) equi-join the current
+    label frame on the neighbor id, then the per-(node, label) count
+    + per-node argmax pair of aggregates collapses into ONE
+    ``mode(lab, deterministic=true)`` aggregate (Spark 4: ties
+    resolve to the LOWEST value — exactly the LPA tie rule), so each
+    round pays three key shuffles (two join sides + the argmax
+    ``groupBy(n)``) instead of the former four, and runs one
+    aggregation pass instead of two.  (A pre-partitioned stub frame
+    was tried and rejected: ``localCheckpoint`` under AQE re-scans as
+    ``UnknownPartitioning``, so the join cannot reuse it — the plan
+    file in plans/r10 shows the scan's partitioning.)  The label
     frame is lineage-cut every round (planning time would otherwise
     grow with the unroll — the kcore discipline).  Hubs are absorbed
-    by partial aggregation: a node with a million neighbors still
-    exchanges at most one (node, label, count) row per label per
-    mapper.  Output: ``(node, community)``.
+    by ``mode``'s partial aggregation: a node with a million
+    neighbors still exchanges at most one (label -> count) map entry
+    per mapper.  Output: ``(node, community)``.
     """
     from telemetry_streaming_spark.operators.checkpointing import cut_lineage
 
@@ -742,16 +749,12 @@ def label_propagation(
         msgs = stubs.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
         ).select("n", "lab")
-        counts = msgs.groupBy("n", "lab").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
-        )
-        # argmax by (count desc, label asc): max of (c, -lab) structs
+        # most frequent neighbor label, ties to the smallest label
         labels = cut_lineage(
-            counts.groupBy("n")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("b"))
+            msgs.groupBy("n")
+            .agg(F.mode("lab", True).alias("lab"))
             .select(
-                F.col("n").alias("node"),
-                (-F.col("b.neg")).cast("long").alias("lab"),
+                F.col("n").alias("node"), F.col("lab").cast("long").alias("lab")
             )
         )
     return labels.select("node", F.col("lab").alias("community"))

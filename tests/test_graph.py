@@ -409,6 +409,27 @@ def test_label_propagation_matches_python_replica(spark):
     assert got[1] != got[10]
 
 
+def test_label_propagation_mode_tie_breaks_to_smallest_label(spark):
+    """r10: the per-round count+argmax aggregate pair was collapsed
+    into ONE ``mode(lab, deterministic=true)`` aggregate — this pins
+    the tie semantics that rewrite depends on: with EQUALLY-frequent
+    neighbor labels, the smallest label must win.  Star center 100
+    sees leaves {1, 2, 3}, each with frequency 1 -> must adopt 1 (not
+    an arbitrary tie pick); each leaf sees only the center -> adopts
+    100."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.graph import label_propagation
+
+    edges = [(100, 1), (100, 2), (100, 3)]
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, rounds=1).collect()
+    }
+    assert got == {100: 1, 1: 100, 2: 100, 3: 100}
+
+
 def test_label_propagation_rejects_bad_rounds(spark):
     import pytest
 
