@@ -166,23 +166,47 @@ def cooccurrence_edges(
     max_items_per_group: int | None = 64,
 ) -> DataFrame:
     """Symmetric co-occurrence edge list: ``(src, dst, w)`` where
-    ``w`` counts the groups in which both items appear.  The distinct
-    (group, item) frame self-joins on the group — the O(k^2)-per-group
-    blowup is capped the same way as market_basket_pairs: groups over
-    ``max_items_per_group`` distinct items are dropped BEFORE the
-    self-join (hubs there are degenerate anyway; pass None only when
-    the group arity is bounded upstream)."""
+    ``w`` counts the groups in which both items appear.
+
+    Capped path (r10, guide §2.4): ONE group-key exchange (map-side
+    partial ``collect_set``, dedup inside the aggregate) + in-row
+    sorted-pair expansion + the final ``(src, dst)`` weight aggregate
+    — the former distinct + count-filter join + group-key self-join
+    chain cost two more exchanges and two joins for the same result.
+    Each unordered pair is expanded once and mirrored before the
+    count, so the O(k²)-per-group fan-out is identical, still bounded
+    by C(cap, 2), and the per-group aggregation buffer is bounded by
+    the group's distinct-item arity (<= the data's real arity; the
+    cap filter runs on the collected set's size).
+
+    Uncapped path (``max_items_per_group=None`` — only when group
+    arity is bounded upstream): the original distinct + self-join
+    shape, which never materializes a per-group set buffer."""
+    if max_items_per_group is not None:
+        sets = (
+            df.groupBy(F.col(group_col).alias("g"))
+            .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("__it"))
+            .where(
+                (F.size("__it") >= 2)
+                & (F.size("__it") <= max_items_per_group)
+            )
+        )
+        pairs = sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__it, (x, i) -> "
+                    "transform(slice(__it, i + 2, size(__it) - i - 1), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst")
+        both = pairs.unionAll(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     pairs = df.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("item")
     ).distinct()
-    if max_items_per_group is not None:
-        sizes = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("__k"))
-        pairs = (
-            pairs.join(
-                sizes.where(F.col("__k") <= max_items_per_group).select("g"),
-                on="g",
-            )
-        )
     a = pairs.select("g", F.col("item").alias("src"))
     b = pairs.select("g", F.col("item").alias("dst"))
     return (
