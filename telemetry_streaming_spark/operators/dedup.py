@@ -1125,33 +1125,37 @@ def winnow_match_pairs(
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints:
     ``(id1, id2, n_shared)``.
 
-    The pair generator is the house bucketed self-join (the LSH-band
-    shape): distinct (doc, fp) postings, equi-join on fp, id1 < id2,
-    one (id1, id2) count aggregate.  Fingerprints present in more
-    than ``max_docs_per_fp`` documents are dropped BEFORE pairing —
-    MOSS does the same (over-common fingerprints are boilerplate, not
-    evidence), and the cap bounds any bucket's pair fan-out to
-    choose(cap, 2) regardless of corpus size — never all-pairs.
+    The pair generator is the house bucketed collect-and-expand (the
+    LSH-band shape of ``minhash_lsh_candidates``, r10 — the previous
+    fp self-join re-shuffled the postings frame twice and joined):
+    per-fingerprint doc lists collected in ONE fp-key aggregate,
+    pairs expanded map-side by a double explode, one (id1, id2) count
+    aggregate.  Fingerprints present in more than ``max_docs_per_fp``
+    documents are dropped BEFORE the list aggregate
+    (``_drop_hot_keys`` — count only, broadcast anti-join), so no
+    aggregation buffer ever holds more than ``max_docs_per_fp`` ids
+    and any bucket's pair fan-out stays bounded by choose(cap, 2)
+    regardless of corpus size — never all-pairs.  MOSS drops
+    over-common fingerprints the same way (boilerplate, not
+    evidence).
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     fps = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
-    # Materialized: the postings frame feeds the hot-fp count AND both
-    # sides of the self-join — without the cut the whole explode +
-    # window + distinct pipeline runs three times.  (doc, 32-char fp)
-    # grain, ~2/(w+1) of the k-gram count.
+    # Materialized: the postings frame feeds the hot-fp count AND the
+    # bucket aggregate — without the cut the whole explode + window +
+    # distinct pipeline runs twice.  (doc, 32-char fp) grain,
+    # ~2/(w+1) of the k-gram count.
     docfp = cut_lineage(fps.select(F.col(id_col).alias("__id"), "fp").distinct())
-    keep = (
-        docfp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") <= max_docs_per_fp)
-        .select("fp")
+    guarded = _drop_hot_keys(docfp, ["fp"], max_docs_per_fp)
+    buckets = (
+        guarded.groupBy("fp")
+        .agg(F.collect_list("__id").alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    posting = docfp.join(keep, "fp")
-    a = posting.select(F.col("__id").alias("id1"), "fp")
-    b = posting.select(F.col("__id").alias("id2"), "fp")
     return (
-        a.join(b, "fp")
+        buckets.select(F.explode("ids").alias("id1"), "ids")
+        .select("id1", F.explode("ids").alias("id2"))
         .where(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
