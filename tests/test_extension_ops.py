@@ -98,6 +98,34 @@ def test_incremental_minhash_against_index(spark, docs):
     assert sorted(map(str, via_index)) == sorted(map(str, got))
 
 
+def test_banded_signatures_carry_cols_keep_sides_separate(spark):
+    """r10: incremental_minhash_dedup now bands batch + corpus in ONE
+    tagged scan, threading a side tag through the signature aggregate
+    as an extra group key.  Pin the subtle case that fusion must not
+    break: the SAME doc_id on both sides stays two separate signature
+    rows (grouped by (id, side)), each equal to the per-side result."""
+    from telemetry_streaming_spark.operators.dedup import banded_signatures
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(1, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    tagged = a.withColumn("__side", F.lit("a")).unionByName(
+        b.withColumn("__side", F.lit("b"))
+    )
+    fused = banded_signatures(tagged, carry_cols=("__side",)).collect()
+    sep = banded_signatures(a).withColumn("__side", F.lit("a")).unionByName(
+        banded_signatures(b).withColumn("__side", F.lit("b"))
+    ).select("doc_id", "__side", "band", "band_key").collect()
+    key = lambda r: (r["doc_id"], r["__side"], r["band"], r["band_key"])
+    assert sorted(map(key, fused)) == sorted(map(key, sep))
+    # both sides present, same id — 4 bands each
+    sides = {r["__side"] for r in fused}
+    assert sides == {"a", "b"} and len(fused) == 8
+
+
 def test_text_chunks_no_redundant_tail(spark):
     """Every chunk must contain at least one token no earlier chunk
     covers: ceil((n-overlap)/stride) starts, not ceil(n/stride) —
