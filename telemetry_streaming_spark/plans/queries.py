@@ -6939,20 +6939,30 @@ def ttr_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASKET_CAP = 50
 
 
+def _basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted distinct part arrays, mega-baskets
+    (> _BASKET_CAP items) dropped — ONE order-key exchange (map-side
+    partial collect_set; r10, the _copurchase_edges shape) instead of
+    the former distinct + count-filter join.  Size-1 baskets are KEPT:
+    basket_rules' order total counts them (its oracle's
+    COUNT(DISTINCT l_orderkey) over all capped orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
+        .where(F.size("__ps") <= _BASKET_CAP)
+    )
+
+
 def _capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (order, part) items with degenerate mega-baskets
     (> _BASKET_CAP items) dropped BEFORE any O(b^2) pair expansion —
     the shared base of market_basket_pairs and basket_rules (their
-    oracles repeat the same cap)."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    ok = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__b"))
-        .where(F.col("__b") <= _BASKET_CAP)
-        .select("l_orderkey")
+    oracles repeat the same cap).  Re-exploded from the one-exchange
+    _basket_sets frame."""
+    return _basket_sets(spark, sf_dir).select(
+        "l_orderkey", F.explode("__ps").alias("l_partkey")
     )
-    return items.join(ok, "l_orderkey")
 
 
 @query(
@@ -6985,14 +6995,22 @@ def market_basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kills the O(b^2) blowup from degenerate mega-baskets BEFORE the
     self-join (the dedup family's hot-bucket guard), pair counts
     map-side combine, and the top-50 is TakeOrdered under a total
-    order — never a global sort."""
-    capped = _capped_baskets(spark, sf_dir)
-    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    order — never a global sort.  r10: the pair expansion now runs
+    in-row over the one-exchange _basket_sets arrays (sorted, so
+    part_a < part_b by construction) — the order-key self-join and
+    its two input exchanges are gone."""
+    sets = _basket_sets(spark, sf_dir)
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ps, (x, i) -> "
+                "transform(slice(__ps, i + 2, size(__ps) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("__e")
+    ).select("__e.part_a", "__e.part_b")
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
