@@ -180,6 +180,34 @@ def doc_shingle_pairs(
     return grams.select(F.col(id_col), F.xxhash64("gram").alias("shingle_h")).distinct()
 
 
+def _sized_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(id, sz, shingle_h)`` — the distinct shingle-hash rows of
+    :func:`doc_shingle_pairs` with the per-doc set size carried IN-ROW
+    through the explode (r10, guide §2.3/§2.4): one ``groupBy(id)``
+    ``collect_set`` aggregate (map-side partial, dedup inside the
+    buffer) replaces the narrow distinct AND the separate per-doc size
+    aggregate + its join back.  The verify tiers consume this frame on
+    both sides of their intersection join, so the former shape ran the
+    gram explode four times per query (id1 side, id2 side, and the
+    sizes frame once per size join); this shape runs it twice and
+    joins nothing.  The set buffer is bounded by per-doc distinct-gram
+    arity — the same bound the signature aggregate already carries —
+    and only candidate-scoped documents ever reach it."""
+    grams = _exploded_grams(df, text_col, id_col, n)
+    sets = (
+        grams.select(F.col(id_col), F.xxhash64("gram").alias("h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("__s"))
+    )
+    return sets.select(
+        F.col(id_col),
+        F.size("__s").cast("long").alias("sz"),
+        F.explode("__s").alias("shingle_h"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -421,30 +449,38 @@ def minhash_lsh_pairs(
         .distinct()
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    hs_pairs = doc_shingle_pairs(cand_docs, text_col, id_col, n)
-    sizes = hs_pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # r10: per-doc set sizes ride IN-ROW through the explode
+    # (_sized_shingle_rows) instead of a separate sizes aggregate
+    # joined back twice — the gram frame is computed twice (one per
+    # intersection side) instead of four times, and the two size
+    # joins disappear; min() recovers the constant-per-doc sizes in
+    # the same aggregate that counts the intersection.
+    rows = _sized_shingle_rows(cand_docs, text_col, id_col, n)
     # Explode each candidate by id1's shingles (candidates broadcast —
     # id pairs only), then count matches against id2's shingles with
     # one narrow equi-join; cost O(candidates x doc-size).
-    e1 = hs_pairs.select(F.col(id_col).alias("id1"), "shingle_h").join(
-        F.broadcast(cand), "id1"
-    )
+    e1 = rows.select(
+        F.col(id_col).alias("id1"), F.col("sz").alias("size1"), "shingle_h"
+    ).join(F.broadcast(cand), "id1")
     inter = (
         e1.join(
-            hs_pairs.select(F.col(id_col).alias("id2"), "shingle_h"),
+            rows.select(
+                F.col(id_col).alias("id2"), F.col("sz").alias("size2"), "shingle_h"
+            ),
             ["id2", "shingle_h"],
         )
         .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("size1").alias("size1"),
+            F.min("size2").alias("size2"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("size1") + F.col("size2") - F.col("n_common")
     )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1")), "id1")
-        .join(sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2")), "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return inter.select("id1", "id2", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -536,34 +572,37 @@ def incremental_minhash_dedup(
         id_col,
         "left_semi",
     )
-    # each gram frame feeds two consumers (its size aggregate and the
-    # intersection join); a cut_lineage here was MEASURED SLOWER
-    # (3.0s -> 3.8s at sf0.1): the candidate-scoped explode is cheap
-    # enough that eager materialization costs more than the recompute,
-    # unlike the banding frame above whose upstream spans the corpus
-    hb = doc_shingle_pairs(bd, text_col, id_col, n)
-    hc = doc_shingle_pairs(cd, text_col, id_col, n)
-    size_b = hb.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_b"))
-    size_c = hc.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_c"))
-    e1 = hb.select(F.col(id_col).alias("batch_id"), "shingle_h").join(
-        F.broadcast(cand), "batch_id"
-    )
+    # r10: sizes ride in-row (_sized_shingle_rows) — each side's gram
+    # frame is computed ONCE instead of twice (size aggregate +
+    # intersection join), and the two size joins disappear.  (The r9
+    # alternative — cut_lineage on the gram frames — was MEASURED
+    # SLOWER, 3.0s -> 3.8s at sf0.1: eager materialization costs more
+    # than the candidate-scoped recompute; this shape removes the
+    # recompute without materializing anything.)
+    rb = _sized_shingle_rows(bd, text_col, id_col, n)
+    rc = _sized_shingle_rows(cd, text_col, id_col, n)
+    e1 = rb.select(
+        F.col(id_col).alias("batch_id"), F.col("sz").alias("size_b"), "shingle_h"
+    ).join(F.broadcast(cand), "batch_id")
     inter = (
         e1.join(
-            hc.select(F.col(id_col).alias("corpus_id"), "shingle_h"),
+            rc.select(
+                F.col(id_col).alias("corpus_id"), F.col("sz").alias("size_c"), "shingle_h"
+            ),
             ["corpus_id", "shingle_h"],
         )
         .groupBy("batch_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("size_b").alias("size_b"),
+            F.min("size_c").alias("size_c"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("size_b") + F.col("size_c") - F.col("n_common")
     )
-    return (
-        inter.join(size_b.select(F.col(id_col).alias("batch_id"), "size_b"), "batch_id")
-        .join(size_c.select(F.col(id_col).alias("corpus_id"), "size_c"), "corpus_id")
-        .select("batch_id", "corpus_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return inter.select("batch_id", "corpus_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
