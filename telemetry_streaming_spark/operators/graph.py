@@ -200,10 +200,16 @@ def cooccurrence_edges(
                 )
             ).alias("__e")
         ).select("__e.src", "__e.dst")
-        both = pairs.unionAll(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # w is direction-independent (it counts groups containing both
+        # endpoints), so aggregate the src < dst pair stream ONCE and
+        # mirror AFTER the count (r10 session 2, guide §2.3): the
+        # (src, dst) exchange carries half the rows it did when the
+        # mirror ran before the aggregate, and the union over the
+        # aggregated frame is exchange-free.
+        half = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        return half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
-        return both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     pairs = df.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("item")
     ).distinct()
