@@ -483,3 +483,34 @@ def test_setsim_prefix_pairs_rejects_bad_threshold(spark):
         setsim_prefix_pairs(df, threshold_num=0, threshold_den=2)
     with pytest.raises(ValueError):
         setsim_prefix_pairs(df, threshold_num=3, threshold_den=2)
+
+
+def test_sized_shingle_rows_match_pairs_and_sizes(spark):
+    """r10 session 2: the LSH verify tier's gram frame became ONE
+    collect_set aggregate with the per-doc set size carried in-row
+    (``_sized_shingle_rows``) — this pins its contract against the
+    reference shape it replaced: the (id, shingle_h) multiset must
+    equal ``doc_shingle_pairs`` exactly, and every row's ``sz`` must
+    equal its doc's distinct-shingle count."""
+    from pyspark.sql import Row
+
+    from telemetry_streaming_spark.operators.dedup import (
+        _sized_shingle_rows,
+        doc_shingle_pairs,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="one two three"),          # single shingle
+        Row(doc_id=4, text="a a a a a"),              # repeated gram
+    ])
+    rows = _sized_shingle_rows(docs, "text", "doc_id", 3).collect()
+    ref = doc_shingle_pairs(docs, "text", "doc_id", 3).collect()
+    assert sorted((r.doc_id, r.shingle_h) for r in rows) == sorted(
+        (r.doc_id, r.shingle_h) for r in ref
+    )
+    from collections import Counter
+    want_sizes = Counter(r.doc_id for r in ref)
+    for r in rows:
+        assert r.sz == want_sizes[r.doc_id], (r.doc_id, r.sz)

@@ -438,3 +438,54 @@ def test_label_propagation_rejects_bad_rounds(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+def test_label_propagation_cut_cadence_is_semantics_free(spark):
+    """r10 session 2: the per-round lineage cut became periodic
+    (``cut_every``, default 8 — rounds=3 runs as one straight-line
+    plan).  The cut cadence is an execution detail: results must be
+    identical whether labels are cut every round, mid-chain, or never
+    within the committed round count."""
+    import random as _random
+
+    from telemetry_streaming_spark.operators.graph import label_propagation
+
+    rng = _random.Random(7)
+    edges = list({
+        (rng.randint(0, 39), rng.randint(0, 39)) for _ in range(120)
+    })
+    df = spark.createDataFrame(
+        [Row(src=u, dst=v) for u, v in edges if u != v]
+    )
+    base = {
+        r.node: r.community
+        for r in label_propagation(df, rounds=3, cut_every=8).collect()
+    }
+    for cadence in (1, 2):
+        got = {
+            r.node: r.community
+            for r in label_propagation(df, rounds=3, cut_every=cadence).collect()
+        }
+        assert got == base, f"cut_every={cadence} diverged"
+
+
+def test_cooccurrence_edge_weights_mirror_exactly(spark):
+    """r10 session 2: the capped path aggregates the src < dst pair
+    stream once and mirrors AFTER the count — every (a, b, w) must
+    have its exact mirror (b, a, w), and w must count the groups
+    containing both endpoints."""
+    rows = [
+        ("g1", "x"), ("g1", "y"), ("g1", "z"),
+        ("g2", "x"), ("g2", "y"),
+        ("g3", "x"), ("g3", "y"), ("g3", "y"),  # dup item collapses
+    ]
+    df = spark.createDataFrame([Row(g=g, item=i) for g, i in rows])
+    got = {
+        (r.src, r.dst): r.w
+        for r in cooccurrence_edges(df, "g", "item", max_items_per_group=4).collect()
+    }
+    assert got[("x", "y")] == 3 and got[("y", "x")] == 3
+    assert got[("x", "z")] == 1 and got[("z", "x")] == 1
+    assert got[("y", "z")] == 1 and got[("z", "y")] == 1
+    assert set(got) == {("x", "y"), ("y", "x"), ("x", "z"),
+                        ("z", "x"), ("y", "z"), ("z", "y")}
