@@ -11188,23 +11188,23 @@ def wav_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently skipped (r6 verdict, "Next round" item 1).
 # ---------------------------------------------------------------------------
 _FRONT_WINDOW = [
-    "bm25_topk", "leak_safe_split", "mannkendall_trend",
-    "robots_frontier_stats", "seasonal_mk_trend", "split_leakage_audit",
-    "theilsen_trend", "url_canonical_dedup", "url_host_stats",
-    "wav_roundtrip_stats", "winnow_pairs", "winnow_profile",
-    "shard_manifest", "shipping_delay_priority", "skew_report",
-    "text_chunks", "text_ngram_topk", "token_entropy",
-    "top_supplier", "waiting_suppliers", "windowed_top_keys",
-    "conditional_counts", "dedup_exact", "dedup_ngram_jaccard",
-    "pricing_summary", "sessionize", "similarity_topk",
-    "windowed_sum", "boilerplate_chunks", "constraint_violations",
-    "dup_cluster_keep", "pagerank_top", "pca_top_component",
-    "target_likeness", "windowed_drift", "active_user_snapshot",
-    "bigram_path_stats", "int8_quant_error", "kmeans_silhouette",
-    "pq_distortion_stats", "price_qty_rank_corr", "windowed_violations",
-    "activity_overlap", "balance_deciles", "basket_rules",
-    "benford_digits", "bigram_lm_score", "bigram_surprisal_stats",
-    "bloom_semi_join", "bpe_pair_stats",
+    "bpe_train", "cohort_revenue_matrix", "conversion_delay_buckets",
+    "cumulative_unique_users", "dedup_normalized", "discount_quantity_slope",
+    "dow_seasonality", "dup_span_removal", "dup_span_stats",
+    "embedding_gram_matrix", "event_transition_matrix", "ewma_revenue",
+    "experiment_chisq", "fit_quality_logit", "interval_coverage",
+    "ks_drift", "logit_training_stats", "market_basket_pairs",
+    "name_linkage", "new_vs_returning", "part_supplier_breadth",
+    "pq_codes", "pq_topk", "repeat_purchase_rate",
+    "revenue_gini", "revenue_wow", "rolling_anomaly_flags",
+    "source_drift", "source_length_quantiles", "supplier_balance_pct_rank",
+    "survival_churn", "token_budget_sample", "ttr_by_source",
+    "vocab_coverage", "weighted_median_price", "attribution_linear",
+    "hard_negatives", "incremental_dedup_components", "part_clustering",
+    "part_triangles", "znorm_window_stats", "array_mean",
+    "asof_enrich", "bpe_token_stats", "curation_funnel",
+    "ngram_repetition", "pii_scan", "salted_agg",
+    "sessionize_native", "stratified_sample",
 ]
 
 # Empty: the window has anchor slack, so nothing may be deferred
