@@ -110,6 +110,19 @@ def pagerank_fixed_point(
             F.col("w").cast("long").alias("w"),
             F.col("outw").cast("long").alias("outw"),
         )
+        # r11 (guide §2.4): co-partition + pre-sort the cached edge
+        # frame on the per-iteration join key.  The outw attach is a
+        # broadcast join, so without this the cache materializes with
+        # the Union's unknown partitioning and EVERY iteration
+        # re-exchanges (and re-sorts) the full edge frame on src —
+        # the captured r10 chain showed one O(m) Exchange per
+        # iteration on the cached side.  One build-time exchange
+        # removes all of them: the iteration join then reads the
+        # cache co-partitioned with the rank frame (whose hash(node)
+        # partitioning aliases through to src), which is also the
+        # standard 100TB posture (edges bucketed/partitioned by src).
+        .repartition("src")
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
