@@ -193,8 +193,15 @@ def _sized_shingle_rows(
     gram explode four times per query (id1 side, id2 side, and the
     sizes frame once per size join); this shape runs it twice and
     joins nothing.  The set buffer is bounded by per-doc distinct-gram
-    arity — the same bound the signature aggregate already carries —
-    and only candidate-scoped documents ever reach it."""
+    arity (roughly document length).  NOTE (r11, ADVICE): that is a
+    WEAKER bound than the signature aggregate's — minhash_signatures
+    streams grams through O(num_perm) min buffers and never holds the
+    set — so a single pathologically large document creates one large
+    non-spillable group buffer here where the old distinct+count shape
+    kept one row per (id, hash).  Acceptable on this path because only
+    candidate-scoped documents (LSH band collisions, bucket-capped)
+    ever reach it; a corpus with multi-GB single documents should cap
+    doc length upstream before the verify tier."""
     grams = _exploded_grams(df, text_col, id_col, n)
     sets = (
         grams.select(F.col(id_col), F.xxhash64("gram").alias("h"))
@@ -954,7 +961,7 @@ def setsim_prefix_pairs(
     num, den = int(threshold_num), int(threshold_den)
     # whitespace-set trim (F.trim strips only spaces) + \S guard: the
     # registry's established cross-engine tokenization convention
-    toks = (
+    raw = (
         df.where(F.col(text_col).rlike(r"\S"))
         .select(
             F.col(id_col).alias("__id"),
@@ -966,25 +973,32 @@ def setsim_prefix_pairs(
             ).alias("token"),
         )
         .where(F.col("token") != "")
-        .distinct()
     )
-    # toks fans out to FOUR consumers (sizes, df aggregate, the
-    # ordered join, the verify arrays) — no subplan CSE in Spark, so
-    # cut once (the canon/deg discipline of the graph family)
-    toks = cut_lineage(toks)
-    # (r10 A/B, kept as the faster shape: folding this sizes aggregate
-    # into a count-over-__id window frame sharing the rank exchange
-    # measured SLOWER — 3.52s -> 3.65s interleaved at sf0.1: the
-    # unordered count window buffers whole partitions while this
-    # aggregate combines map-side and broadcast-joins back.)
-    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # Arrays-first (r11, guide §2.3/§2.4 — the in-row-sizes shape):
+    # ONE per-doc ``collect_set`` aggregate both dedups the token
+    # stream (replacing the former ``distinct`` exchange) and yields
+    # the per-doc size in-row (replacing the former ``sizes``
+    # aggregate AND its join into ``ordered``).  The cut frame is the
+    # per-doc sorted array table — exactly what the verify tier
+    # consumes — and the (id, token, n) stream is re-derived by an
+    # exchange-free explode per consumer.  Interleaved A/B at sf0.1:
+    # 6.02 -> 5.38 s median (5/7); plan: 12 -> 9 Exchanges, the
+    # sizes aggregate and size join gone.  The per-doc set buffer is
+    # bounded by distinct-token arity (~document length) — this
+    # operator already materializes the same arrays for verification,
+    # so the bound is not new.
+    # (r10 A/B, still binding: folding sizes into a count-over-__id
+    # window frame sharing the rank exchange measured SLOWER — the
+    # unordered count window buffers whole partitions.)
+    arrays = cut_lineage(
+        raw.groupBy("__id")
+        .agg(F.sort_array(F.collect_set("token")).alias("__toks"))
+        .select("__id", "__toks", F.size("__toks").cast("long").alias("n"))
+    )
+    ex = arrays.select("__id", "n", F.explode("__toks").alias("token"))
+    dfreq = ex.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = Window.partitionBy("__id").orderBy("df", "token")
-    ordered = (
-        toks.join(dfreq, "token")
-        .join(sizes, "__id")
-        .withColumn("p", F.row_number().over(w))
-    )
+    ordered = ex.join(dfreq, "token").withColumn("p", F.row_number().over(w))
     # L = n - ceil(num*n/den) + 1, all-integer ceil (div, not `/` —
     # Spark's `/` is IEEE double division).  Cut: the prefix frame is
     # read by BOTH sides of the candidate self-join, and each branch
@@ -1017,11 +1031,9 @@ def setsim_prefix_pairs(
     # materialize |cand| x avg-doc-length rows (measured 137M at
     # sf0.1 — the verify dominated everything); two id joins carrying
     # one bounded token array each + a per-row array_intersect do the
-    # identical exact intersection with nothing exploded.
-    arrays = toks.groupBy("__id").agg(
-        F.sort_array(F.collect_list("token")).alias("__toks"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    # identical exact intersection with nothing exploded.  The arrays
+    # frame is the lineage-cut per-doc table itself (r11) — formerly
+    # a fourth aggregate over the token stream.
     a1 = arrays.select(
         F.col("__id").alias("id1"),
         F.col("__toks").alias("__t1"),

@@ -194,7 +194,18 @@ def cooccurrence_edges(
 
     Uncapped path (``max_items_per_group=None`` — only when group
     arity is bounded upstream): the original distinct + self-join
-    shape, which never materializes a per-group set buffer."""
+    shape, which never materializes a per-group set buffer.
+
+    NULL items (r11, ADVICE note): ``collect_set`` drops NULLs, so on
+    the capped path the arity cap counts NON-NULL distinct items; the
+    uncapped path's ``distinct`` would count a (group, NULL) row.  A
+    group at exactly cap+1 items including a NULL therefore flips
+    from dropped to kept between the paths.  Output edges never
+    contain NULL endpoints in either shape (a NULL never wins a
+    ``<``-comparison into a pair), and this corpus has no NULL items;
+    callers with NULL-bearing data who need the exact SQL
+    COUNT(DISTINCT)-excluding-NULL cap semantics get them from the
+    capped path."""
     if max_items_per_group is not None:
         sets = (
             df.groupBy(F.col(group_col).alias("g"))
