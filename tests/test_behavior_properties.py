@@ -62,6 +62,7 @@ def _brute_funnel(rows):
 @pytest.mark.usefixtures("spark")
 @given(rows=events_strategy)
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_funnel_matches_brute_force(spark, rows):
     got = {}
     for r in conversion_funnel(_df(spark, rows), STAGES).collect():
@@ -89,6 +90,7 @@ def _brute_retention(rows, p):
 @pytest.mark.usefixtures("spark")
 @given(rows=events_strategy, period=st.sampled_from([5, 7, 86_400]))
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_retention_matches_brute_force(spark, rows, period):
     got = {
         (r.cohort_period, r.offset): r.n_active
@@ -100,6 +102,7 @@ def test_retention_matches_brute_force(spark, rows, period):
 @pytest.mark.usefixtures("spark")
 @given(rows=events_strategy)
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_gaps_match_brute_force(spark, rows):
     got = sorted(
         (r.user_id, r.gap_s) for r in inter_event_gaps(_df(spark, rows)).collect()

@@ -36,6 +36,7 @@ def test_reference_option_names_parse():
     assert args.fail_on_data_loss and args.num_parquet_files == 7
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_batch_error_aggregator_e2e(spark, tmp_path):
     """--input-path with --from/--to date dirs -> date-partitioned
     parquet, matching the reference's batch mode."""
@@ -97,6 +98,7 @@ def test_missing_required_option_errors(spark, tmp_path):
         main(["error_aggregator", "--input-path", str(src)], spark=spark)
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_heka_format_source(spark, tmp_path):
     """--format heka reads the reference's wire format end-to-end."""
     from telemetry_streaming_spark.sources import heka
@@ -123,6 +125,7 @@ def test_heka_format_source(spark, tmp_path):
     assert got.agg({"count": "sum"}).first()[0] == 4
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_explain_wires_every_job(spark, tmp_path):
     """--explain must build each job's full plan (catching wiring bugs
     like wrong transform signatures) without executing anything."""
@@ -152,6 +155,7 @@ def test_explain_wires_every_job(spark, tmp_path):
     ], spark=spark)
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     """The curation funnel as an operable job: documents parquet in,
     split-partitioned curated parquet + printed stage funnel out."""
@@ -334,6 +338,7 @@ def test_raise_on_error_counts_null_reject_rule(spark, tmp_path):
               "--output-path", str(out2), "--raise-on-error"], spark=spark)
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_curate_reliable_checkpoint(spark, tmp_path):
     """`curate --near-dup minhash --checkpoint-mode reliable` must set
     the session checkpoint dir, write RDD checkpoints there, and
@@ -435,6 +440,7 @@ def test_uptake_streaming_parquet_metrics(spark, tmp_path):
     )
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_minhash_index_two_night_flow(spark, tmp_path, capsys):
     """Nightly admission e2e: night 0 builds the band index from the
     corpus; night 1 admits a batch (planted near-dup rejected, novel
@@ -489,6 +495,7 @@ def test_cli_minhash_index_two_night_flow(spark, tmp_path, capsys):
     assert spark.read.parquet(out2).count() == 0
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     """Persisted IVF index e2e: build partitions the corpus by
     ivf_cluster; query against the persisted index returns exactly the
@@ -548,6 +555,7 @@ def test_cli_ann_index_build_and_query(spark, tmp_path, capsys):
     ), plan[:1200]
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_minhash_index_streaming_admission(spark, tmp_path, capsys):
     """Continuous admission: a checkpointed parquet stream drains with
     availableNow; batch 2 (a later invocation, same checkpoint) sees
@@ -685,6 +693,7 @@ def _doc_corpus(spark, tmp_path, name="docs"):
     return p
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_train_quality_logit_writes_deployable_weights(spark, tmp_path):
     docs = _doc_corpus(spark, tmp_path)
     model = str(tmp_path / "quality.json")
@@ -764,6 +773,7 @@ def test_cli_train_unknown_task_and_missing_opts_error(spark, tmp_path):
         main(["train", "--task", "bpe", "--model-path", "x"], spark=spark)
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_ann_index_ivf_pq_build_and_query(spark, tmp_path):
     """IVF-PQ e2e: --pq-m at build writes codes + codebooks alongside
     the cluster-partitioned assignments; --use-pq at query scores the
@@ -857,6 +867,7 @@ def test_cli_curate_token_budget_bounds_each_source(spark, tmp_path):
     assert totals == {"big": 105, "small": 105}
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_maintain_admit_compact_verify_with_crash_restart(spark, tmp_path, capsys):
     """The orchestrated nightly loop: admit -> compact -> re-probe
     verify in one invocation, idempotent under a kill at every stage
@@ -1087,6 +1098,7 @@ def test_cli_rollup_report_distinct_before_any_date_is_a_noop(spark, tmp_path, c
     assert "rollup_distinct" not in out
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_maintain_short_doc_does_not_poison_reprobe(spark, tmp_path, capsys):
     """A legitimately short admitted document (< shingle width tokens)
     emits no minhash bands, so it can never rediscover itself — the
@@ -1322,6 +1334,7 @@ def test_cli_rollup_legacy_manifest_still_guards_schema(spark, tmp_path, capsys)
     ]
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_clusters_incremental_with_kill_at_every_boundary(
     spark, tmp_path, capsys, monkeypatch
 ):
@@ -1555,6 +1568,7 @@ def test_cli_urlcap_end_to_end(spark, tmp_path, capsys):
     assert "urlcap_survivors: 6" in captured
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_cli_urlcap_streaming_frontier_admission(spark, tmp_path, capsys):
     """urlcap --stream-input: checkpointed availableNow frontier
     admission — night 2's re-crawled URLs anti-join away, its new

@@ -380,6 +380,7 @@ PING_FOR_DOCTYPE = {
 }
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_production_config_corpus_compiles_and_runs(spark):
     """Every config shipped with the reference must parse, validate,
     compile to Column predicates/projections, and execute end-to-end
@@ -527,6 +528,7 @@ def test_production_corpus_stays_on_compiled_tier():
             assert amp.schema_is_compiled(spec.schema), path
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_general_fallback_maxlength_golden(spark):
     """A config using maxLength must match jsonschema semantics: the
     6-char method 'foregro'... is rejected, short methods pass.  The

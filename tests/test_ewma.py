@@ -1,6 +1,7 @@
 """Naive-reference pin for power_decay_ewma (calendar-gap handling is
 the part a row-offset formulation gets wrong)."""
 
+import pytest
 import random
 
 from pyspark.sql import Row
@@ -22,6 +23,7 @@ def _naive(rows, k):
     return out
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_power_decay_ewma_matches_naive_with_gaps(spark):
     rng = random.Random(11)
     rows = []

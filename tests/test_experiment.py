@@ -1,6 +1,7 @@
 """Hand-case pins for operators/experiment.py (the oracle parity test
 covers the registry wiring; these pin the math on tiny known inputs)."""
 
+import pytest
 import math
 
 from pyspark.sql import Row
@@ -41,6 +42,7 @@ def test_chi_square_cells_2x2_hand_case(spark):
     assert abs(total - exact) < 4e-6  # four per-cell floors
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_chi_square_cells_independent_table_has_zero_delta(spark):
     # Perfectly independent table: every delta is exactly 0.
     rows = []

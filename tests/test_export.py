@@ -1,5 +1,6 @@
 """Training-data export: deterministic sharding + manifest."""
 
+import pytest
 import glob
 import os
 import shutil
@@ -27,6 +28,7 @@ def _read_shard_rows(spark, path):
     return out
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_export_one_file_per_shard_deterministic_order(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents", parallelize=False)
     p1, p2 = str(tmp_path / "run1"), str(tmp_path / "run2")

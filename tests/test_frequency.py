@@ -96,6 +96,7 @@ def test_distinctive_terms_rank_is_deterministic(spark):
         assert [r.rnk for r in ordered] == ranks
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_windowed_top_keys_stream_matches_batch(spark, tmp_path):
     """The windowed sketch must emit identical rows from a file stream
     (append on watermark close) and from the same data as a batch."""

@@ -134,6 +134,7 @@ def _write_lines(dir_path, lines):
     _os.rename(tmp, f"{dir_path}/{uuid.uuid4().hex}.txt")
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_streaming_drift_matches_batch(spark, tmp_path):
     """The literal-reference tier is one stateful aggregate: it runs
     under a watermark with append emission, and a closed window's row

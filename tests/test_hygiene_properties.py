@@ -120,6 +120,7 @@ def test_dup_window_fraction_matches_python_reference(spark, corpus):
     assert got == want
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_sequence_packing_matches_python_reference(spark, corpus):
     from telemetry_streaming_spark.operators.packing import sequence_packing
 

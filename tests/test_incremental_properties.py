@@ -26,6 +26,7 @@ rows_strategy = st.lists(
 @pytest.mark.usefixtures("spark")
 @given(rows=rows_strategy, pairwise=st.booleans())
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_any_partitioning_and_merge_tree_equals_one_pass(spark, rows, pairwise):
     df = spark.createDataFrame([(k, v) for k, v, _ in rows], "k long, v long")
 
@@ -63,6 +64,7 @@ snapshot_rows = st.lists(
 @pytest.mark.usefixtures("spark")
 @given(rows=snapshot_rows)
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_latest_snapshot_ties_resolve_deterministically(spark, rows):
     """With duplicate (key, ts) rows the tie column must decide, and
     the result is exactly one row per key — the max (ts, tie) pair."""
@@ -79,6 +81,7 @@ def test_latest_snapshot_ties_resolve_deterministically(spark, rows):
 @pytest.mark.usefixtures("spark")
 @given(rows=snapshot_rows)
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_latest_snapshot_tombstones_match_replica(spark, rows):
     """delete_when: a key whose NEWEST row is a tombstone vanishes; an
     older tombstone is superseded by any later upsert.  seq % 3 == 0

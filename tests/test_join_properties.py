@@ -46,6 +46,7 @@ right_rows = st.dictionaries(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_asof_matches_pandas_merge_asof(spark, left, right, direction, strict, tolerance):
     ldf = spark.createDataFrame(
         [(i, k, ts_of(t)) for i, (k, t) in enumerate(left)],
@@ -104,6 +105,7 @@ point_rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_interval_join_matches_brute_force(spark, points, intervals, bin_seconds, closed):
     """Pairs must equal the brute-force range scan for every boundary
     mode, and be invariant to the bin width."""

@@ -22,6 +22,7 @@ def sess(spark):
     lookback=st.integers(min_value=5, max_value=29),
 )
 @settings(max_examples=8, deadline=None)
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_sliced_window_equals_reference_fuzz(sess, seed, per_day, days, lookback):
     """Sliced trailing stats == single-window reference on random
     value streams, any (per_day >= lookback, days, lookback) combo."""
@@ -57,6 +58,7 @@ def test_sliced_window_equals_reference_fuzz(sess, seed, per_day, days, lookback
     vocab=st.integers(min_value=3, max_value=6),
 )
 @settings(max_examples=8, deadline=None)
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_span_removal_matches_replica_fuzz(sess, seed, n, vocab):
     """remove_duplicated_spans == brute-force python replica on random
     tiny-vocab corpora (dense duplicated windows, adjacent and
@@ -101,6 +103,7 @@ def test_span_removal_matches_replica_fuzz(sess, seed, n, vocab):
     groups=st.integers(min_value=1, max_value=4),
 )
 @settings(max_examples=8, deadline=None)
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_per_group_cap_equals_naive_fuzz(sess, seed, cap, groups):
     """Salted two-level cap == naive one-window ranking for random
     group sizes and caps (including cap > group size)."""

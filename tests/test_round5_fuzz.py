@@ -70,6 +70,7 @@ def _py_train(texts, n_merges, min_pair_count=2):
 
 @given(seed=st.integers(min_value=0, max_value=10_000))
 @settings(max_examples=6, deadline=None)
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_bpe_train_matches_replica_fuzz(sess, seed):
     """Tiny alphabets force dense pair collisions and tie-breaks."""
     from telemetry_streaming_spark.operators.tokenizer import train_bpe
@@ -110,6 +111,7 @@ def _py_lm_score(texts_by_id, lm_texts, alpha=1.0):
 
 @given(seed=st.integers(min_value=0, max_value=10_000))
 @settings(max_examples=6, deadline=None)
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_bigram_lm_cross_corpus_matches_replica_fuzz(sess, seed):
     """Random LM corpus vs random probe corpus: batch join tier and
     stateless probe tier must both match the replica (and so each

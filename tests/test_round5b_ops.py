@@ -88,6 +88,7 @@ def test_boilerplate_planted_template(sess):
 
 @settings(max_examples=8, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_boilerplate_stats_match_replica_fuzz(sess, seed):
     from telemetry_streaming_spark.operators.repetition import (
         chunk_boilerplate_stats,
@@ -195,6 +196,7 @@ def _py_likeness(docs: dict[int, str], is_target: dict[int, bool]):
 
 @settings(max_examples=8, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_target_likeness_matches_replica_fuzz(sess, seed):
     from telemetry_streaming_spark.operators.tfidf import target_likeness
 

@@ -57,6 +57,7 @@ def test_checkpoint_path_convention(tmp_path):
     )
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_error_aggregator_append_flush_on_watermark(spark, stream_dirs):
     """K1/W1/W3/W5 e2e: 5-min windows flush to parquet only after a
     later event pushes the 1-min watermark past window end — the
@@ -371,6 +372,7 @@ def test_asof_enrich_streaming_e2e(spark, stream_dirs):
         stop_quietly(query)
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_interval_join_stream_stream_e2e(spark, stream_dirs, tmp_path):
     """Extension: stream-stream interval join — purchase-attribution
     pairs from two live streams, state bounded by watermark + the
@@ -441,6 +443,7 @@ def test_interval_join_stream_stream_e2e(spark, stream_dirs, tmp_path):
         stop_quietly(query)
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_checkpoint_restart_recovers_exactly_once(spark, stream_dirs):
     """W7 recovery e2e: kill the query mid-stream, restart from the
     same checkpoint, feed more data — the flushed output must equal a
@@ -793,6 +796,7 @@ def test_general_schema_tier_streams(spark, stream_dirs):
     assert rows[0].client_id == "client1"
 
 
+@pytest.mark.full  # r11: >=5s; fast-tier siblings cover this surface
 def test_streaming_duplicated_spans_first_seen(spark, stream_dirs):
     """Streaming tier of the Lee-et-al span family: windows already
     seen within the watermark horizon become per-doc merged spans.
