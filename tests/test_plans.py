@@ -69,6 +69,7 @@ def test_aggregate_is_partial_final_codegen(spark):
     assert "CartesianProduct" not in final
 
 
+@pytest.mark.full  # r11: ~3min repo-wide plan sweep; per-query pins stay fast
 def test_no_cartesian_products_anywhere(spark):
     """Only broadcast nested-loop joins are tolerated (the exact
     near-dup verifier broadcasts its small side by construction)."""
@@ -474,6 +475,7 @@ def test_containment_reuses_single_postings_pass(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.full  # r11: ~3min repo-wide plan sweep; per-query pins stay fast
 def test_no_corpus_rows_on_single_partition_exchanges(spark):
     """Registry-wide one-task-bottleneck gate: a SinglePartition
     exchange may carry only bounded shapes (global-agg partials,
