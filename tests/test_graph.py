@@ -469,6 +469,56 @@ def test_label_propagation_cut_cadence_is_semantics_free(spark):
         assert got == base, f"cut_every={cadence} diverged"
 
 
+def test_label_propagation_round1_shortcut_equals_explicit_labels(spark):
+    """r11: round 1's ``stubs ⋈ identity-labels`` join folds to
+    ``stubs.select(n, nbr AS lab)`` (the initial label table IS the
+    identity map).  Pin the rewrite against the pre-r11 shape — an
+    explicit identity label frame joined for EVERY round — on a seeded
+    random graph, for 1, 2 and 3 rounds."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_spark.operators.checkpointing import cut_lineage
+    from telemetry_streaming_spark.operators.graph import (
+        _canonical_edges,
+        label_propagation,
+    )
+
+    rng = _random.Random(11)
+    edges = list({(rng.randint(0, 59), rng.randint(0, 59)) for _ in range(200)})
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges if u != v])
+
+    def reference(rounds: int) -> dict:
+        canon = cut_lineage(_canonical_edges(df, "src", "dst"))
+        stubs = canon.select(
+            F.col("u").alias("n"), F.col("v").alias("nbr")
+        ).unionAll(canon.select(F.col("v").alias("n"), F.col("u").alias("nbr")))
+        labels = stubs.select("n").distinct().select(
+            F.col("n").alias("node"), F.col("n").cast("long").alias("lab")
+        )
+        for _ in range(rounds):
+            msgs = stubs.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            ).select("n", "lab")
+            labels = (
+                msgs.groupBy("n")
+                .agg(F.mode("lab", True).alias("lab"))
+                .select(
+                    F.col("n").alias("node"),
+                    F.col("lab").cast("long").alias("lab"),
+                )
+            )
+        return {r.node: r.lab for r in labels.collect()}
+
+    for rounds in (1, 2, 3):
+        got = {
+            r.node: r.community
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == reference(rounds), f"rounds={rounds} diverged"
+
+
 def test_cooccurrence_edge_weights_mirror_exactly(spark):
     """r10 session 2: the capped path aggregates the src < dst pair
     stream once and mirrors AFTER the count — every (a, b, w) must
